@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator for the
+driver's DuckDB hash-comparison at sf0.01 (see SURVEY.md §2 for the
+operator inventory each query covers).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics
+from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import ANALYTICS_ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (top products by revenue) on /root/testdata/sf0.001."""
+    return analytics.q1_top_products(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_top_products": analytics.q1_top_products,
+        "q2_monthly_trend": analytics.q2_monthly_trend,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ANALYTICS_ORACLES)

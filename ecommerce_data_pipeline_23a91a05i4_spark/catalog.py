@@ -1,0 +1,50 @@
+"""Table catalog over the driver-provided parquet testdata.
+
+Mirrors the reference's table-scan surface (SURVEY.md §2.1 S1-S3): the
+reference reads whole tables from PostgreSQL/CSV into pandas; here tables are
+parquet directories read lazily so Catalyst can push filters and prune
+columns down to the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension-sized tables that should always be broadcast in joins at any
+# realistic scale factor (region/nation are bounded; part/supplier grow with
+# SF but stay far below fact tables -- Spark's own threshold decides those).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    wanted = names or TABLE_NAMES
+    return {n: table(spark, sf_dir, n) for n in wanted}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` works verbatim."""
+    for n, df in tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

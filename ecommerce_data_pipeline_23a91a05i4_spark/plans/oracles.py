@@ -1,0 +1,166 @@
+"""DuckDB-runnable ANSI-SQL oracles, one per query in the suite.
+
+Each string computes the same result as its DataFrame twin (same column
+names, same decimal-accumulation + floor-quantization arithmetic — see
+functions/exprs.py) so the driver's row-count + schema + value-hash
+comparison passes bit-for-bit.  Tables are pre-registered views named
+region/nation/customer/supplier/part/orders/lineitem/events/documents/
+embeddings.
+"""
+
+from ..functions.exprs import (
+    SQL_DSUM,
+    SQL_MEAN2,
+    SQL_MONEY_SUM,
+    SQL_QUANT,
+    SQL_R2,
+    SQL_R4,
+    SQL_SAFE_PCT,
+)
+
+REV = "l_extendedprice * (1 - l_discount)"
+PROFIT = f"{REV} - l_quantity * p_retailprice * 0.7"
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "q1_top_products": f"""
+        SELECT p_name AS product_name,
+               p_brand AS brand,
+               {SQL_MONEY_SUM(REV)} AS total_revenue,
+               SUM(l_quantity) AS units_sold,
+               {SQL_MEAN2('l_extendedprice', 'COUNT(*)')} AS avg_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_name, p_brand
+        ORDER BY total_revenue DESC, product_name, brand
+        LIMIT 10
+    """,
+    "q2_monthly_trend": f"""
+        SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+                 lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS year_month,
+               {SQL_MONEY_SUM(REV)} AS total_revenue,
+               COUNT(DISTINCT l_orderkey) AS total_orders,
+               {SQL_MEAN2(REV, 'COUNT(*)')} AS avg_item_value,
+               COUNT(DISTINCT o_custkey) AS unique_customers
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY year(o_orderdate), month(o_orderdate)
+        ORDER BY year_month
+    """,
+    "q3_customer_segmentation": f"""
+        WITH customer_totals AS (
+            SELECT o_custkey, {SQL_MONEY_SUM('o_totalprice')} AS total_spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CASE WHEN total_spent < 50000 THEN '$0-$50K'
+                    WHEN total_spent < 150000 THEN '$50K-$150K'
+                    WHEN total_spent < 300000 THEN '$150K-$300K'
+                    ELSE '$300K+' END AS spending_segment,
+               COUNT(*) AS customer_count,
+               {SQL_MONEY_SUM('total_spent')} AS total_revenue,
+               {SQL_MEAN2('total_spent', 'COUNT(*)')} AS avg_customer_spend
+        FROM customer_totals
+        GROUP BY spending_segment
+        ORDER BY customer_count DESC, spending_segment
+    """,
+    "q4_category_performance": f"""
+        SELECT p_type AS category,
+               {SQL_MONEY_SUM(REV)} AS total_revenue,
+               {SQL_MONEY_SUM(PROFIT)} AS total_profit,
+               {SQL_SAFE_PCT(SQL_DSUM(PROFIT), SQL_DSUM(REV))} AS profit_margin_pct,
+               SUM(l_quantity) AS units_sold
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+        ORDER BY total_revenue DESC
+    """,
+    "q5_payment_distribution": f"""
+        WITH agg AS (
+            SELECT o_orderpriority AS order_priority,
+                   COUNT(*) AS order_count,
+                   {SQL_DSUM('o_totalprice')} AS rev_dec
+            FROM orders
+            GROUP BY o_orderpriority
+        )
+        SELECT order_priority,
+               order_count,
+               {SQL_R2('rev_dec')} AS total_revenue,
+               {SQL_R4('order_count * 100.0 / SUM(order_count) OVER ()')}
+                   AS pct_of_orders,
+               {SQL_SAFE_PCT('rev_dec', 'SUM(rev_dec) OVER ()')} AS pct_of_revenue
+        FROM agg
+        ORDER BY order_priority
+    """,
+    "q6_geo_revenue": f"""
+        SELECT n_name AS nation,
+               r_name AS region,
+               {SQL_MONEY_SUM(REV)} AS total_revenue,
+               COUNT(DISTINCT c_custkey) AS total_customers,
+               {SQL_R2(f'CAST({SQL_DSUM(REV)} AS DOUBLE) / COUNT(DISTINCT c_custkey)')}
+                   AS avg_revenue_per_customer
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+        ORDER BY total_revenue DESC, nation
+    """,
+    "q7_customer_lifetime_value": f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   {SQL_MONEY_SUM('o_totalprice')} AS total_spent,
+                   COUNT(*) AS order_count,
+                   {SQL_MEAN2('o_totalprice', 'COUNT(*)')} AS avg_order_value,
+                   CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                  DATE '2002-01-01') AS BIGINT)
+                       AS days_since_last_order
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey AS customer_id,
+               c_name AS customer_name,
+               total_spent, order_count, avg_order_value, days_since_last_order
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, customer_id
+    """,
+    "q8_product_profitability": f"""
+        SELECT p_partkey AS product_id,
+               p_name AS product_name,
+               p_brand AS brand,
+               {SQL_MONEY_SUM(PROFIT)} AS total_profit,
+               {SQL_SAFE_PCT(SQL_DSUM(PROFIT), SQL_DSUM(REV))} AS profit_margin,
+               {SQL_MONEY_SUM(REV)} AS revenue,
+               SUM(l_quantity) AS units_sold
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name, p_brand
+        ORDER BY total_profit DESC, product_id
+    """,
+    "q9_dow_pattern": f"""
+        WITH daily AS (
+            SELECT dayname(o_orderdate) AS day_name,
+                   CAST(o_orderdate AS DATE) AS order_date,
+                   {SQL_DSUM(REV)} AS daily_revenue,
+                   COUNT(DISTINCT l_orderkey) AS daily_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY day_name, order_date
+        )
+        SELECT day_name,
+               {SQL_R2('CAST(SUM(daily_revenue) AS DOUBLE) / COUNT(*)')}
+                   AS avg_daily_revenue,
+               {SQL_R2('CAST(SUM(daily_orders) AS DOUBLE) / COUNT(*)')}
+                   AS avg_daily_orders,
+               {SQL_R2('SUM(daily_revenue)')} AS total_revenue
+        FROM daily
+        GROUP BY day_name
+        ORDER BY total_revenue DESC, day_name
+    """,
+    "q10_discount_impact": f"""
+        SELECT CASE WHEN l_discount = 0 THEN '0%'
+                    WHEN l_discount <= 0.05 THEN '1-5%'
+                    ELSE '6-10%' END AS discount_range,
+               {SQL_QUANT(f"CAST({SQL_DSUM('l_discount * 100', 'DECIMAL(18,6)')} AS DOUBLE) / COUNT(*)", 4)}
+                   AS avg_discount_pct,
+               SUM(l_quantity) AS total_quantity_sold,
+               {SQL_MONEY_SUM(REV)} AS total_revenue,
+               {SQL_MEAN2(REV, 'COUNT(*)')} AS avg_line_total
+        FROM lineitem
+        GROUP BY discount_range
+        ORDER BY total_revenue DESC, discount_range
+    """,
+}
