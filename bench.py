@@ -1,0 +1,61 @@
+"""Benchmark runner: executes the headline analytics suite and prints ONE
+JSON line for the driver (BENCH_r{N}.json).
+
+Comparable baseline: the reference's 10-query suite ran in 4.44 s total at
+SF-ref (~30k fact rows) on warm PostgreSQL (BASELINE.md).  Here each query is
+run once to warm the engine (whole-stage-codegen compilation, parquet
+footers, OS page cache — the analog of Postgres's plan/buffer caches and
+the reference's warm-connection measurement), then timed, including result
+materialization (collect), which the reference's pandas read_sql also
+includes.  JVM startup is excluded per BASELINE.md's acceptance note.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_data_pipeline_23a91a05i4_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        df = fn(spark, sf_dir)
+        df.collect()  # warm: codegen compile, footer reads, page cache
+        t0 = time.perf_counter()
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "analytics_suite_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
