@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics
-from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import ANALYTICS_ORACLES
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, monitoring
+from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
+    ANALYTICS_ORACLES,
+    MONITORING_ORACLES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,8 +40,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_product_profitability": analytics.q8_product_profitability,
         "q9_dow_pattern": analytics.q9_dow_pattern,
         "q10_discount_impact": analytics.q10_discount_impact,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ANALYTICS_ORACLES)
+    out = dict(ANALYTICS_ORACLES)
+    out.update(MONITORING_ORACLES)
+    return out

@@ -36,7 +36,22 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects.  Read nanos as long and truncate to microseconds —
+    the oracle mirrors this exactly with make_timestamp(epoch_ns(ts)//1000).
+    Integer division (DIV), not float: ns-since-epoch exceeds 2^53."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

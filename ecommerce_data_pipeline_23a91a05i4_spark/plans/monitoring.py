@@ -1,0 +1,175 @@
+"""Monitoring + data-quality queries, re-expressing the reference's
+quality-check and monitoring operator suite (SURVEY.md §2.9, reference
+scripts/quality_checks/validate_data.py and sql/queries/monitoring_queries.sql)
+on the driver's testdata tables.
+
+    q11 referential integrity   (J3 left-anti orphan counts, U1 union)
+    q12 duplicate detection     (A6 HAVING count>1)
+    q13 freshness               (U1 labeled UNION ALL of MAX timestamps, Q7)
+    q14 volume anomaly          (A9/Q8 3-sigma daily-volume test)
+    q15 hourly event rollup     (batch analog of the streaming windowed agg)
+    q16 user sessionization     (lag + cumulative-sum window; gap > 30 min)
+
+Determinism notes:
+- q14 does the 3-sigma test in exact BIGINT arithmetic
+  ((n·x−Σx)²·(n−1) > 9·n·(n·Σx²−(Σx)²)) instead of float mean/stddev, so
+  the anomaly flag can never flip between engines from summation order.
+- q16 orders events by (ts, event_id) so ties are deterministic, and
+  compares microsecond integers, not float epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exprs import dsum, mean2, r2
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def q11_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-row counts across every FK edge of the star schema.
+
+    Reference: the three orphan checks in validate_data.py:132-157 /
+    data_quality_checks.sql:89-107, as left-anti joins (no key-set collect).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+
+    def orphans(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("violation_count"))
+            .select(F.lit(name).alias("check_name"), "violation_count")
+        )
+
+    return (
+        orphans("lineitem_without_order", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(orphans("lineitem_without_part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(orphans("order_without_customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(orphans("customer_without_nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .orderBy("check_name")
+    )
+
+
+def q12_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-based duplicate detection (ref data_quality_checks.sql:27-36):
+    users with more than one event of the same type."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .filter(F.col("event_count") > 1)
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q13_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled UNION ALL of per-source MAX timestamps
+    (ref monitoring_queries.sql:4-21)."""
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def latest(name: str, df: DataFrame, col: str):
+        return df.agg(F.max(col).alias("latest_ts")).select(
+            F.lit(name).alias("source"), "latest_ts"
+        )
+
+    return (
+        latest("events", events, "ts")
+        .unionAll(latest("orders", orders, "o_orderdate"))
+        .unionAll(latest("lineitem", li, "l_shipdate"))
+        .orderBy("source")
+    )
+
+
+def q14_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume 3-sigma anomaly flags
+    (ref pipeline_monitor.py:170-189).
+
+    The test (x−mean)² > (3·stddev_samp)² is algebraically rearranged into
+    pure BIGINT arithmetic so both engines compute identical booleans.
+    """
+    events = table(spark, sf_dir, "events")
+    # date_trunc (timestamp), not to_date: DATE columns surface as
+    # python-object dates in Spark's toPandas but datetime64 in DuckDB's,
+    # which would fail the driver's dtype/value comparison.
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("event_date")).agg(
+        F.count(F.lit(1)).alias("event_count")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("event_count").alias("sx"),
+        F.sum(F.col("event_count") * F.col("event_count")).alias("sxx"),
+    )
+    d = daily.crossJoin(F.broadcast(stats))
+    dlt = F.col("n_days") * F.col("event_count") - F.col("sx")
+    lhs = dlt * dlt * (F.col("n_days") - 1)
+    rhs = 9 * F.col("n_days") * (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return d.select(
+        "event_date",
+        "event_count",
+        (lhs > rhs).alias("is_anomaly"),
+    ).orderBy("event_date")
+
+
+def q15_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window rollup per event type — the batch twin of the
+    Structured Streaming aggregation in streaming/ (SURVEY.md §2.10)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            r2(dsum(F.col("value"))).alias("total_value"),
+            mean2(F.col("value"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap.
+
+    lag() + cumulative sum over (user_id ORDER BY ts, event_id) — the
+    window-function surface the reference lacks but any event pipeline
+    needs; scale path is a single shuffle on user_id.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sessionized = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("is_start"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("is_start").over(w).alias("session_seq"),
+    )
+    per_session = sessionized.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start")))
+            .alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )

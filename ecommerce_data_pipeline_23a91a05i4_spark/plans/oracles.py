@@ -21,6 +21,122 @@ from ..functions.exprs import (
 REV = "l_extendedprice * (1 - l_discount)"
 PROFIT = f"{REV} - l_quantity * p_retailprice * 0.7"
 
+EVENTS_NORM = (
+    "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+MONITORING_ORACLES: dict[str, str] = {
+    "q11_referential_integrity": """
+        SELECT 'customer_without_nation' AS check_name,
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE c.c_nationkey = n.n_nationkey))
+                   AS violation_count
+        UNION ALL
+        SELECT 'lineitem_without_order',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE l.l_orderkey = o.o_orderkey))
+        UNION ALL
+        SELECT 'lineitem_without_part',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE l.l_partkey = p.p_partkey))
+        UNION ALL
+        SELECT 'order_without_customer',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE o.o_custkey = c.c_custkey))
+        ORDER BY check_name
+    """,
+    "q12_duplicate_detection": """
+        SELECT user_id, event_type, COUNT(*) AS event_count
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) > 1
+        ORDER BY user_id, event_type
+    """,
+    "q13_freshness": f"""
+        WITH {EVENTS_NORM}
+        SELECT 'events' AS source, MAX(ts) AS latest_ts FROM ev
+        UNION ALL
+        SELECT 'lineitem', MAX(l_shipdate) FROM lineitem
+        UNION ALL
+        SELECT 'orders', MAX(o_orderdate) FROM orders
+        ORDER BY source
+    """,
+    "q14_volume_anomaly": f"""
+        WITH {EVENTS_NORM},
+        daily AS (
+            SELECT date_trunc('day', ts) AS event_date, COUNT(*) AS event_count
+            FROM ev GROUP BY 1
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_days,
+                   SUM(event_count) AS sx,
+                   SUM(event_count * event_count) AS sxx
+            FROM daily
+        )
+        SELECT event_date,
+               event_count,
+               ((n_days * event_count - sx) * (n_days * event_count - sx)
+                  * (n_days - 1))
+                 > (9 * n_days * (n_days * sxx - sx * sx)) AS is_anomaly
+        FROM daily CROSS JOIN stats
+        ORDER BY event_date
+    """,
+    "q15_hourly_events": None,  # filled below (needs fragment helpers)
+    "q16_user_sessions": f"""
+        WITH {EVENTS_NORM},
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000
+                        OR LAG(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   THEN 1 ELSE 0 END AS is_start
+            FROM ev
+        ),
+        sessionized AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_start) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                       AS session_seq
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end
+            FROM sessionized
+            GROUP BY user_id, session_seq
+        )
+        SELECT user_id,
+               MAX(session_seq) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MAX(epoch_us(session_end) - epoch_us(session_start))
+                   AS longest_session_us
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}
+
+MONITORING_ORACLES["q15_hourly_events"] = f"""
+    WITH {EVENTS_NORM}
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           {SQL_R2(SQL_DSUM('value'))} AS total_value,
+           {SQL_MEAN2('value', 'COUNT(*)')} AS avg_value
+    FROM ev
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+"""
+
 ANALYTICS_ORACLES: dict[str, str] = {
     "q1_top_products": f"""
         SELECT p_name AS product_name,
