@@ -16,9 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, monitoring
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, llmdata, monitoring
 from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     ANALYTICS_ORACLES,
+    LLMDATA_ORACLES,
     MONITORING_ORACLES,
 )
 
@@ -46,10 +47,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_volume_anomaly": monitoring.q14_volume_anomaly,
         "q15_hourly_events": monitoring.q15_hourly_events,
         "q16_user_sessions": monitoring.q16_user_sessions,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    """t8/t9 intentionally absent: xxhash64-based, no DuckDB twin
+    (driver records the weaker rows-only check for them)."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
+    out.update(LLMDATA_ORACLES)
     return out

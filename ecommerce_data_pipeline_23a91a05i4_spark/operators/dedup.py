@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, each designed scale-first (shuffle keys stated per op):
+
+- exact:        hash-groupBy on a content fingerprint (1 shuffle on the
+                16-byte digest — the only correct exact dedup at 100 TB;
+                never a pairwise compare).
+- n-gram Jaccard: shingle → explode → self-join on shingle → pair counts.
+                Hot (stopword-like) shingles are capped by document
+                frequency before the join, which bounds the worst-case
+                join fan-out at scale (a shingle appearing in f docs
+                contributes f² pairs).
+- MinHash+LSH:  per-doc signature of `num_perm` seeded xxhash64 minima,
+                banded; candidate pairs join only within (band, bandhash)
+                buckets — O(candidates), not O(n²) — then are verified
+                with the true Jaccard.
+- SimHash:      64-bit sign-vote fingerprint over token hashes; candidate
+                pairs via 4x16-bit chunk blocking, verified by Hamming
+                distance.  Pure column expressions, no UDFs.
+- embedding near-dup lives in operators/similarity.py (cosine ≥ τ pairs).
+
+All hashing uses Spark's built-in xxhash64 with explicit integer seeds —
+deterministic across runs and cluster sizes, JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, norm_text, tokens
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by exact normalized-content fingerprint.
+
+    Returns (fingerprint, n_docs, keep_id) — keep_id is the minimum id, the
+    canonical survivor.  One shuffle on the digest; group sizes are tiny so
+    no skew handling is needed.
+    """
+    return (
+        df.select(
+            content_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one survivor per fingerprint group (the min-id row)."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ----------------------------------------------------------------- shingling
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents shorter than n tokens contribute their whole normalized text
+    as a single shingle so they still participate in dedup.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(norm_text(F.col(text_col))))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    shingled: output of shingle_table (distinct (id, shingle)).
+    max_doc_freq: drop shingles appearing in more than this many documents
+    before pairing — the scale lever that bounds join fan-out (df² pairs
+    per hot shingle).  Set from corpus size; None disables.
+
+    Jaccard uses set sizes from BEFORE the frequency cap, so the cap only
+    *under*-reports similarity (candidate loss), never inflates it.
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    paired = shingled
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        paired = shingled.join(hot, "shingle", "left_anti")
+
+    a, b = paired.alias("a"), paired.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- MinHash LSH
+
+def minhash_signatures(shingled: DataFrame, num_perm: int = 32) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, i)
+    for each of num_perm seeded hash functions.  One shuffle on id."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band bucket.
+
+    With r = num_perm/bands rows per band, the usual S-curve applies:
+    P(candidate) = 1 - (1 - j^r)^bands for true Jaccard j.  Join work is
+    proportional to bucket sizes, never all-pairs.
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must be divisible by bands"
+    banded = None
+    for bnd in range(bands):
+        cols = [F.col(f"h{bnd * r + j}") for j in range(r)]
+        one = signatures.select(
+            "id", F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bucket")
+        )
+        banded = one if banded is None else banded.unionAll(one)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: candidates from LSH buckets,
+    verified with the true Jaccard on the candidates only."""
+    shingled = shingle_table(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(shingled, num_perm), num_perm, bands)
+    verified = jaccard_pairs(shingled, threshold=threshold)
+    return cands.join(verified, ["id_a", "id_b"], "inner")
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash_sql(text_sql: str) -> str:
+    """64-bit SimHash as one SQL higher-order expression (bit shifts by a
+    lambda-bound variable are only expressible in SQL, not the pyspark
+    column API).  Single pass over the token array: accumulate a 64-wide
+    ±1 vote vector, then fold the vote signs into a BIGINT fingerprint."""
+    hashes = (
+        f"transform(split(regexp_replace(lower(trim({text_sql})), '\\\\s+', ' '), ' '), "
+        "t -> xxhash64(t))"
+    )
+    votes = (
+        f"aggregate({hashes}, transform(sequence(0, 63), b -> 0), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 63), b -> CAST(shiftright(h, b) & 1 AS INT) * 2 - 1), "
+        "(x, y) -> x + y))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) — 64-bit SimHash fingerprint per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text__"),
+    ).select("id", F.expr(simhash_sql("__text__")).alias("sim"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on any equal 16-bit chunk (a pair
+    within Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole), then
+    verify exact Hamming distance.  Blocking keeps the join linear in
+    bucket sizes at scale."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = None
+    for c in range(4):
+        one = sh.select(
+            "id",
+            "sim",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("sim"), c * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        chunks = one if chunks is None else chunks.unionAll(one)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

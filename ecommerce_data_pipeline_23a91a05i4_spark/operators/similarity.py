@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both UDF-free (pure column expressions → whole-stage codegen):
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  candidate corpus — a single scan over candidates, no shuffle besides the
+  final per-query top-k.  This is the *correct* baseline at any scale where
+  queries are few: O(|Q|·N) flops streamed through codegen.
+
+- LSH-bucketed (random hyperplane / signed random projection): each vector
+  gets a b-bit signature from the signs of projections onto deterministic
+  pseudo-random hyperplanes; candidates share a bucket, then exact cosine
+  re-ranks.  Turns O(N²) all-pairs (or O(|Q|·N) with huge Q) into
+  bucket-local work.  Hyperplane coefficients are derived from a seeded
+  PRNG at *plan construction* (they are literals in the plan — identical
+  on every executor, run, and cluster size).
+
+Cross-engine determinism (for the DuckDB oracle): dot products fold
+left-to-right over double-cast elements — Spark F.aggregate and DuckDB
+list_reduce both fold sequentially, and IEEE addition is deterministic for
+a fixed order.  Final cosines are floor-quantized (functions/exprs.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import quant
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over double-cast elements."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
+
+    The query side is broadcast; rank is a per-query window on the
+    quantized cosine with id tie-break (deterministic across engines)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (literals in the plan)."""
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature: bit p = sign(vec · plane_p)."""
+    sig = F.lit(0).cast("long")
+    for p, coeffs in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(c) for c in coeffs]))
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def knn_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank.  At 100 TB the bucket join replaces the full
+    scan; recall is tuned by n_planes (fewer bits → bigger buckets)."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding-level near-dedup).
+
+    All-pairs is O(N²) — correct at corpus sizes where N² fits (or after
+    LSH pre-blocking); the scale path is knn_lsh-style bucketing first.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            quant(cosine(F.col("v_a"), F.col("v_b")), ndigits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

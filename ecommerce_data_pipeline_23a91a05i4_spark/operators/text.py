@@ -1,0 +1,137 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All operators are pure Spark column expressions (JVM-side, whole-stage
+codegen — no Python UDFs in the hot path), so they scale to 100 TB of
+documents: per-row transforms with no shuffle at all.
+
+Cross-engine determinism: whitespace is collapsed FIRST with a single
+regexp_replace, then tokenized by plain single-space split — this keeps the
+tokenizer trivially identical between Spark (Java regex) and any oracle
+(RE2), instead of relying on matching `\\s+`-split edge semantics.
+
+Operators:
+- normalize/tokenize, token & char stats
+- language-ID (stopword-marker n-gram heuristic)
+- quality scoring (length/stopword/punctuation mix, graded A-D like the
+  reference's quality scorer, validate_data.py:22-25)
+- fingerprinting: exact content fingerprint (md5 of normalized text) and
+  bag-of-words fingerprint (md5 of sorted distinct tokens)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.exprs import quant
+
+# Marker vocabularies for the language-ID heuristic.  Word-boundary regexes
+# (supported by both Java regex and RE2).  Priority order breaks ties.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|an|is|are|of|and|to|in|that)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|den|von)\b",
+    "es": r"\b(el|los|las|una|es|y|de|que|en|por)\b",
+    "fr": r"\b(le|la|les|un|une|est|et|que|pour|dans)\b",
+    "zh": r"[一-鿿]",
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+EN_STOPWORDS = r"\b(the|a|an|is|are|of|and|to|in|that)\b"
+PUNCT = r"[.!?,;:]"
+
+
+def norm_text(col: Column) -> Column:
+    """Lowercase, trim, collapse all whitespace runs to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Token array over normalized text (plain space split)."""
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_count(col: Column, pattern: str) -> Column:
+    """Occurrences of a regex — size(regexp_extract_all), which has an
+    exact DuckDB twin len(regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    n = norm_text(col)
+    return {lang: regex_count(n, pat) for lang, pat in LANG_MARKERS.items()}
+
+
+def predicted_lang(col: Column) -> Column:
+    """Argmax over marker scores with fixed priority-order tie-break:
+    a language wins only if it strictly beats every earlier-priority one."""
+    scores = lang_scores(col)
+    expr = F.lit(LANG_PRIORITY[0])
+    best = scores[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        is_better = scores[lang] > best
+        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return expr
+
+
+def stopword_count(col: Column) -> Column:
+    return regex_count(norm_text(col), EN_STOPWORDS)
+
+
+def punct_ratio(col: Column, ndigits: int = 6) -> Column:
+    return quant(
+        regex_count(col, PUNCT).cast("double")
+        / F.greatest(F.length(col), F.lit(1)),
+        ndigits,
+    )
+
+
+def avg_token_len(col: Column, ndigits: int = 4) -> Column:
+    """Mean token length = chars-without-spaces / token count (exact
+    integer inputs, one IEEE division — engine-identical)."""
+    n = norm_text(col)
+    no_space = F.length(F.regexp_replace(n, " ", ""))
+    return quant(no_space.cast("double") / F.greatest(F.size(F.split(n, " ")), F.lit(1)), ndigits)
+
+
+def quality_score(col: Column, ndigits: int = 4) -> Column:
+    """Composite [0,1] quality score: length saturation, stopword density,
+    punctuation moderation.  Mirrors the reference's quality-score idea
+    (validate_data.py:162-177) as a per-document operator."""
+    toks = token_count(col).cast("double")
+    chars = F.length(col).cast("double")
+    stop_ratio = stopword_count(col).cast("double") / F.greatest(toks, F.lit(1.0))
+    return quant(
+        F.least(toks / 50.0, F.lit(1.0)) * 0.25
+        + F.least(chars / 250.0, F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.30
+        + (1.0 - F.least(punct_ratio(col) * 10.0, F.lit(1.0))) * 0.20,
+        ndigits,
+    )
+
+
+def quality_grade(score: Column) -> Column:
+    """A/B/C/D grading at 0.8/0.6/0.4 (reference grades at 95/85/70,
+    validate_data.py:25)."""
+    return (
+        F.when(score >= 0.8, "A")
+        .when(score >= 0.6, "B")
+        .when(score >= 0.4, "C")
+        .otherwise("D")
+    )
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text."""
+    return F.md5(norm_text(col).cast("binary"))
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """Order-insensitive fingerprint: md5 of sorted distinct tokens."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ").cast("binary")
+    )

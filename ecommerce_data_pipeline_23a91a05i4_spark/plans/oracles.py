@@ -280,3 +280,172 @@ ANALYTICS_ORACLES: dict[str, str] = {
         ORDER BY total_revenue DESC, discount_range
     """,
 }
+
+
+# --------------------------------------------------------- LLM-data oracles
+
+NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+EN_STOP = r"\b(the|a|an|is|are|of|and|to|in|that)\b"
+_MARKERS = {
+    "en": r"\b(the|a|an|is|are|of|and|to|in|that)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|den|von)\b",
+    "es": r"\b(el|los|las|una|es|y|de|que|en|por)\b",
+    "fr": r"\b(le|la|les|un|une|est|et|que|pour|dans)\b",
+    "zh": "[一-鿿]",
+}
+
+_SCORE_COLS = ",\n               ".join(
+    f"CAST(len(regexp_extract_all(norm, '{pat}')) AS BIGINT) AS score_{lang}"
+    for lang, pat in _MARKERS.items()
+)
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return _DOT.replace("{a}", a).replace("{b}", b)
+
+
+LLMDATA_ORACLES: dict[str, str] = {
+    "t1_text_stats": f"""
+        WITH d AS (SELECT doc_id, source, text, {NORM} AS norm FROM documents)
+        SELECT doc_id,
+               source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT)
+                   AS n_unique_tokens,
+               {SQL_QUANT("CAST(length(replace(norm, ' ', '')) AS DOUBLE) / greatest(len(string_split(norm, ' ')), 1)", 4)}
+                   AS avg_token_len,
+               {SQL_QUANT("CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / greatest(length(text), 1)", 6)}
+                   AS punct_ratio,
+               md5(norm) AS fingerprint
+        FROM d
+        ORDER BY doc_id
+    """,
+    "t2_lang_id": f"""
+        WITH d AS (SELECT doc_id, lang, {NORM} AS norm FROM documents),
+        s AS (
+            SELECT doc_id, lang AS declared_lang,
+               {_SCORE_COLS}
+            FROM d
+        )
+        SELECT doc_id, declared_lang,
+               CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+                    WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+                    WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+                    WHEN score_de > score_en THEN 'de'
+                    ELSE 'en' END AS predicted_lang,
+               score_en, score_de, score_es, score_fr, score_zh
+        FROM s
+        ORDER BY doc_id
+    """,
+    "t3_quality_score": f"""
+        WITH d AS (SELECT doc_id, text, {NORM} AS norm FROM documents),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(norm, ' ')) AS BIGINT) AS token_count,
+                   CAST(len(regexp_extract_all(norm, '{EN_STOP}')) AS BIGINT)
+                       AS stopword_count,
+                   CAST(len(string_split(norm, ' ')) AS DOUBLE) AS toks,
+                   CAST(length(text) AS DOUBLE) AS chars,
+                   {SQL_QUANT("CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / greatest(length(text), 1)", 6)}
+                       AS punct_ratio
+            FROM d
+        ),
+        scored AS (
+            SELECT doc_id, token_count, stopword_count,
+                   {SQL_QUANT("least(toks / 50.0, 1.0) * 0.25 + least(chars / 250.0, 1.0) * 0.25 + least(CAST(stopword_count AS DOUBLE) / greatest(toks, 1.0) * 4.0, 1.0) * 0.30 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.20", 4)}
+                       AS quality_score
+            FROM m
+        )
+        SELECT doc_id, token_count, stopword_count, quality_score,
+               CASE WHEN quality_score >= 0.8 THEN 'A'
+                    WHEN quality_score >= 0.6 THEN 'B'
+                    WHEN quality_score >= 0.4 THEN 'C'
+                    ELSE 'D' END AS quality_grade
+        FROM scored
+        ORDER BY doc_id
+    """,
+    "t4_dedup_exact": f"""
+        SELECT md5({NORM}) AS fingerprint,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY fingerprint
+    """,
+    "t5_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                        ELSE [array_to_string(l, ' ')] END AS g
+            FROM toks
+        ),
+        sh AS (SELECT DISTINCT doc_id AS id, unnest(g) AS shingle FROM grams),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 125),
+        cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+        )
+        SELECT id_a, id_b, {SQL_QUANT('jaccard', 6)} AS jaccard
+        FROM j WHERE jaccard >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    "t6_knn_cosine": f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt({_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   {SQL_QUANT(_dot('q.embedding', 'c.embedding') + ' / (q.nrm * c.nrm)', 6)}
+                       AS cosine_sim
+            FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    "t7_embedding_neardup": f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt({_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {SQL_QUANT(_dot('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)', 6)}
+                       AS cosine_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine_sim
+        FROM scored WHERE cosine_sim >= 0.35
+        ORDER BY id_a, id_b
+    """,
+}
