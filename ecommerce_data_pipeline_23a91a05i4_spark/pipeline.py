@@ -1,0 +1,296 @@
+"""End-to-end pipeline orchestration (reference:
+scripts/pipeline_orchestrator.py, scripts/ingestion/ingest_to_staging.py,
+scripts/cleanup_old_data.py).
+
+The reference runs 6 subprocesses passing state through PostgreSQL; here
+the steps are in-process functions on one SparkSession passing state
+through a parquet lakehouse:
+
+    bronze  (= staging)    raw CSV ingest with explicit schemas + loaded_at
+    silver  (= production) cleansed, validated, derived columns
+    gold    (= warehouse)  star schema + aggregate tables
+    analytics              the 10-query suite → CSV + summary JSON
+
+Kept operator-for-operator: fail-fast linear DAG (X1), retry w/ backoff
+[1,2,4]s ×3 (X2, pipeline_orchestrator.py:55-56), execution report (X3),
+truncate-and-reload vs anti-join incremental modes (S5/J4), row-count
+reconciliation (S10/Q11), retention cleanup (X5).  The daily scheduler
+(X4) is engine-agnostic and intentionally out of scope (any cron/Airflow
+drives run_pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datagen, schemas, warehouse
+from .operators import cleanse, quality
+from .plans.ecommerce_analytics import run_analytics
+
+RETRY_BACKOFF_S = [1, 2, 4]  # pipeline_orchestrator.py:55-56
+RETENTION_PRESERVE = ("summary", "report", "metadata")  # cleanup_old_data.py:39-40
+
+
+@dataclass
+class StepResult:
+    name: str
+    status: str
+    duration_s: float
+    retries: int = 0
+    error: str | None = None
+
+
+@dataclass
+class PipelineReport:
+    steps: list[StepResult] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "overall_status": "success"
+            if all(s.status == "success" for s in self.steps)
+            else "failed",
+            "steps_executed": {
+                s.name: {
+                    "status": s.status,
+                    "duration_seconds": round(s.duration_s, 2),
+                    "retries": s.retries,
+                    **({"error": s.error} if s.error else {}),
+                }
+                for s in self.steps
+            },
+        }
+
+
+def run_step(name: str, fn, report: PipelineReport, backoff=RETRY_BACKOFF_S) -> bool:
+    """X2: retry with backoff, fail-fast signalling (X1)."""
+    t0 = time.perf_counter()
+    last_err: str | None = None
+    for attempt, wait in enumerate([0, *backoff]):
+        if wait:
+            time.sleep(wait)
+        try:
+            fn()
+            report.steps.append(
+                StepResult(name, "success", time.perf_counter() - t0, attempt)
+            )
+            return True
+        except Exception as e:  # noqa: BLE001 — orchestrator catches all (X2)
+            last_err = f"{type(e).__name__}: {e}"
+    report.steps.append(
+        StepResult(name, "failed", time.perf_counter() - t0, len(backoff), last_err)
+    )
+    return False
+
+
+def _bronze_path(base: Path, table: str) -> str:
+    return str(base / "bronze" / table)
+
+
+def _silver_path(base: Path, table: str) -> str:
+    return str(base / "silver" / table)
+
+
+def _gold_path(base: Path, table: str) -> str:
+    return str(base / "gold" / table)
+
+
+def ingest_to_bronze(
+    spark: SparkSession, raw_dir: Path, base: Path, run_ts: str | None = None
+) -> dict:
+    """S1+S10: CSV → parquet with explicit DDL schemas and a loaded_at
+    audit column; per-table row-count reconciliation; truncate-and-reload
+    (overwrite — S5)."""
+    expected, actual = {}, {}
+    ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
+    for name, schema in schemas.STAGING.items():
+        csv_path = str(raw_dir / f"{name}.csv")
+        df = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .csv(csv_path)
+            .withColumn("loaded_at", ts)
+        )
+        df.write.mode("overwrite").parquet(_bronze_path(base, name))
+        expected[name] = (
+            spark.read.option("header", True).csv(csv_path).count()
+        )
+        actual[name] = spark.read.parquet(_bronze_path(base, name)).count()
+    recon = quality.reconcile_counts(expected, actual)
+    if not recon["all_match"]:
+        raise RuntimeError(f"bronze reconciliation failed: {recon}")
+    return recon
+
+
+def bronze_to_silver(
+    spark: SparkSession,
+    base: Path,
+    run_ts: str | None = None,
+    incremental: bool = False,
+) -> None:
+    """Cleanse + load. Full refresh for customers/products; anti-join
+    incremental append for transactions/items when incremental=True
+    (staging_to_production.py:152-181)."""
+    read = lambda t: spark.read.parquet(_bronze_path(base, t)).drop("loaded_at")  # noqa: E731
+
+    full = {
+        "customers": cleanse.clean_customers(read("customers")),
+        "products": cleanse.clean_products(read("products")),
+    }
+    for name, df in full.items():
+        cleanse.with_audit_columns(df, run_ts).write.mode("overwrite").parquet(
+            _silver_path(base, name)
+        )
+
+    inc = {
+        "transactions": (cleanse.clean_transactions(read("transactions")), "transaction_id"),
+        "transaction_items": (
+            cleanse.clean_transaction_items(read("transaction_items")),
+            "item_id",
+        ),
+    }
+    for name, (df, key) in inc.items():
+        target = _silver_path(base, name)
+        existing: DataFrame | None = None
+        if incremental and Path(target).exists():
+            existing = spark.read.parquet(target)
+            fresh = cleanse.incremental_append(df, existing, key)
+            cleanse.with_audit_columns(fresh, run_ts).write.mode("append").parquet(target)
+        else:
+            cleanse.with_audit_columns(df, run_ts).write.mode("overwrite").parquet(target)
+
+
+def silver_to_gold(spark: SparkSession, base: Path, run_date: str) -> None:
+    read = lambda t: spark.read.parquet(_silver_path(base, t))  # noqa: E731
+    tables = warehouse.build_warehouse(
+        read("customers"),
+        read("products"),
+        read("transactions"),
+        read("transaction_items"),
+        run_date,
+    )
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(_gold_path(base, name))
+
+
+def register_gold_views(spark: SparkSession, base: Path) -> None:
+    for name in (
+        "dim_customers",
+        "dim_products",
+        "dim_date",
+        "dim_payment_method",
+        "fact_sales",
+        "agg_daily_sales",
+        "agg_product_performance",
+        "agg_customer_metrics",
+    ):
+        spark.read.parquet(_gold_path(base, name)).createOrReplaceTempView(name)
+
+
+def run_quality_checks(spark: SparkSession, base: Path, out: Path) -> dict:
+    read = lambda t: spark.read.parquet(_silver_path(base, t))  # noqa: E731
+    suite = quality.ecommerce_check_suite(
+        read("customers"), read("products"), read("transactions"), read("transaction_items")
+    )
+    report = suite.run()
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "quality_report.json", "w") as fh:
+        json.dump(report, fh, indent=2)
+    return report
+
+
+def cleanup_old_files(root: Path, retention_days: int = 7, now_s: float | None = None) -> list[str]:
+    """X5 retention cleanup (cleanup_old_data.py:75-111): delete files older
+    than retention_days, preserving summary/report/metadata-named files."""
+    now = now_s if now_s is not None else time.time()
+    cutoff = now - retention_days * 86400
+    removed: list[str] = []
+    if not root.exists():
+        return removed
+    for p in sorted(root.rglob("*")):
+        if not p.is_file():
+            continue
+        if any(tag in p.name.lower() for tag in RETENTION_PRESERVE):
+            continue
+        if p.stat().st_mtime < cutoff:
+            p.unlink()
+            removed.append(str(p))
+    return removed
+
+
+def run_pipeline(
+    spark: SparkSession,
+    base_dir: str | Path,
+    n_customers: int = 1000,
+    n_products: int = 500,
+    n_transactions: int = 10000,
+    run_date: str = datagen.RUN_DATE,
+    incremental: bool = False,
+) -> dict:
+    """X1: the fixed 6-step linear DAG, fail-fast, with execution report
+    (pipeline_orchestrator.py:46-53,130-161)."""
+    base = Path(base_dir)
+    raw = base / "raw"
+    report = PipelineReport()
+    run_ts = f"{run_date} 00:00:00"
+
+    def data_generation() -> None:
+        raw.mkdir(parents=True, exist_ok=True)
+        data = datagen.generate_all(
+            spark, n_customers, n_products, n_transactions, run_date
+        )
+        for name, df in data.items():
+            # single CSV per table mirrors the reference's raw layer (S7)
+            tmp = base / "_csv_tmp" / name
+            df.coalesce(1).write.mode("overwrite").option("header", True).csv(str(tmp))
+            part = next(Path(tmp).glob("part-*.csv"))
+            shutil.move(str(part), raw / f"{name}.csv")
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(base / "_csv_tmp", ignore_errors=True)
+        meta = {
+            "customers": n_customers,
+            "products": n_products,
+            "transactions": n_transactions,
+            "run_date": run_date,
+        }
+        with open(raw / "generation_metadata.json", "w") as fh:
+            json.dump(meta, fh, indent=2)
+
+    # The reference's quality step validates the *production* tables
+    # (validate_data.py connects to the production schema), so it must run
+    # after staging_to_production — its own step list names it earlier only
+    # because production persists across runs in Postgres.  With an
+    # ephemeral lakehouse the dependency is made explicit.
+    steps = [
+        ("data_generation", data_generation),
+        ("data_ingestion", lambda: ingest_to_bronze(spark, raw, base, run_ts)),
+        (
+            "staging_to_production",
+            lambda: bronze_to_silver(spark, base, run_ts, incremental),
+        ),
+        ("data_quality_checks", lambda: run_quality_checks(spark, base, base / "reports")),
+        ("warehouse_load", lambda: silver_to_gold(spark, base, run_date)),
+        (
+            "analytics_generation",
+            lambda: (
+                register_gold_views(spark, base),
+                run_analytics(spark, base / "analytics", run_date),
+            ),
+        ),
+    ]
+    for name, fn in steps:
+        if not run_step(name, fn, report):
+            break  # fail-fast (pipeline_orchestrator.py:134-136)
+
+    result = report.to_dict()
+    reports_dir = base / "reports"
+    reports_dir.mkdir(parents=True, exist_ok=True)
+    with open(reports_dir / "pipeline_execution_report.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+    return result

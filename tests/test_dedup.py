@@ -1,0 +1,70 @@
+"""Dedup operators against planted duplicates — semantics the driver's
+rows-only check can't verify."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1 (modulo nothing)
+        (3, "  THE  quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun "),  # exact after normalize
+        (4, BASE.replace("afternoon", "morning")),  # near dup (1 token)
+        (5, "completely different content about spark shuffle partitions "
+            "and adaptive query execution plans at scale"),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_groups_fold_normalized_variants(docs):
+    groups = dd.exact_duplicate_groups(docs, "text", "doc_id")
+    dups = {r.keep_id: r.n_docs for r in groups.filter(F.col("n_docs") > 1).collect()}
+    assert dups == {1: 3}  # docs 1, 2, 3 share one fingerprint
+
+
+def test_drop_exact_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in dd.drop_exact_duplicates(docs, "text", "doc_id").collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = dd.jaccard_pairs(dd.shingle_table(docs, "doc_id", "text"), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # 1-2, 1-3, 2-3 are identical (j=1.0); 4 is near each of them
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_lsh_recalls_planted_dups(docs):
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got  # j=1.0 pairs always collide
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_simhash_near_zero_hamming_for_dups(spark, docs):
+    pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+    h = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert h[(1, 2)] == 0 and h[(1, 3)] == 0
+    assert h[(1, 4)] <= 10
+    assert (1, 5) not in h
+
+
+def test_shingle_table_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "single")], ["doc_id", "text"])
+    rows = dd.shingle_table(df, "doc_id", "text", n=2).collect()
+    assert [(r.id, r.shingle) for r in rows] == [(1, "single")]
