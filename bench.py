@@ -43,14 +43,20 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    # Headline value = the 10-query analytics suite, the number BASELINE.md
+    # reports for the reference (4.44 s at ~30k fact rows).  The monitoring
+    # (q11+) and LLM-data (t*) suites are timed in "queries" but kept out
+    # of the headline so the comparison stays apples-to-apples.
+    ref10 = [n for n in timings if n.startswith("q") and int(n[1:].split("_")[0]) <= 10]
+    total = round(sum(timings[n] for n in ref10), 4)
     print(
         json.dumps(
             {
-                "metric": "analytics_suite_total_seconds",
+                "metric": "ref_analytics10_total_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "all_queries_total_sec": round(sum(timings.values()), 4),
                 "sf": sf,
             }
         )

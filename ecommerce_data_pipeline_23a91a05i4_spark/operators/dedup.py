@@ -191,10 +191,18 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: candidates from LSH buckets,
-    verified with the true Jaccard on the candidates only."""
+    verified with the true Jaccard on the candidates only.
+
+    Verification work is restricted to documents that appear in at least
+    one candidate pair (left_semi) BEFORE the pairwise shingle join — this
+    is what keeps the verify stage O(candidates), not O(corpus²)."""
     shingled = shingle_table(df, id_col, text_col, n)
     cands = lsh_candidate_pairs(minhash_signatures(shingled, num_perm), num_perm, bands)
-    verified = jaccard_pairs(shingled, threshold=threshold)
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    )
+    cand_shingles = shingled.join(cand_ids, "id", "left_semi")
+    verified = jaccard_pairs(cand_shingles, threshold=threshold)
     return cands.join(verified, ["id_a", "id_b"], "inner")
 
 

@@ -1,0 +1,141 @@
+"""Multimodal column handling for LLM training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata —
+the lakehouse-native representation (content-addressed, partition-prunable
+by modality/metadata, no external object-store round-trip in the hot
+path).  The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is real and tested; the *codec* layer (PIL/
+ffmpeg/soundfile) is not installed in this environment, so decoding is
+stubbed: each decoder either raises NotImplementedError (default) or, in
+``fake=True`` mode, produces a deterministic hash-derived payload so the
+downstream plumbing is exercisable end-to-end.
+
+Scale notes: mapInPandas streams Arrow batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
+feature extraction is embarrassingly parallel (no shuffle); dedup on
+content_sha is the same hash-groupBy as text dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MULTIMODAL_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),  # image | audio | video
+    StructField("content", BinaryType()),
+    StructField("metadata", MapType(StringType(), StringType())),
+])
+
+FEATURE_DIM = 16
+
+
+def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Content-addressing: sha2-256 over the raw bytes (exact-dup key,
+    cache key, and shard key all in one)."""
+    return df.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+
+
+def decode_image(content: bytes, fake: bool = False) -> dict:
+    """STUB — image decoding needs PIL/libjpeg, not present here.
+
+    fake=True returns a deterministic pseudo-decode (dimensions and a pixel
+    checksum derived from the content hash) so pipeline plumbing tests can
+    run; real deployments replace only this function body.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "pass fake=True for the deterministic test double"
+        )
+    h = hashlib.sha256(content or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "pixel_checksum": int.from_bytes(h[2:10], "big", signed=True),
+    }
+
+
+def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
+    """Deterministic frame-sampling plan for video: offsets every_ms
+    apart (the decode of each offset is the stubbed part)."""
+    if duration_ms <= 0:
+        return []
+    return list(range(0, duration_ms, every_ms))
+
+
+def _hash_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic unit-scale feature vector from content bytes — the
+    test double for a real encoder (CLIP/whisper/etc.)."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = [
+        int.from_bytes(h[(2 * i) % 32:(2 * i) % 32 + 2], "big") / 65535.0 - 0.5
+        for i in range(dim)
+    ]
+    return [float(x) for x in raw]
+
+
+FEATURES_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("features", ArrayType(FloatType())),
+    StructField("decode_width", IntegerType()),
+    StructField("decode_height", IntegerType()),
+])
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, schema-stable.
+
+    This is the real production plumbing — only the two helpers it calls
+    (decode_image/_hash_features) are stubs.  fake=False propagates the
+    NotImplementedError from the codec layer by design.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_image(c, fake=fake) if m == "image" else {"width": None, "height": None}
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "features": [_hash_features(c) for c in pdf["content"]],
+                    "decode_width": [d.get("width") for d in decoded],
+                    "decode_height": [d.get("height") for d in decoded],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Adapter for the driver testdata: treat document text bytes as binary
+    assets so multimodal plumbing runs against real tables."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
+    )

@@ -1,0 +1,151 @@
+"""Structured Streaming ingest + windowed aggregation.
+
+The reference has no streaming — Kafka ingest is its stated future
+enhancement (README.md:260-265) and its batch freshness monitor
+(pipeline_monitor.py:143-159) proxies for lag.  This module is the
+idiomatic Spark realization over the driver's `events` table:
+
+- file-source readStream (swap for Kafka in production — same plan)
+- event-time tumbling windows with a watermark for late data
+- the streaming twin of q15_hourly_events (plans/monitoring.py): the same
+  aggregation expressed incrementally
+- stateful sessionization via applyInPandasWithState — the one place the
+  engine uses Python state, because Spark has no built-in session operator
+  with custom gap semantics over arbitrary state
+
+Scale notes: the windowed aggregate shuffles on (window, event_type) with
+partial aggregation map-side; state store size is bounded by the watermark
+horizon.  Sessionization shuffles on user_id; state per key is O(1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (ts normalized to
+    microsecond timestamps exactly like the batch catalog).
+
+    File streams need a *directory*; a single-file path is handled by
+    streaming its parent with a pathGlobFilter on the file name."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of q15: tumbling 1-hour windows per event type with
+    late-data tolerance = watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_sessions", LongType()),
+    StructField("n_events", LongType()),
+])
+_SESSION_STATE = StructType([
+    StructField("last_us", LongType()),
+    StructField("n_sessions", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session counting: a new session starts after a >30 min gap.
+    State is (last event micros, session count, event count)."""
+    if state.exists:
+        last_us, n_sessions, n_events = state.get
+    else:
+        last_us, n_sessions, n_events = None, 0, 0
+    for pdf in pdfs:
+        # arrow hands timestamps as datetime64[us]-backed Timestamps
+        for us in (pdf["ts"].astype("int64") // 1000).sort_values():
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+            last_us = int(us)
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Stateful sessionization (applyInPandasWithState).  Emits the running
+    per-user session/event counts each micro-batch; the batch oracle is
+    q16_user_sessions."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, view_name: str) -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink and
+    return the materialized result — the test/bench harness for streaming
+    plans (production would writeStream to parquet/Kafka instead)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(view_name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(view_name)
