@@ -16,9 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, llmdata, monitoring
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, extras, llmdata, monitoring
 from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     ANALYTICS_ORACLES,
+    EXTRAS_ORACLES,
     LLMDATA_ORACLES,
     MONITORING_ORACLES,
 )
@@ -56,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_embedding_neardup": llmdata.t7_embedding_neardup,
         "t8_minhash_lsh": llmdata.t8_minhash_lsh,
         "t9_simhash": llmdata.t9_simhash,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "t10_token_frequencies": extras.t10_token_frequencies,
     }
 
 
@@ -65,4 +69,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)
+    out.update(EXTRAS_ORACLES)
     return out

@@ -288,6 +288,22 @@ def run_pipeline(
         if not run_step(name, fn, report):
             break  # fail-fast (pipeline_orchestrator.py:134-136)
 
+    # monitoring runs even after a failed step — that is its job
+    # (pipeline_monitor.py is a separate entry point in the reference)
+    try:
+        from datetime import datetime
+
+        from . import monitor
+
+        monitor.run_monitoring(
+            spark,
+            base,
+            datetime.strptime(run_date, "%Y-%m-%d"),
+            out=base / "reports",
+        )
+    except Exception:  # noqa: BLE001 — monitoring must not fail the run
+        pass
+
     result = report.to_dict()
     reports_dir = base / "reports"
     reports_dir.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,113 @@
+"""Scale-pattern showcase queries beyond the reference surface:
+
+    q17 hierarchical rollup    (GROUP BY ROLLUP — multi-level aggregates
+                                in one pass instead of N passes)
+    q18 salted aggregation     (two-stage skew-safe agg over hot keys —
+                                result provably identical to the naive
+                                groupBy, which is what the oracle checks)
+    t10 token frequencies      (corpus vocabulary stats: explode → agg,
+                                the building block under TF-IDF/BM25)
+
+Each has an exact DuckDB oracle; q18's oracle is intentionally the
+*naive* single-stage SQL — the test is that salting changes the plan,
+never the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exprs import dsum, mean2, quant, r2
+from ..operators.text import tokens
+
+SALT_BUCKETS = 16
+
+
+def q17_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → grand-total revenue in one ROLLUP pass."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            r2(dsum(rev)).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total_revenue",
+            "n_lineitems",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def q18_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the (5-key, heavily skewed)
+    event_type dimension.
+
+    Stage 1 groups on (event_type, salt) — the hot key fans out across
+    SALT_BUCKETS reducers; stage 2 merges the partials.  Decimal partial
+    sums make the merge exact, so the result is bit-identical to the
+    naive single-stage aggregate (the oracle).  At 100 TB this is the
+    pattern for any aggregation whose key histogram has a heavy head and
+    whose skew AQE cannot fix (e.g. pre-AQE Spark, or stateful streaming).
+    """
+    events = table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        dsum(F.col("value")).alias("_v"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            r2(F.sum("_v")).alias("total_value"),
+            r2(F.sum("_v").cast("double") / F.sum("_n")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def t10_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency, document frequency, and a
+    rational rarity weight tf·N/df (no log — libm log is not
+    bit-portable across engines; the rational weight ranks identically)."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "tf",
+            "df",
+            quant(F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )

@@ -449,3 +449,49 @@ LLMDATA_ORACLES: dict[str, str] = {
         ORDER BY id_a, id_b
     """,
 }
+
+
+# ------------------------------------------------------------ extra oracles
+
+EXTRAS_ORACLES: dict[str, str] = {
+    "q17_revenue_rollup": f"""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               {SQL_R2(SQL_DSUM(REV))} AS total_revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation
+    """,
+    # deliberately the NAIVE single-stage aggregate: salting in the Spark
+    # plan must never change the answer
+    "q18_salted_event_stats": f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {SQL_R2(SQL_DSUM('value'))} AS total_value,
+               {SQL_R2(f"CAST({SQL_DSUM('value')} AS DOUBLE) / COUNT(*)")} AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "t10_token_frequencies": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token
+            FROM documents
+        ),
+        agg AS (
+            SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT token, tf, df,
+               {SQL_QUANT('CAST(tf AS DOUBLE) * n_docs / df', 6)} AS weight
+        FROM agg CROSS JOIN n
+        ORDER BY tf DESC, token
+        LIMIT 100
+    """,
+}

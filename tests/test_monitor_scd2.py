@@ -1,0 +1,99 @@
+"""Monitoring report (Q7-Q10) and the true-SCD2 merge extension."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark import monitor
+from ecommerce_data_pipeline_23a91a05i4_spark.operators.scd2 import scd2_merge
+
+
+def test_monitoring_report_fresh_pipeline(spark, pipeline_base):
+    base, _ = pipeline_base
+    report = monitor.run_monitoring(
+        spark, base, datetime(2024, 1, 1, 0, 30), out=base / "reports"
+    )
+    assert report["warehouse_null_keys"] == {
+        "customer_key": 0, "product_key": 0, "date_key": 0
+    }
+    assert all(not f["stale"] for f in report["freshness"].values())
+    # the tiny test corpus (300 txns / 365 days) legitimately triggers
+    # volume 3-sigma flags; staleness must not
+    assert not any(
+        a.startswith("stale_") for a in report["health"]["alerts"]
+    ), report["health"]
+    on_disk = json.loads((base / "reports" / "monitoring_report.json").read_text())
+    assert on_disk["health"]["status"] == report["health"]["status"]
+
+
+def test_volume_anomaly_band(spark):
+    # 30 uniform days + one 10x spike: exactly the spike is flagged
+    rows = [(f"2024-01-{d:02d}",) for d in range(1, 31) for _ in range(20)]
+    rows += [("2024-01-31",)] * 200
+    df = spark.createDataFrame(rows, ["d"]).select(F.col("d").cast("date").alias("d"))
+    out = monitor.volume_anomaly(df, "d", datetime(2024, 2, 1))
+    assert [a["date"] for a in out["anomalies"]] == ["2024-01-31"]
+    assert out["anomalies"][0]["type"] == "spike"
+
+    uniform = monitor.volume_anomaly(
+        df.filter(F.col("d") < "2024-01-31"), "d", datetime(2024, 2, 1)
+    )
+    assert uniform["anomalies"] == []
+
+
+def test_monitoring_detects_staleness(spark, pipeline_base):
+    base, _ = pipeline_base
+    report = monitor.run_monitoring(spark, base, datetime(2024, 3, 1))
+    assert report["health"]["status"] in ("degraded", "critical")
+    assert any(a.startswith("stale_") for a in report["health"]["alerts"])
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "customer_id string, city string, effective_date date, end_date date, is_current boolean"
+    )
+
+
+def test_scd2_merge_change_new_unchanged(spark):
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    current = _dim(
+        spark,
+        [
+            ("C1", "Pune", d0, None, True),
+            ("C2", "Delhi", d0, None, True),
+        ],
+    )
+    updates = spark.createDataFrame(
+        [("C1", "Mumbai"), ("C2", "Delhi"), ("C3", "Chennai")],
+        "customer_id string, city string",
+    )
+    out = scd2_merge(current, updates, "customer_id", ["city"], "2024-02-01")
+    rows = {(r.customer_id, r.is_current): r for r in out.collect()}
+
+    # C1 changed: old version closed out, new current version
+    assert rows[("C1", False)].city == "Pune"
+    assert str(rows[("C1", False)].end_date) == "2024-02-01"
+    assert rows[("C1", True)].city == "Mumbai"
+    assert str(rows[("C1", True)].effective_date) == "2024-02-01"
+    # C2 unchanged: untouched
+    assert rows[("C2", True)].city == "Delhi"
+    assert str(rows[("C2", True)].effective_date) == "2024-01-01"
+    # C3 new: inserted current
+    assert rows[("C3", True)].city == "Chennai"
+    assert out.count() == 4
+
+
+def test_scd2_merge_is_idempotent(spark):
+    import datetime as dt
+
+    current = _dim(spark, [("C1", "Pune", dt.date(2024, 1, 1), None, True)])
+    updates = spark.createDataFrame([("C1", "Pune")], "customer_id string, city string")
+    out = scd2_merge(current, updates, "customer_id", ["city"], "2024-02-01")
+    assert out.count() == 1
+    r = out.collect()[0]
+    assert r.is_current and str(r.effective_date) == "2024-01-01"
