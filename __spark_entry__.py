@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q18_salted_event_stats": extras.q18_salted_event_stats,
         "t10_token_frequencies": extras.t10_token_frequencies,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "t11_keyword_search": extras.t11_keyword_search,
     }
 
 

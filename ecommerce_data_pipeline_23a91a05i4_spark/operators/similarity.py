@@ -173,3 +173,117 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ IVF scale path
+
+def ivf_train(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer: mini k-means with deterministic
+    seeding (the k lowest-id vectors) and a fixed iteration count.
+
+    Centroids are collected to the driver between iterations — they are
+    k·dim doubles (a few KB), the same size class as the LSH hyperplane
+    literals; the assignment/update passes stay fully distributed
+    (posexplode → groupBy(cluster, dim) → rebuild).
+
+    Returns a DataFrame (cluster_id int, centroid array<double>).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seeds = v.orderBy("id").limit(k).collect()
+    centroids = [
+        (i, [float(x) for x in r.vec]) for i, r in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            centroids, "cluster_id int, centroid array<double>"
+        )
+        assigned = _assign_clusters(v, cdf)
+        upd = (
+            assigned.join(v, "id")
+            .select("cluster_id", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+        )
+        new = {r.cluster_id: [float(x) for x in r.centroid] for r in upd.collect()}
+        # empty clusters keep their previous centroid
+        centroids = [(cid, new.get(cid, c)) for cid, c in centroids]
+    return spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
+
+
+def _assign_clusters(v: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
+    """Nearest-centroid assignment by cosine; n>1 keeps the n best
+    (multi-probe).  Returns (id, cluster_id[, probe_rank])."""
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "cluster_id",
+        cosine(F.col("vec"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster_id"))
+    ranked = scored.withColumn("probe_rank", F.row_number().over(w)).filter(
+        F.col("probe_rank") <= n
+    )
+    return ranked.select("id", "cluster_id", "probe_rank")
+
+
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via the IVF index: candidates are restricted to
+    the query's nprobe nearest clusters, then exact cosine re-ranks.
+
+    At 100 TB: the candidate side is pre-assigned once (a stored column,
+    ideally the partition key), so a query touches nprobe/k of the corpus
+    — the standard recall/throughput dial.
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    q_assign = _assign_clusters(
+        q.select(F.col("qid").alias("id"), F.col("q_vec").alias("vec")),
+        centroids,
+        n=nprobe,
+    ).select(F.col("id").alias("qid"), "cluster_id")
+    c_assign = _assign_clusters(
+        c.select(F.col("cid").alias("id"), F.col("c_vec").alias("vec")), centroids
+    ).select(F.col("id").alias("cid"), "cluster_id")
+    pairs = (
+        q_assign.join(c_assign, "cluster_id")
+        .select("qid", "cid")
+        .distinct()
+        .filter(F.col("qid") != F.col("cid"))
+    )
+    scored = (
+        pairs.join(q, "qid")
+        .join(c, "cid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

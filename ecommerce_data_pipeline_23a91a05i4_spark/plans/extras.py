@@ -111,3 +111,59 @@ def t10_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "token")
         .limit(100)
     )
+
+
+def q19_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: events.props is a JSON string;
+    extract $.k (get_json_object — JVM-side, no Python), aggregate per
+    event type.  The pattern for event-property pipelines where the
+    payload schema is open-ended."""
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("null_props"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# fixed search terms: a mix of frequent and rare corpus vocabulary
+SEARCH_TERMS = ("spark", "shuffle", "vector", "stream", "window")
+
+
+def t11_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with rarity-weighted ranking (the BM25-shaped
+    building block): score(doc) = Σ_t tf(t,doc) · N/df(t) over matched
+    query terms; top 20 docs.
+
+    Plan shape at scale: tokens explode once, the tiny term list is a
+    broadcast semi-filter, df stats join back on term — no all-pairs work.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], ["token"])
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token")).join(
+        F.broadcast(terms), "token"
+    )
+    df_stats = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_stats), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+            quant(
+                F.sum(F.col("tf").cast("double") * F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

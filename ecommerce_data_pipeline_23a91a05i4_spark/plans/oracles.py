@@ -495,3 +495,42 @@ EXTRAS_ORACLES: dict[str, str] = {
         LIMIT 100
     """,
 }
+
+
+EXTRAS_ORACLES["q19_props_json_stats"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_TERMS = "('spark', 'shuffle', 'vector', 'stream', 'window')"
+EXTRAS_ORACLES["t11_keyword_search"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token
+        FROM documents
+    ),
+    matched AS (SELECT * FROM toks WHERE token IN {_TERMS}),
+    dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY token),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM matched GROUP BY doc_id, token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id,
+               COUNT(*) AS n_terms_matched,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               {SQL_QUANT('SUM(CAST(tf AS DOUBLE) * n_docs / df)', 6)} AS score
+        FROM tf JOIN dfs USING (token) CROSS JOIN n
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, total_tf, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""

@@ -49,3 +49,34 @@ def test_lsh_identical_vectors_share_bucket(spark):
     assert rows[0].neighbor_id == 5 and rows[0].cosine_sim == 1.0
     # opposite vector can never share a sign bucket
     assert all(r.neighbor_id != 4 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = sim.knn_bruteforce(queries, emb, k=10)
+    centroids = sim.ivf_train(emb, k=10, iters=2)
+    approx = sim.knn_ivf(queries, emb, centroids, k=10, nprobe=4)
+
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # approximate results are a subset of correctly-scored pairs: any
+    # overlap must carry identical cosine values
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cosine_sim == exact_scores[key]
+
+
+def test_ivf_train_deterministic_shapes(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.ivf_train(emb, k=5, iters=1).collect()
+    assert len(cents) == 5
+    assert all(len(r.centroid) == 64 for r in cents)
