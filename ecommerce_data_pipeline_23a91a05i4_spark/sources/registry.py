@@ -1,0 +1,95 @@
+"""Uniform source/sink registry (SURVEY.md §2.1).
+
+The reference's I/O surface is CSV files + a PostgreSQL database + JSON
+report files (S1-S8).  Here each becomes a format handler with one
+signature, so pipeline code names a format instead of hand-rolling reader
+options:
+
+    read(spark, "csv", path, schema=...)   # S1 — schema-enforced, header
+    read(spark, "parquet", path)           # S2 — lakehouse default
+    read(spark, "json", path)              # report/JSON-lines ingest
+    read(spark, "jdbc", url, table=...)    # S2 Postgres interop (gated:
+                                           #   needs a JDBC driver jar)
+    write(df, "parquet", path, mode=...)   # S4/S5
+    write(df, "csv_single", path)          # S6/S7 single-file golden CSVs
+
+Streaming twins live in streaming/ingest.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    if fmt == "csv":
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)  # DDL types authoritative (S1)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.options(**options).csv(path)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "json":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).json(path)
+    if fmt == "jdbc":
+        # Postgres interop kept API-compatible with the reference's server
+        # leg; needs a JDBC driver jar on the classpath, absent here.
+        table = options.pop("table", None)
+        if table is None:
+            raise ValueError("jdbc source requires table=...")
+        try:
+            return (
+                spark.read.format("jdbc")
+                .option("url", path)
+                .option("dbtable", table)
+                .options(**options)
+                .load()
+            )
+        except Exception as e:  # noqa: BLE001
+            raise NotImplementedError(
+                "JDBC source requires a database driver jar "
+                "(spark.jars); not available in this environment"
+            ) from e
+    raise KeyError(f"unknown source format {fmt!r}")
+
+
+def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options) -> None:
+    if fmt == "parquet":
+        partition_by = options.pop("partitionBy", None)
+        writer = df.write.mode(mode).options(**options)
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+        return
+    if fmt == "csv":
+        df.write.mode(mode).option("header", True).options(**options).csv(path)
+        return
+    if fmt == "csv_single":
+        # single-file golden output (S6): coalesce(1) then unwrap the part
+        # file — only for small result sets, never fact-sized data
+        tmp = f"{path}__tmp"
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        part = next(Path(tmp).glob("part-*.csv"))
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(part), path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    if fmt == "json":
+        df.write.mode(mode).options(**options).json(path)
+        return
+    raise KeyError(f"unknown sink format {fmt!r}")

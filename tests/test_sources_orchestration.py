@@ -1,0 +1,74 @@
+"""Source registry formats + orchestrator retry/backoff semantics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from ecommerce_data_pipeline_23a91a05i4_spark.pipeline import PipelineReport, run_step
+from ecommerce_data_pipeline_23a91a05i4_spark.sources import registry
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+    ])
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,a\n2,b\n")
+    df = registry.read(spark, "csv", str(src), schema=schema)
+    assert df.schema == schema
+    assert df.count() == 2
+
+    out = tmp_path / "single.csv"
+    registry.write(df, "csv_single", str(out))
+    assert out.read_text().splitlines()[0] == "id,name"
+
+
+def test_parquet_and_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    registry.write(df, "parquet", str(tmp_path / "p"))
+    assert registry.read(spark, "parquet", str(tmp_path / "p")).count() == 1
+    registry.write(df, "json", str(tmp_path / "j"))
+    assert registry.read(spark, "json", str(tmp_path / "j")).count() == 1
+
+
+def test_jdbc_is_gated(spark):
+    with pytest.raises((NotImplementedError, Exception)):
+        registry.read(spark, "jdbc", "jdbc:postgresql://nowhere/db", table="t")
+    with pytest.raises(ValueError):
+        registry.read(spark, "jdbc", "jdbc:postgresql://nowhere/db")
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(KeyError):
+        registry.read(spark, "avro", "/tmp/x")
+
+
+def test_run_step_retries_with_backoff():
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+
+    report = PipelineReport()
+    ok = run_step("flaky", flaky, report, backoff=[0, 0, 0])
+    assert ok and len(attempts) == 3
+    assert report.steps[0].status == "success"
+    assert report.steps[0].retries == 2
+
+
+def test_run_step_fail_fast_after_exhaustion():
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    report = PipelineReport()
+    ok = run_step("broken", always_fails, report, backoff=[0, 0, 0])
+    assert not ok
+    assert report.steps[0].status == "failed"
+    assert "permanent" in report.steps[0].error
+    assert report.to_dict()["overall_status"] == "failed"
