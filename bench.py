@@ -49,6 +49,27 @@ def main() -> None:
     # of the headline so the comparison stays apples-to-apples.
     ref10 = [n for n in timings if n.startswith("q") and int(n[1:].split("_")[0]) <= 10]
     total = round(sum(timings[n] for n in ref10), 4)
+
+    # End-to-end pipeline at the reference's exact scale (1000 customers /
+    # 500 products / 10k transactions) — per-step seconds comparable to
+    # BASELINE.md (data_generation 3.36s, data_ingestion 4.61s, analytics
+    # suite 4.44s on local Postgres).
+    import shutil
+    import tempfile
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.pipeline import run_pipeline
+
+    base = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        rep = run_pipeline(spark, base, 1000, 500, 10000)
+        steps = {
+            name: info["duration_seconds"]
+            for name, info in rep["steps_executed"].items()
+        }
+        pipeline_ok = rep["overall_status"] == "success"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -57,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "all_queries_total_sec": round(sum(timings.values()), 4),
+                "pipeline_sf_ref_steps_sec": steps,
+                "pipeline_sf_ref_ok": pipeline_ok,
                 "sf": sf,
             }
         )

@@ -148,22 +148,36 @@ def bronze_to_silver(
             _silver_path(base, name)
         )
 
+    # Transactions are partitioned by month — the lakehouse analog of the
+    # reference's idx_transactions_date b-tree (create_production_schema.
+    # sql:96-107, SURVEY.md §4): date-range reads (monitoring P5,
+    # incremental loads) prune whole partitions at 100 TB.
     inc = {
-        "transactions": (cleanse.clean_transactions(read("transactions")), "transaction_id"),
+        "transactions": (
+            cleanse.clean_transactions(read("transactions")).withColumn(
+                "txn_month", F.date_format("transaction_date", "yyyy-MM")
+            ),
+            "transaction_id",
+            "txn_month",
+        ),
         "transaction_items": (
             cleanse.clean_transaction_items(read("transaction_items")),
             "item_id",
+            None,
         ),
     }
-    for name, (df, key) in inc.items():
+    for name, (df, key, part_col) in inc.items():
         target = _silver_path(base, name)
         existing: DataFrame | None = None
         if incremental and Path(target).exists():
             existing = spark.read.parquet(target)
             fresh = cleanse.incremental_append(df, existing, key)
-            cleanse.with_audit_columns(fresh, run_ts).write.mode("append").parquet(target)
+            writer = cleanse.with_audit_columns(fresh, run_ts).write.mode("append")
         else:
-            cleanse.with_audit_columns(df, run_ts).write.mode("overwrite").parquet(target)
+            writer = cleanse.with_audit_columns(df, run_ts).write.mode("overwrite")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(target)
 
 
 def silver_to_gold(spark: SparkSession, base: Path, run_date: str) -> None:

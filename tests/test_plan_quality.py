@@ -83,3 +83,16 @@ def test_wholestage_codegen_covers_agg(spark):
 def test_topk_uses_take_ordered(spark):
     plan = explain_str(analytics.q1_top_products(spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan  # O1: top-k, not global sort
+
+
+def test_silver_transactions_partition_pruning(spark, pipeline_base):
+    """Month-partitioned silver transactions: a month-range filter must
+    prune partitions at the scan (the lakehouse analog of the reference's
+    idx_transactions_date index)."""
+    base, _ = pipeline_base
+    df = spark.read.parquet(str(base / "silver" / "transactions"))
+    q = df.filter(F.col("txn_month") == "2023-05")
+    plan = explain_str(q)
+    assert "PartitionFilters" in plan and "txn_month" in plan
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "2023-05" in line
