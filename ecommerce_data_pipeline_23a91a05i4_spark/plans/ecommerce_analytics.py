@@ -189,26 +189,44 @@ def run_analytics(
     spark: SparkSession,
     output_dir: str | Path,
     run_date: str = RUN_DATE,
+    parallelism: int = 4,
 ) -> dict:
     """Execute the suite over the registered warehouse views; write one CSV
-    per query (coalesce(1) — golden outputs are tiny, S6) plus
-    analytics_summary.json (S8, generate_analytics.py:29-61)."""
+    per query (golden outputs are tiny, S6) plus analytics_summary.json
+    (S8, generate_analytics.py:29-61).
+
+    Queries run on a small thread pool: Spark's scheduler interleaves the
+    concurrent jobs across executors (and codegen compiles in parallel),
+    so the suite's wall time approaches the longest query instead of the
+    sum — the standard pattern for independent reporting queries on a
+    shared warm cluster.  Results/ordering are unaffected.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     statements = split_statements(ANALYTICS_SQL.format(run_date=run_date))
     summary: dict = {"query_results": {}, "total_execution_time_seconds": 0.0}
-    t_all = time.perf_counter()
-    for i, stmt in enumerate(statements, start=1):
+
+    def run_one(arg: tuple[int, str]) -> tuple[int, dict]:
+        i, stmt = arg
         t0 = time.perf_counter()
-        df = spark.sql(stmt)
-        pdf = df.toPandas()
+        pdf = spark.sql(stmt).toPandas()
         elapsed_ms = (time.perf_counter() - t0) * 1000
         pdf.to_csv(out / f"query{i}.csv", index=False)
-        summary["query_results"][f"query{i}"] = {
+        return i, {
             "rows": len(pdf),
             "columns": len(pdf.columns),
             "execution_time_ms": round(elapsed_ms, 2),
         }
+
+    t_all = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        for i, res in pool.map(run_one, list(enumerate(statements, start=1))):
+            summary["query_results"][f"query{i}"] = res
+    summary["query_results"] = dict(
+        sorted(summary["query_results"].items(), key=lambda kv: int(kv[0][5:]))
+    )
     summary["total_execution_time_seconds"] = round(time.perf_counter() - t_all, 2)
     with open(out / "analytics_summary.json", "w") as fh:
         json.dump(summary, fh, indent=2)
