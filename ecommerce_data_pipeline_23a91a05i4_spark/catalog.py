@@ -36,6 +36,12 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # The testdata timestamps are tz-naive; Spark renders instants in the
+    # session timezone, so year()/date_trunc() would shift under a
+    # non-UTC session (e.g. a caller-owned SparkSession).  Pin UTC here —
+    # runtime-settable — so every plan built on this catalog matches the
+    # naive-timestamp oracle regardless of who created the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _events(spark, path)
