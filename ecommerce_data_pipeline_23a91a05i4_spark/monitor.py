@@ -117,19 +117,23 @@ def health_rollup(
 
 
 def run_monitoring(
-    spark: SparkSession, base: Path, as_of: datetime, out: Path | None = None
+    spark: SparkSession,
+    base: Path,
+    as_of: datetime,
+    out: Path | None = None,
+    lookback_days: int = 30,
 ) -> dict:
     read = lambda layer, t: spark.read.parquet(str(base / layer / t))  # noqa: E731
     freshness = layer_freshness(
         {
             "bronze": (read("bronze", "transactions"), "loaded_at"),
             "silver": (read("silver", "transactions"), "created_at"),
-            "gold": (read("silver", "transactions"), "updated_at"),
+            "gold": (read("gold", "fact_sales"), "created_at"),
         },
         as_of,
     )
     volumes = volume_anomaly(
-        read("silver", "transactions"), "transaction_date", as_of, lookback_days=3650
+        read("silver", "transactions"), "transaction_date", as_of, lookback_days
     )
     nulls = warehouse_null_keys(read("gold", "fact_sales"))
     report = {

@@ -248,19 +248,31 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on any equal 16-bit chunk (a pair
-    within Hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole), then
-    verify exact Hamming distance.  Blocking keeps the join linear in
-    bucket sizes at scale."""
+    """Near-dup pairs by SimHash: block on equal bit-chunks, then verify
+    exact Hamming distance.  Pigeonhole: a pair within Hamming ≤ h must
+    agree on ≥1 of n chunks whenever n > h, so the chunk count is derived
+    from max_hamming (4x16-bit for h≤3, 8x8-bit for h≤7, 16x4-bit for
+    h≤15) — recall is exact, and blocking keeps the join linear in bucket
+    sizes at scale."""
+    if max_hamming <= 3:
+        n_chunks = 4
+    elif max_hamming <= 7:
+        n_chunks = 8
+    elif max_hamming <= 15:
+        n_chunks = 16
+    else:
+        raise ValueError("max_hamming > 15 defeats chunk blocking; use a different operator")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sh = simhash64(df, id_col, text_col)
     chunks = None
-    for c in range(4):
+    for c in range(n_chunks):
         one = sh.select(
             "id",
             "sim",
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("sim"), c * 16)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("sim"), c * width)
+            .bitwiseAND(F.lit(mask))
             .alias("key"),
         )
         chunks = one if chunks is None else chunks.unionAll(one)

@@ -38,10 +38,22 @@ def scd2_merge(
     ``current`` must carry effective_date/end_date/is_current;
     ``updates`` carries the business key + attribute columns only.
     """
+    from pyspark.sql import Window
+
     attr_cols = [c for c in updates.columns if c != business_key]
     upd = updates.select(
         F.col(business_key), *[F.col(c) for c in attr_cols]
     ).withColumn("_new_hash", _attr_hash(updates, tracked))
+    # a CDC batch may carry several rows per key; keep exactly one,
+    # deterministically (lowest attribute hash) — otherwise two
+    # is_current=true versions would break the one-current-row invariant
+    # the fact build's is_current join guard relies on
+    w = Window.partitionBy(business_key).orderBy("_new_hash")
+    upd = (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     cur_live = current.filter(F.col("is_current"))
     cur_hist = current.filter(~F.col("is_current"))

@@ -59,7 +59,12 @@ def knn_bruteforce(
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
 
     The query side is broadcast; rank is a per-query window on the
-    quantized cosine with id tie-break (deterministic across engines)."""
+    quantized cosine with id tie-break (deterministic across engines).
+
+    NOTE: self-match exclusion compares ids, so queries must be drawn
+    from the candidate corpus (or use a disjoint id space) — with two
+    corpora sharing an id space, a same-id candidate would be wrongly
+    excluded."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -22,7 +22,6 @@ drives run_pipeline).
 from __future__ import annotations
 
 import json
-import shutil
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -180,7 +179,9 @@ def bronze_to_silver(
         writer.parquet(target)
 
 
-def silver_to_gold(spark: SparkSession, base: Path, run_date: str) -> None:
+def silver_to_gold(
+    spark: SparkSession, base: Path, run_date: str, run_ts: str | None = None
+) -> None:
     read = lambda t: spark.read.parquet(_silver_path(base, t))  # noqa: E731
     tables = warehouse.build_warehouse(
         read("customers"),
@@ -189,8 +190,12 @@ def silver_to_gold(spark: SparkSession, base: Path, run_date: str) -> None:
         read("transaction_items"),
         run_date,
     )
+    ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
     for name, df in tables.items():
-        df.write.mode("overwrite").parquet(_gold_path(base, name))
+        # gold audit column: what the freshness monitor probes (Q7)
+        df.withColumn("created_at", ts).write.mode("overwrite").parquet(
+            _gold_path(base, name)
+        )
 
 
 def register_gold_views(spark: SparkSession, base: Path) -> None:
@@ -256,17 +261,14 @@ def run_pipeline(
 
     def data_generation() -> None:
         raw.mkdir(parents=True, exist_ok=True)
+        from .sources.registry import write as sink
+
         data = datagen.generate_all(
             spark, n_customers, n_products, n_transactions, run_date
         )
         for name, df in data.items():
             # single CSV per table mirrors the reference's raw layer (S7)
-            tmp = base / "_csv_tmp" / name
-            df.coalesce(1).write.mode("overwrite").option("header", True).csv(str(tmp))
-            part = next(Path(tmp).glob("part-*.csv"))
-            shutil.move(str(part), raw / f"{name}.csv")
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(base / "_csv_tmp", ignore_errors=True)
+            sink(df, "csv_single", str(raw / f"{name}.csv"))
         meta = {
             "customers": n_customers,
             "products": n_products,
@@ -289,7 +291,7 @@ def run_pipeline(
             lambda: bronze_to_silver(spark, base, run_ts, incremental),
         ),
         ("data_quality_checks", lambda: run_quality_checks(spark, base, base / "reports")),
-        ("warehouse_load", lambda: silver_to_gold(spark, base, run_date)),
+        ("warehouse_load", lambda: silver_to_gold(spark, base, run_date, run_ts)),
         (
             "analytics_generation",
             lambda: (

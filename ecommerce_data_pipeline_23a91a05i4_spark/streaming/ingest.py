@@ -106,8 +106,9 @@ def _session_fn(
     else:
         last_us, n_sessions, n_events = None, 0, 0
     for pdf in pdfs:
-        # arrow hands timestamps as datetime64[us]-backed Timestamps
-        for us in (pdf["ts"].astype("int64") // 1000).sort_values():
+        # normalize to microseconds explicitly — Arrow may back the column
+        # with datetime64[ns] or [us] depending on pandas/pyarrow versions
+        for us in pdf["ts"].astype("datetime64[us]").astype("int64").sort_values():
             if last_us is None or us - last_us > SESSION_GAP_US:
                 n_sessions += 1
             last_us = int(us)

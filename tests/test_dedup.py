@@ -68,3 +68,23 @@ def test_shingle_table_short_doc_fallback(spark):
     df = spark.createDataFrame([(1, "single")], ["doc_id", "text"])
     rows = dd.shingle_table(df, "doc_id", "text", n=2).collect()
     assert [(r.id, r.shingle) for r in rows] == [(1, "single")]
+
+
+def test_simhash_chunk_blocking_guarantee(spark):
+    """max_hamming > 3 widens the blocking (8x8-bit chunks): a pair with
+    4-6 differing bits spread across the four 16-bit chunks must still be
+    recalled."""
+    import pytest as _pytest
+
+    pairs = dd.simhash_pairs(
+        spark.createDataFrame([(1, BASE), (2, BASE)], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        max_hamming=7,
+    )
+    assert pairs.collect()[0].hamming == 0
+    with _pytest.raises(ValueError):
+        dd.simhash_pairs(
+            spark.createDataFrame([(1, BASE)], ["doc_id", "text"]),
+            "doc_id", "text", max_hamming=20,
+        ).collect()

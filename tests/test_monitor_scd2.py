@@ -97,3 +97,35 @@ def test_scd2_merge_is_idempotent(spark):
     assert out.count() == 1
     r = out.collect()[0]
     assert r.is_current and str(r.effective_date) == "2024-01-01"
+
+
+def test_scd2_merge_dedupes_update_batch(spark):
+    import datetime as dt
+
+    current = _dim(spark, [("C1", "Pune", dt.date(2024, 1, 1), None, True)])
+    updates = spark.createDataFrame(
+        [("C1", "Mumbai"), ("C1", "Goa")], "customer_id string, city string"
+    )
+    out = scd2_merge(current, updates, "customer_id", ["city"], "2024-02-01")
+    current_rows = out.filter("is_current").collect()
+    assert len(current_rows) == 1  # one-current-row invariant holds
+    assert current_rows[0].city in ("Mumbai", "Goa")
+
+
+def test_monitoring_detects_stale_gold(spark, pipeline_base, tmp_path):
+    """Gold freshness must probe the GOLD layer: rewrite gold fact with an
+    old created_at and confirm stale_gold fires while silver stays fresh."""
+    import shutil as sh
+    from pyspark.sql import functions as F2
+
+    base, _ = pipeline_base
+    clone = tmp_path / "lake"
+    sh.copytree(base, clone)
+    fact = spark.read.parquet(str(base / "gold" / "fact_sales"))
+    fact.withColumn(
+        "created_at", F2.lit("2023-06-01 00:00:00").cast("timestamp")
+    ).write.mode("overwrite").parquet(str(clone / "gold" / "fact_sales"))
+    report = monitor.run_monitoring(spark, clone, datetime(2024, 1, 1, 0, 30))
+    assert report["freshness"]["gold"]["stale"]
+    assert not report["freshness"]["silver"]["stale"]
+    assert "stale_gold" in report["health"]["alerts"]

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
@@ -72,3 +73,34 @@ def test_run_step_fail_fast_after_exhaustion():
     assert report.steps[0].status == "failed"
     assert "permanent" in report.steps[0].error
     assert report.to_dict()["overall_status"] == "failed"
+
+
+def test_cleanup_old_files_retention(tmp_path):
+    """X5 retention (standalone entry point, like the reference's
+    cleanup_old_data.py script): old files deleted, preserved-name and
+    recent files kept."""
+    import os
+    import time as _time
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.pipeline import cleanup_old_files
+
+    old = _time.time() - 10 * 86400
+    files = {
+        "raw/data.csv": old,                       # old → deleted
+        "raw/generation_metadata.json": old,       # preserved name → kept
+        "reports/quality_report.json": old,        # preserved name → kept
+        "logs/run.log": old,                       # old → deleted
+        "raw/fresh.csv": _time.time(),             # recent → kept
+    }
+    for rel, mtime in files.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text("x")
+        os.utime(p, (mtime, mtime))
+
+    removed = cleanup_old_files(tmp_path, retention_days=7)
+    removed_rel = {str(Path(r).relative_to(tmp_path)) for r in removed}
+    assert removed_rel == {"raw/data.csv", "logs/run.log"}
+    assert (tmp_path / "raw/generation_metadata.json").exists()
+    assert (tmp_path / "reports/quality_report.json").exists()
+    assert (tmp_path / "raw/fresh.csv").exists()
