@@ -326,3 +326,38 @@ def run_pipeline(
     with open(reports_dir / "pipeline_execution_report.json", "w") as fh:
         json.dump(result, fh, indent=2)
     return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry point: python -m ecommerce_data_pipeline_23a91a05i4_spark.pipeline --base DIR
+    (the in-process equivalent of the reference's
+    `python scripts/pipeline_orchestrator.py`)."""
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="run the full lakehouse pipeline")
+    ap.add_argument("--base", required=True, help="lakehouse output directory")
+    ap.add_argument("--customers", type=int, default=1000)
+    ap.add_argument("--products", type=int, default=500)
+    ap.add_argument("--transactions", type=int, default=10000)
+    ap.add_argument("--run-date", default=datagen.RUN_DATE)
+    ap.add_argument("--incremental", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("ecommerce-pipeline")
+    report = run_pipeline(
+        spark,
+        args.base,
+        args.customers,
+        args.products,
+        args.transactions,
+        args.run_date,
+        args.incremental,
+    )
+    print(json.dumps(report, indent=2))
+    return 0 if report["overall_status"] == "success" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

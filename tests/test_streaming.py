@@ -44,3 +44,22 @@ def test_watermark_present_in_plan(spark):
     stream = st.stream_events(spark, EVENTS)
     agg = st.hourly_event_counts(stream, watermark="2 hours")
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_builtin_session_window_agrees_with_lag_based(spark):
+    """Spark's built-in session_window must produce the same per-user
+    session counts as the hand-rolled lag+cumsum batch operator (q16) —
+    cross-validation of the 30-minute gap semantics."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    events = table(spark, SF, "events")
+    sw = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    batch = monitoring.q16_user_sessions(spark, SF)
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got == want
