@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_token_frequencies": extras.t10_token_frequencies,
         "q19_props_json_stats": extras.q19_props_json_stats,
         "t11_keyword_search": extras.t11_keyword_search,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
     }
 
 

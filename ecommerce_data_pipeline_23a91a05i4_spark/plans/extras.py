@@ -167,3 +167,53 @@ def t11_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+def q20_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join as a row-producing operator (J4's shape, the incremental
+    load primitive): orders with no line items, listed not just counted.
+    left_anti never builds the right side's payload — at 100 TB the probe
+    side streams against a broadcast/partitioned key set."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li.select("l_orderkey"), orders.o_orderkey == F.col("l_orderkey"), "left_anti")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            r2(F.col("o_totalprice")).alias("total_price"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q21_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts per year x priority.  The pivot
+    value list is fixed, so the output schema is static — the only safe
+    way to pivot at scale (a dynamic pivot needs a driver-side distinct
+    pass first)."""
+    orders = table(spark, sf_dir, "orders")
+    df = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .count()
+    )
+    renames = {p: f"n_{p.split('-')[0]}" for p in PIVOT_PRIORITIES}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    # fill pivot holes with 0 so both engines emit identical ints
+    return df.select(
+        "order_year",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()],
+    ).orderBy("order_year")

@@ -534,3 +534,25 @@ EXTRAS_ORACLES["t11_keyword_search"] = f"""
     ORDER BY score DESC, doc_id
     LIMIT 20
 """
+
+
+EXTRAS_ORACLES["q20_orders_without_items"] = f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {SQL_R2('o_totalprice')} AS total_price,
+           o_orderdate
+    FROM orders
+    ANTI JOIN lineitem ON o_orderkey = l_orderkey
+    ORDER BY o_orderkey
+"""
+
+EXTRAS_ORACLES["q21_priority_pivot"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_5,
+    FROM orders
+    GROUP BY 1
+    ORDER BY order_year
+"""
