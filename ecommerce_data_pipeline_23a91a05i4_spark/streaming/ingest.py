@@ -150,3 +150,34 @@ def run_available_now(stream_df: DataFrame, view_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(view_name)
+
+
+def stream_to_bronze(
+    events: DataFrame,
+    dst_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming ingest → bronze parquet (the realization of the
+    reference's 'real-time ingestion' future enhancement, README.md:
+    260-265): drain with availableNow for batch-compatible runs, or drop
+    the trigger for continuous micro-batches.
+
+    foreachBatch gives per-micro-batch atomic parquet appends plus access
+    to the full DataFrame API (e.g. adding the loaded_at audit column the
+    bronze layer contract requires)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("loaded_at", F.current_timestamp())
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(dst_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

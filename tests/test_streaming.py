@@ -63,3 +63,21 @@ def test_builtin_session_window_agrees_with_lag_based(spark):
     batch = monitoring.q16_user_sessions(spark, SF)
     want = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_to_bronze_matches_batch_content(spark, tmp_path):
+    """Streaming bronze ingest drains the file stream into parquet with
+    audit columns; content equals the batch read."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    stream = st.stream_events(spark, EVENTS)
+    dst = str(tmp_path / "bronze_events")
+    st.stream_to_bronze(stream, dst, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(dst)
+    batch = table(spark, SF, "events")
+    assert got.count() == batch.count()
+    assert {"loaded_at", "_batch_id"} <= set(got.columns)
+    g = {r.event_id for r in got.select("event_id").collect()}
+    b = {r.event_id for r in batch.select("event_id").collect()}
+    assert g == b
