@@ -99,3 +99,12 @@ def SQL_SAFE_PCT(num: str, den: str, ndigits: int = 4) -> str:
         f"CAST(({num}) AS DOUBLE) * 100.0 / NULLIF(CAST(({den}) AS DOUBLE), 0)",
         ndigits,
     )
+
+
+def approx_distinct(col: Column, rsd: float = 0.01) -> Column:
+    """HyperLogLog++ distinct count — the scale-out swap for
+    countDistinct when key cardinality makes the exact two-phase
+    aggregation the bottleneck (SURVEY.md A2 notes this as the documented
+    option).  Not used in oracle-gated queries (approximation has no
+    cross-engine twin); callers opt in per query."""
+    return F.approx_count_distinct(col, rsd)

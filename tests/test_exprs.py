@@ -33,3 +33,16 @@ def test_dsum_is_order_independent(spark):
     a = df.repartition(1).agg(dsum(F.col("v"))).collect()[0][0]
     b = df.repartition(32).agg(dsum(F.col("v"))).collect()[0][0]
     assert a == b
+
+
+def test_approx_distinct_within_rsd(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+    from ecommerce_data_pipeline_23a91a05i4_spark.functions.exprs import approx_distinct
+
+    import pyspark.sql.functions as F
+
+    orders = table(spark, "/root/testdata/sf0.01", "orders")
+    exact, approx = orders.agg(
+        F.countDistinct("o_custkey"), approx_distinct(F.col("o_custkey"))
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.05
