@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_keyword_search": extras.t11_keyword_search,
         "q20_orders_without_items": extras.q20_orders_without_items,
         "q21_priority_pivot": extras.q21_priority_pivot,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t13_vocab_difference": extras.t13_vocab_difference,
     }
 
 

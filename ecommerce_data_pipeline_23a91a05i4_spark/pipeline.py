@@ -106,20 +106,25 @@ def ingest_to_bronze(
     """S1+S10: CSV → parquet with explicit DDL schemas and a loaded_at
     audit column; per-table row-count reconciliation; truncate-and-reload
     (overwrite — S5)."""
+    from pyspark.sql import Observation
+
     expected, actual = {}, {}
     ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
     for name, schema in schemas.STAGING.items():
         csv_path = str(raw_dir / f"{name}.csv")
+        # observe() counts rows in the SAME pass as the write — the
+        # reconciliation's "expected" side without a second CSV scan
+        # (the reference re-reads the CSV, ingest_to_staging.py:105)
+        obs = Observation(f"ingest_{name}")
         df = (
             spark.read.schema(schema)
             .option("header", True)
             .csv(csv_path)
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .withColumn("loaded_at", ts)
         )
         df.write.mode("overwrite").parquet(_bronze_path(base, name))
-        expected[name] = (
-            spark.read.option("header", True).csv(csv_path).count()
-        )
+        expected[name] = int(obs.get["rows"])
         actual[name] = spark.read.parquet(_bronze_path(base, name)).count()
     recon = quality.reconcile_counts(expected, actual)
     if not recon["all_match"]:

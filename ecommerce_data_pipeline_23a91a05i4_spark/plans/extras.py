@@ -217,3 +217,44 @@ def q21_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()],
     ).orderBy("order_year")
+
+
+def t12_event_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join gate: each event paired with the user's most recent
+    order at or before the event time (operators/asof.py — union-sort-
+    window, ONE shuffle; the oracle uses DuckDB's native ASOF JOIN).
+
+    The right side is pre-reduced to one row per (key, time) — max
+    orderkey wins — so tie-breaking is deterministic in both engines.
+    """
+    from ..operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders")
+    right = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    out = asof_join(
+        events,
+        right,
+        on="user_id",
+        left_time="ts",
+        right_time="asof_orderdate",
+        right_values=["asof_orderkey", "asof_orderdate"],
+    )
+    return out.orderBy("event_id")
+
+
+def t13_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): vocabulary appearing in
+    en-labeled documents but never in any other language's documents."""
+    docs = table(spark, sf_dir, "documents")
+    toks = lambda f: (  # noqa: E731
+        docs.filter(f).select(F.explode(tokens(F.col("text"))).alias("token")).distinct()
+    )
+    en_only = toks(F.col("lang") == "en").subtract(toks(F.col("lang") != "en"))
+    return en_only.orderBy("token")

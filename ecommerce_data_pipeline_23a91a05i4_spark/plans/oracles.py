@@ -556,3 +556,28 @@ EXTRAS_ORACLES["q21_priority_pivot"] = """
     GROUP BY 1
     ORDER BY order_year
 """
+
+
+EXTRAS_ORACLES["t12_event_asof_order"] = f"""
+    WITH {EVENTS_NORM},
+    o AS (
+        SELECT o_custkey AS user_id,
+               o_orderdate AS asof_orderdate,
+               MAX(o_orderkey) AS asof_orderkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey, o.asof_orderdate
+    FROM ev e ASOF LEFT JOIN o
+      ON e.user_id = o.user_id AND e.ts >= o.asof_orderdate
+    ORDER BY e.event_id
+"""
+
+EXTRAS_ORACLES["t13_vocab_difference"] = f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split({NORM}, ' ')) AS token FROM documents
+    )
+    SELECT DISTINCT token FROM toks WHERE lang = 'en'
+    EXCEPT
+    SELECT DISTINCT token FROM toks WHERE lang <> 'en'
+    ORDER BY token
+"""
