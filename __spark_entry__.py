@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_priority_pivot": extras.q21_priority_pivot,
         "t12_event_asof_order": extras.t12_event_asof_order,
         "t13_vocab_difference": extras.t13_vocab_difference,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
     }
 
 

@@ -258,3 +258,44 @@ def t13_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     en_only = toks(F.col("lang") == "en").subtract(toks(F.col("lang") != "en"))
     return en_only.orderBy("token")
+
+
+def t14_event_session_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join gate: derive per-user session intervals (same lag+cumsum
+    logic as q16), then assign every event back to its containing interval
+    with the bucketized range join (operators/rangejoin.py) and count
+    events per interval.  The oracle derives identical intervals in SQL
+    and uses a plain BETWEEN join — bucketing must not change results."""
+    from pyspark.sql import Window
+
+    from ..operators.rangejoin import range_join
+    from .monitoring import SESSION_GAP_US
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sessionized = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("is_start"),
+    ).select("user_id", "ts", F.sum("is_start").over(w).alias("session_seq"))
+    intervals = sessionized.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    ).drop("session_seq")
+
+    assigned = range_join(
+        events,
+        intervals,
+        on="user_id",
+        point_time="ts",
+        start="session_start",
+        end="session_end",
+        bucket_width_s=3600,
+    )
+    return (
+        assigned.groupBy("user_id", "session_start", "session_end")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_start")
+    )

@@ -581,3 +581,35 @@ EXTRAS_ORACLES["t13_vocab_difference"] = f"""
     SELECT DISTINCT token FROM toks WHERE lang <> 'en'
     ORDER BY token
 """
+
+
+EXTRAS_ORACLES["t14_event_session_ranges"] = f"""
+    WITH {EVENTS_NORM},
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                    OR LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM ev
+    ),
+    sessionized AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessionized GROUP BY user_id, session_seq
+    )
+    SELECT e.user_id AS user_id, i.session_start, i.session_end,
+           COUNT(*) AS n_events
+    FROM ev e JOIN intervals i
+      ON e.user_id = i.user_id
+     AND e.ts BETWEEN i.session_start AND i.session_end
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+"""
