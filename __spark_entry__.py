@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_event_asof_order": extras.t12_event_asof_order,
         "t13_vocab_difference": extras.t13_vocab_difference,
         "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
     }
 
 

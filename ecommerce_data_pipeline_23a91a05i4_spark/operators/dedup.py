@@ -292,3 +292,65 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------- winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every k-char gram of the normalized text, keep
+    the minimum hash of each sliding window of `window` grams.  The
+    selected set is position-robust: any sufficiently long shared
+    substring yields shared fingerprints, unlike whole-document hashes.
+
+    Pure SQL higher-order expressions over xxhash64 — per-row compute,
+    no shuffle; output exploded as (id, fingerprint) distinct, ready for
+    the same bucket-join dedup shape as shingles.
+    """
+    grams = (
+        f"transform(sequence(1, greatest(length(_norm) - {k} + 1, 1)), "
+        f"i -> xxhash64(substring(_norm, i, {k})))"
+    )
+    mins = (
+        f"transform(sequence(1, greatest(size(_grams) - {window} + 1, 1)), "
+        f"i -> array_min(slice(_grams, i, {window})))"
+    )
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        norm_text(F.col(text_col)).alias("_norm"),
+    ).select("id", F.expr(grams).alias("_grams"))
+    return (
+        normed.select("id", F.explode(F.expr(mins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Near-dup candidates by shared winnowed fingerprints (id_a, id_b,
+    shared_fingerprints) — the containment-style complement to Jaccard
+    shingle dedup (robust to partial overlap/plagiarism-shaped reuse)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

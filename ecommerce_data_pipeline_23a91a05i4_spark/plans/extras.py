@@ -299,3 +299,34 @@ def t14_event_session_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_start")
     )
+
+
+def t15_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate (xxhash64 has no DuckDB twin): winnowing rolling-
+    hash fingerprint near-dup pairs over the document corpus."""
+    from ..operators.dedup import winnow_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        winnow_pairs(docs, "doc_id", "text", k=16, window=8, min_shared=20)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def t16_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: modulo-bucket selection (doc_id % 10
+    == 0) with per-language acceptance stats.  Unlike rand()-based
+    sampling, the sample is stable under any partitioning, cluster size,
+    or engine — the property training-data subsets need for lineage."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("doc_id") % 10 == 0, F.col("n_chars")).otherwise(0)
+            ).alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -613,3 +613,16 @@ EXTRAS_ORACLES["t14_event_session_ranges"] = f"""
     GROUP BY 1, 2, 3
     ORDER BY 1, 2
 """
+
+
+EXTRAS_ORACLES["t16_deterministic_sample"] = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS sampled_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""

@@ -88,3 +88,21 @@ def test_simhash_chunk_blocking_guarantee(spark):
             spark.createDataFrame([(1, BASE)], ["doc_id", "text"]),
             "doc_id", "text", max_hamming=20,
         ).collect()
+
+
+def test_winnow_pairs_find_partial_overlap(spark):
+    """Winnowing catches contained/partial reuse that whole-doc
+    fingerprints miss: doc 8 embeds doc 7's text inside unrelated text."""
+    core = ("the winnowing algorithm selects minimum hashes from sliding "
+            "windows over kgram sequences producing robust fingerprints "
+            "for plagiarism detection in large corpora")
+    rows = [
+        (7, core),
+        (8, "unrelated prefix content here " + core + " and an unrelated suffix"),
+        (9, "completely different text about query optimizers and join order"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.winnow_pairs(df, "doc_id", "text", k=8, window=4, min_shared=5).collect()}
+    assert (7, 8) in pairs
+    assert not any(9 in p for p in pairs)
