@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from math import gcd
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .operators.keys import dense_sequence
 
 RUN_DATE = "2024-01-01"  # deterministic "today" (SURVEY.md F12)
 
@@ -228,11 +230,15 @@ def generate_transaction_items(
         .cast("decimal(12,2)")
         .alias("line_total"),
     )
-    # Dense ITEM%06d counter — a global row_number, acceptable for the
-    # reference-scale generator (the production ingest path never needs it).
-    w = Window.orderBy("_txn_seq", "_item_seq")
-    return priced.withColumn(
-        "item_id", F.format_string("ITEM%06d", F.row_number().over(w))
+    # Dense ITEM%06d counter.  Items are fact-scale, so the counter uses
+    # the distributed dense_sequence (operators/keys.py) over the unique
+    # composite (_txn_seq*8 + _item_seq) rather than a single-partition
+    # global window.
+    keyed = priced.withColumn(
+        "_item_order", F.col("_txn_seq") * 8 + F.col("_item_seq")
+    )
+    return dense_sequence(keyed, "_item_no", "_item_order", key_type="bigint").withColumn(
+        "item_id", F.format_string("ITEM%06d", F.col("_item_no"))
     ).select(
         "item_id",
         "transaction_id",

@@ -7,12 +7,13 @@ scalability sin.  Here each table is one distributed read → transform →
 write plan; the fact build is a single Catalyst tree where every dimension
 side is broadcast (J1).
 
-Surrogate keys: SERIAL becomes row_number() over the business key
-(deterministic across runs — SURVEY.md §1.2 rules out
-monotonically_increasing_id).  A global row_number funnels through one
-partition at write time; dimensions are dimension-sized so this is fine —
-and at true 100 TB dimension scale the key would become
-hash(business_key), traded against key compactness.
+Surrogate keys: SERIAL becomes a deterministic dense sequence over the
+business key (SURVEY.md §1.2 rules out monotonically_increasing_id).
+Dimensions use a plain global row_number — they are dimension-sized by
+construction, so the single-partition window is bounded.  The FACT key
+(sales_key) is the 100 TB column: it uses operators/keys.dense_sequence,
+which produces identical values with no single-partition stage
+(range-partition → local row_number → broadcast partition offsets).
 
 SCD2 shape: the reference *declares* SCD2 but truncate-reloads with
 effective_date = run date, end_date NULL, is_current TRUE
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators.cleanse import warehouse_price_category, warehouse_price_range
+from .operators.keys import dense_sequence
 
 RUN_DATE = "2024-01-01"
 
@@ -172,10 +174,7 @@ def build_fact_sales(
         .alias("profit"),
         F.col("ti.item_id").alias("_item_id"),
     )
-    w = Window.orderBy("_item_id")
-    return out.withColumn("sales_key", F.row_number().over(w).cast("int")).drop(
-        "_item_id"
-    ).select(
+    return dense_sequence(out, "sales_key", "_item_id").drop("_item_id").select(
         "sales_key", "transaction_id", "customer_key", "product_key",
         "date_key", "payment_method_key", "quantity", "unit_price",
         "discount_percentage", "discount_amount", "line_total", "profit",
