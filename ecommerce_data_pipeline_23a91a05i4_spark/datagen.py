@@ -231,9 +231,9 @@ def generate_transaction_items(
         .alias("line_total"),
     )
     # Dense ITEM%06d counter.  Items are fact-scale, so the counter uses
-    # the distributed dense_sequence (operators/keys.py) over the unique
-    # composite (_txn_seq*8 + _item_seq) rather than a single-partition
-    # global window.
+    # dense_sequence (operators/keys.py) over the unique composite
+    # (_txn_seq*8 + _item_seq): a bounded window at generator scale, the
+    # distributed numbering beyond the 4M-row threshold.
     keyed = priced.withColumn(
         "_item_order", F.col("_txn_seq") * 8 + F.col("_item_seq")
     )

@@ -23,15 +23,24 @@ numbering with no single-partition stage, the DataFrame analog of
    sums → broadcast-joined back as offsets.  Bucket boundaries are
    order-preserving, so offset + local row number == global row number.
 
-Cost model: one column-pruned pass to count + sample the key, then the
-input subtree is evaluated twice (counts pass, output pass) unless the
-caller persists it — the same cost ``zipWithIndex`` pays for its count
-job.  Every stage is distributed; bucket skew is bounded by sample
-quality (128 samples per bucket).
+Cost model: the distributed path reads its input four times (count, key
+sample, per-bucket counts, output).  By default the input is persisted
+MEMORY_AND_DISK before the first job, so an expensive upstream subtree
+(e.g. the 6-way fact join) is computed ONCE and the three follow-up
+passes are cache reads — the same shape ``zipWithIndex`` pays for its
+count job.  Pass ``persist=False`` when the input is a cheap scan that
+is better re-read than spilled (the persisted block is session-scoped;
+Spark's LRU evicts it under memory pressure).  Every stage is
+distributed; bucket skew is bounded by sample quality (128 samples per
+bucket).  Small inputs (``small_threshold``, default 4M rows) skip all
+of this and take the plain bounded global window — scheduling three
+extra jobs to avoid a one-partition window over kilobytes is a net
+loss; see ``dense_sequence``.
 """
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,12 +50,13 @@ _OFF = "__ds_off"
 _SAMPLES_PER_PART = 128
 
 
-def _split_points(df: DataFrame, order: Column, parts: int, seed: int) -> list:
+def _split_points(
+    df: DataFrame, order: Column, parts: int, seed: int, n: int
+) -> list:
     """Deterministic, order-preserving split points for ``parts`` buckets
     (may return fewer on tiny/skewed inputs; correctness never depends on
     the boundary choice, only balance does)."""
     keys = df.select(order.alias("__ds_k"))
-    n = keys.count()
     if n == 0 or parts <= 1:
         return []
     frac = min(1.0, (parts * _SAMPLES_PER_PART) / n)
@@ -68,16 +78,33 @@ def dense_sequence(
     parts: int | None = None,
     key_type: str = "int",
     seed: int = 42,
+    persist: bool = True,
+    small_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Add ``key_name`` = dense 1..n sequence ordered by ``order_col``,
-    without a single-partition window.  Values are identical to
-    ``row_number().over(Window.orderBy(order_col))`` whenever
-    ``order_col`` is a total order (ties may interleave differently, as
-    with any row_number over a non-unique key)."""
+    without a single-partition window over large data.  Values are
+    identical to ``row_number().over(Window.orderBy(order_col))``
+    whenever ``order_col`` is a total order (ties may interleave
+    differently, as with any row_number over a non-unique key).
+
+    Adaptive (AQE-style): inputs at or under ``small_threshold`` rows
+    take the plain global window — one partition holding <=4M narrow
+    rows is bounded and strictly cheaper than the three extra jobs the
+    distributed path schedules.  Above it, the bucketed path runs; the
+    threshold never triggers at fact scale.  Set ``small_threshold=0``
+    to force the distributed path (tests do)."""
     order = F.col(order_col) if isinstance(order_col, str) else order_col
     if parts is None:
         parts = df.sparkSession.sparkContext.defaultParallelism
-    bnds = _split_points(df, order, parts, seed)
+    if persist and not df.is_cached:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = df.count()
+    if n <= small_threshold:
+        return df.withColumn(
+            key_name,
+            F.row_number().over(Window.orderBy(order)).cast(key_type),
+        )
+    bnds = _split_points(df, order, parts, seed, n)
     if bnds:
         # bucket id = number of split points <= key: deterministic,
         # monotone in the key, identical in every re-evaluation.  A plain

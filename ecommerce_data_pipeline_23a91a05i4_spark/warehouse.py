@@ -12,8 +12,9 @@ business key (SURVEY.md §1.2 rules out monotonically_increasing_id).
 Dimensions use a plain global row_number — they are dimension-sized by
 construction, so the single-partition window is bounded.  The FACT key
 (sales_key) is the 100 TB column: it uses operators/keys.dense_sequence,
-which produces identical values with no single-partition stage
-(range-partition → local row_number → broadcast partition offsets).
+which adaptively switches from a bounded global window (small inputs) to
+a fully distributed numbering (range-partition → local row_number →
+broadcast partition offsets) once the fact exceeds the 4M-row threshold.
 
 SCD2 shape: the reference *declares* SCD2 but truncate-reloads with
 effective_date = run date, end_date NULL, is_current TRUE

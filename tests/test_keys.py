@@ -24,7 +24,7 @@ def test_dense_sequence_matches_global_row_number(spark):
     expected = df.withColumn(
         "seq", F.row_number().over(Window.orderBy("k")).cast("int")
     )
-    got = dense_sequence(df, "seq", "k", parts=13)
+    got = dense_sequence(df, "seq", "k", parts=13, small_threshold=0)
     assert got.columns == df.columns + ["seq"]
     mismatches = (
         got.alias("g")
@@ -40,9 +40,24 @@ def test_dense_sequence_matches_global_row_number(spark):
     assert (lo, hi, distinct) == (1, n, n)
 
 
+def test_dense_sequence_small_path_matches(spark):
+    # default small_threshold routes tiny inputs through the bounded
+    # global window — values must be identical to the distributed path
+    df = spark.range(0, 500).select((F.col("id") * 37 % 1009).alias("k"))
+    small = dense_sequence(df, "seq", "k")
+    dist = dense_sequence(df, "seq", "k", parts=7, small_threshold=0)
+    assert (
+        small.alias("s")
+        .join(dist.alias("d"), "k")
+        .where(F.col("s.seq") != F.col("d.seq"))
+        .count()
+        == 0
+    )
+
+
 def test_dense_sequence_plan_has_no_global_window(spark):
     df = spark.range(0, 1000).select(F.col("id").alias("k"))
-    got = dense_sequence(df, "seq", "k", parts=8)
+    got = dense_sequence(df, "seq", "k", parts=8, small_threshold=0)
     buf = io.StringIO()
     with redirect_stdout(buf):
         got.explain("simple")
