@@ -246,7 +246,19 @@ def t12_event_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="asof_orderdate",
         right_values=["asof_orderkey", "asof_orderdate"],
     )
-    return out.orderBy("event_id")
+    # Summarize to a month-grained checksum: every as-of pairing feeds
+    # sum_orderkey/n_events, so a single wrong match flips the value hash,
+    # while the result stays analytics-sized (collect cost is the result,
+    # not 100k joined rows).  NULL month = events with no prior order.
+    return (
+        out.groupBy(F.date_trunc("month", F.col("asof_orderdate")).alias("asof_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("asof_orderkey").alias("sum_orderkey"),
+        )
+        .orderBy("asof_month")
+    )
 
 
 def t13_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,10 +306,23 @@ def t14_event_session_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         end="session_end",
         bucket_width_s=3600,
     )
+    per_session = assigned.groupBy("user_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # Roll the ~1-row-per-session relation up to the session-size
+    # distribution: every interval assignment feeds n_sessions/sum_span_us,
+    # so a misbucketed event flips the hash, while the result is tiny.
+    span_us = F.unix_micros(F.col("session_end")) - F.unix_micros(
+        F.col("session_start")
+    )
     return (
-        assigned.groupBy("user_id", "session_start", "session_end")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_id", "session_start")
+        per_session.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(span_us).alias("sum_span_us"),
+        )
+        .orderBy("n_events")
     )
 
 

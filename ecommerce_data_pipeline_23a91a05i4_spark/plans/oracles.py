@@ -566,10 +566,14 @@ EXTRAS_ORACLES["t12_event_asof_order"] = f"""
                MAX(o_orderkey) AS asof_orderkey
         FROM orders GROUP BY 1, 2
     )
-    SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey, o.asof_orderdate
+    SELECT CAST(date_trunc('month', o.asof_orderdate) AS TIMESTAMP) AS asof_month,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(o.asof_orderkey) AS BIGINT) AS sum_orderkey
     FROM ev e ASOF LEFT JOIN o
       ON e.user_id = o.user_id AND e.ts >= o.asof_orderdate
-    ORDER BY e.event_id
+    GROUP BY 1
+    ORDER BY asof_month NULLS FIRST
 """
 
 EXTRAS_ORACLES["t13_vocab_difference"] = f"""
@@ -604,14 +608,23 @@ EXTRAS_ORACLES["t14_event_session_ranges"] = f"""
     intervals AS (
         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM sessionized GROUP BY user_id, session_seq
+    ),
+    per_session AS (
+        SELECT e.user_id AS user_id, i.session_start, i.session_end,
+               COUNT(*) AS n_events
+        FROM ev e JOIN intervals i
+          ON e.user_id = i.user_id
+         AND e.ts BETWEEN i.session_start AND i.session_end
+        GROUP BY 1, 2, 3
     )
-    SELECT e.user_id AS user_id, i.session_start, i.session_end,
-           COUNT(*) AS n_events
-    FROM ev e JOIN intervals i
-      ON e.user_id = i.user_id
-     AND e.ts BETWEEN i.session_start AND i.session_end
-    GROUP BY 1, 2, 3
-    ORDER BY 1, 2
+    SELECT n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(session_end) - epoch_us(session_start)) AS BIGINT)
+             AS sum_span_us
+    FROM per_session
+    GROUP BY 1
+    ORDER BY n_events
 """
 
 
