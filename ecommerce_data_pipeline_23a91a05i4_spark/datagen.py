@@ -237,7 +237,11 @@ def generate_transaction_items(
     keyed = priced.withColumn(
         "_item_order", F.col("_txn_seq") * 8 + F.col("_item_seq")
     )
-    return dense_sequence(keyed, "_item_no", "_item_order", key_type="bigint").withColumn(
+    # persist=False: the input is hash-derived from spark.range — recompute
+    # is cheaper than caching generator output.
+    return dense_sequence(
+        keyed, "_item_no", "_item_order", key_type="bigint", persist=False
+    ).withColumn(
         "item_id", F.format_string("ITEM%06d", F.col("_item_no"))
     ).select(
         "item_id",
@@ -262,7 +266,9 @@ def generate_all(
     customers = generate_customers(spark, n_customers, run_date)
     products = generate_products(spark, n_products)
     skeleton = generate_transactions_skeleton(spark, n_transactions, n_customers)
-    items = generate_transaction_items(spark, skeleton, products, n_products)
+    # items feeds BOTH its own sink and the transactions total backfill —
+    # persist so the two consumers share one evaluation
+    items = generate_transaction_items(spark, skeleton, products, n_products).persist()
     totals = items.groupBy("transaction_id").agg(
         F.sum("line_total").cast("decimal(12,2)").alias("total_amount")
     )

@@ -308,15 +308,24 @@ def run_pipeline(
     run_ts = f"{run_date} 00:00:00"
 
     def data_generation() -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         raw.mkdir(parents=True, exist_ok=True)
         from .sources.registry import write as sink
 
         data = datagen.generate_all(
             spark, n_customers, n_products, n_transactions, run_date
         )
-        for name, df in data.items():
-            # single CSV per table mirrors the reference's raw layer (S7)
-            sink(df, "csv_single", str(raw / f"{name}.csv"))
+        # single CSV per table mirrors the reference's raw layer (S7);
+        # the four writes are independent plans → concurrent Spark jobs,
+        # same pattern as the gold build
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda kv: sink(kv[1], "csv_single", str(raw / f"{kv[0]}.csv")),
+                    data.items(),
+                )
+            )
         meta = {
             "customers": n_customers,
             "products": n_products,
