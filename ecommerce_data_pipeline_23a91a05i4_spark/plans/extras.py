@@ -355,3 +355,32 @@ def t16_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q22_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of order totals per
+    priority): the distribution-analytics aggregate the reference's AVG-only
+    suite lacks.
+
+    `percentile()` is Spark's exact variant — it buffers each group's
+    values, which is fine for bounded group counts like the 5 priorities
+    here but NOT for high-cardinality groups at 100 TB; there the one-line
+    swap is `approx_percentile(col, p, accuracy)` (KLL-sketch-backed,
+    mergeable, bounded memory), which no longer bit-matches a serial
+    oracle.  Outputs are floor-quantized (functions/exprs.quant) because
+    linear interpolation on doubles is the one place two engines'
+    identical definitions can still round differently."""
+    orders = table(spark, sf_dir, "orders")
+    pctl = lambda p: quant(  # noqa: E731
+        F.expr(f"percentile(o_totalprice, {p})"), 4
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pctl(0.5).alias("p50"),
+            pctl(0.9).alias("p90"),
+            pctl(0.99).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

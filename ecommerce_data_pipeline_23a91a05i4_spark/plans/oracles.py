@@ -639,3 +639,15 @@ EXTRAS_ORACLES["t16_deterministic_sample"] = """
     GROUP BY lang
     ORDER BY lang
 """
+
+
+EXTRAS_ORACLES["q22_price_percentiles"] = f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {SQL_QUANT("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+           {SQL_QUANT("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+           {SQL_QUANT("quantile_cont(o_totalprice, 0.99)", 4)} AS p99
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderpriority
+"""
