@@ -68,6 +68,47 @@ def read(
     raise KeyError(f"unknown source format {fmt!r}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, sorted external parquet table — the co-located-join layout
+    (SURVEY.md §4: the reference's b-tree indexes on join keys,
+    create_production_schema.sql:96-107, map to partitioning/clustering in
+    the lakehouse).
+
+    Two tables written with the SAME (key, buckets) spec join with ZERO
+    shuffle: the scan reports ``Bucketed: true`` and the sort-merge join
+    plans no Exchange on either side — at 100 TB that removes the single
+    most expensive stage of a fact⋈fact join (e.g. items⋈transactions,
+    re-joined by every quality check and warehouse load).  Equality filters
+    on the bucket key additionally prune to one bucket
+    (``SelectedBucketsCount 1 out of n``).
+
+    The input is pre-repartitioned by the bucket expression so each task
+    holds exactly one bucket → one file per bucket (without it, every
+    write task emits a file per bucket it touches, and a sorted bucket
+    split across files forfeits the sort at read time).
+    """
+    from pyspark.sql import functions as F
+
+    writer = (
+        df.repartition(buckets, F.col(key))
+        .write.mode(mode)
+        .option("path", path)
+        .format("parquet")
+        .bucketBy(buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options) -> None:
     if fmt == "parquet":
         partition_by = options.pop("partitionBy", None)
