@@ -70,12 +70,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_event_session_ranges": extras.t14_event_session_ranges,
         "t15_winnow_dedup": extras.t15_winnow_dedup,
         "t16_deterministic_sample": extras.t16_deterministic_sample,
+        "t17_minhash_portable": extras.t17_minhash_portable,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """t8/t9 intentionally absent: xxhash64-based, no DuckDB twin
-    (driver records the weaker rows-only check for them)."""
+    (driver records the weaker rows-only check for them).  t17 is the
+    oracle-CHECKED MinHash: md5-derived hashes both engines compute."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)

@@ -206,6 +206,107 @@ def minhash_dedup_pairs(
     return cands.join(verified, ["id_a", "id_b"], "inner")
 
 
+# ------------------------------------- MinHash LSH (engine-portable hashes)
+
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_coeffs(num_perm: int = 32) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the modular permutation family
+    h_i(x) = (a_i·x + b_i) mod p.  Emitted as literals into both the Spark
+    plan and the DuckDB oracle SQL, so the two engines run the *same*
+    arithmetic.  a < 2^31 and x < 2^32 keep a·x + b below 2^63 — plain
+    BIGINT in any engine, no overflow."""
+    return [
+        (
+            (1103515245 * (i + 1) + 12345) % 2147483647 + 1,
+            (69069 * (i + 1) + 1) % MINHASH_P,
+        )
+        for i in range(num_perm)
+    ]
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT — the one hash both
+    Spark and DuckDB compute identically (xxhash64's seeded variant exists
+    only JVM-side, which is why t8 has no SQL oracle)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_md5_pairs(
+    shingled: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with engine-portable hashing.
+
+    Same S-curve and join discipline as minhash_signatures/
+    lsh_candidate_pairs, but every hash is md5-derived with literal modular
+    permutations (minhash_coeffs), so a DuckDB oracle replays the whole
+    pipeline — signature, banding, candidate generation, verification —
+    bit-for-bit.  Returns (id_a, id_b, jaccard) for candidate pairs whose
+    exact Jaccard (computed only over candidates, O(candidates) work)
+    meets the threshold.
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must be divisible by bands"
+    hv = md5_hash32(F.col("shingle"))
+    sig = shingled.groupBy("id").agg(
+        *[
+            F.min((F.lit(a).cast("long") * hv + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+        ]
+    )
+    banded = None
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * r + j}") for j in range(r)]
+        one = sig.select(
+            "id",
+            F.lit(bnd).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+        )
+        banded = one if banded is None else banded.unionAll(one)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = shingled.alias("sa"), shingled.alias("sb")
+    inter = (
+        cands.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(
+            sb,
+            (F.col("id_b") == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 def simhash_sql(text_sql: str) -> str:

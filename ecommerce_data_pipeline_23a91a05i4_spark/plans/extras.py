@@ -384,3 +384,19 @@ def q22_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def t17_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with engine-portable hashing — the
+    oracle-CHECKED MinHash (t8's xxhash64 signatures exist only JVM-side,
+    so its gate is rows-only; here every hash is md5-derived with literal
+    modular permutations and the DuckDB oracle replays signature → bands →
+    candidates → Jaccard verification bit-for-bit)."""
+    from ..operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents")
+    shingled = dd.shingle_table(docs, "doc_id", "text", n=2)
+    pairs = dd.minhash_md5_pairs(shingled, num_perm=32, bands=8, threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", quant(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")

@@ -106,3 +106,23 @@ def test_winnow_pairs_find_partial_overlap(spark):
              dd.winnow_pairs(df, "doc_id", "text", k=8, window=4, min_shared=5).collect()}
     assert (7, 8) in pairs
     assert not any(9 in p for p in pairs)
+
+
+def test_minhash_portable_recalls_planted_dups(docs):
+    """The md5-permutation MinHash (t17's operator) recalls exact dups
+    with certainty (identical shingle sets → identical signatures) and
+    filters unrelated documents."""
+    shingled = dd.shingle_table(docs, "doc_id", "text")
+    pairs = dd.minhash_md5_pairs(shingled, num_perm=32, bands=8, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_portable_jaccard_values_are_exact(docs):
+    shingled = dd.shingle_table(docs, "doc_id", "text")
+    by_pair = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_md5_pairs(shingled, threshold=0.5).collect()
+    }
+    assert by_pair[(1, 2)] == 1.0
