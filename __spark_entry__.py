@@ -71,13 +71,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_winnow_dedup": extras.t15_winnow_dedup,
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
+        "t18_simhash_portable": extras.t18_simhash_portable,
+        "t19_winnow_portable": extras.t19_winnow_portable,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    """t8/t9 intentionally absent: xxhash64-based, no DuckDB twin
-    (driver records the weaker rows-only check for them).  t17 is the
-    oracle-CHECKED MinHash: md5-derived hashes both engines compute."""
+    """t8/t9/t15 intentionally absent: xxhash64-based, no DuckDB twin
+    (driver records the weaker rows-only check for them).  t17/t18/t19
+    are their oracle-CHECKED twins (MinHash/SimHash/winnowing with
+    md5-derived hashes both engines compute identically)."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)

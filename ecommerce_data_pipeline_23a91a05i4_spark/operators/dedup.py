@@ -395,6 +395,84 @@ def simhash_pairs(
     )
 
 
+# ---------------------------------- SimHash (engine-portable md5 variant)
+
+SIMHASH_MD5_BITS = 48  # 12 hex chars of md5 — fits signed BIGINT in any engine
+
+
+def simhash_md5_sql(text_sql: str) -> str:
+    """48-bit SimHash with md5-derived token hashes — t9's xxhash64
+    fingerprints exist only JVM-side, so its gate is rows-only; this
+    variant uses the one hash Spark and DuckDB compute identically
+    (md5 hex prefix → integer, same trick as minhash_md5_pairs), making
+    the whole vote-and-sign pipeline oracle-replayable bit-for-bit.
+    48 bits (not 64) because '0x'+hex→BIGINT parsing is signed in DuckDB;
+    12 hex chars keep every intermediate below 2^63 in both engines."""
+    bits = SIMHASH_MD5_BITS
+    hashes = (
+        f"transform(split(regexp_replace(lower(trim({text_sql})), '\\\\s+', ' '), ' '), "
+        "t -> CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT))"
+    )
+    votes = (
+        f"aggregate({hashes}, transform(sequence(0, {bits - 1}), b -> 0), "
+        "(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), b -> CAST(shiftright(h, b) & 1 AS INT) * 2 - 1), "
+        "(x, y) -> x + y))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by portable 48-bit SimHash: block on equal 12-bit
+    chunks (4 chunks > max_hamming=3 → pigeonhole guarantees exact
+    recall), verify exact Hamming.  Same plan shape as simhash_pairs —
+    the candidate join stays linear in bucket sizes at scale."""
+    if max_hamming > 3:
+        raise ValueError("portable variant blocks on 4 chunks; max_hamming <= 3")
+    n_chunks = 4
+    width = SIMHASH_MD5_BITS // n_chunks
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
+    ).select("id", F.expr(simhash_md5_sql("__text__")).alias("sim"))
+    chunks = None
+    for c in range(n_chunks):
+        one = sh.select(
+            "id",
+            "sim",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("sim"), c * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        chunks = one if chunks is None else chunks.unionAll(one)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------------------------- winnowing
 
 def winnow_fingerprints(
@@ -403,6 +481,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 8,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     MOSS algorithm): hash every k-char gram of the normalized text, keep
@@ -413,10 +492,18 @@ def winnow_fingerprints(
     Pure SQL higher-order expressions over xxhash64 — per-row compute,
     no shuffle; output exploded as (id, fingerprint) distinct, ready for
     the same bucket-join dedup shape as shingles.
+
+    portable=True swaps xxhash64 for the md5-prefix hash (md5_hash32) so
+    a DuckDB oracle can replay the gram→window-min selection exactly.
     """
+    gram_hash = (
+        f"CAST(conv(substring(md5(substring(_norm, i, {k})), 1, 8), 16, 10) AS BIGINT)"
+        if portable
+        else f"xxhash64(substring(_norm, i, {k}))"
+    )
     grams = (
         f"transform(sequence(1, greatest(length(_norm) - {k} + 1, 1)), "
-        f"i -> xxhash64(substring(_norm, i, {k})))"
+        f"i -> {gram_hash})"
     )
     mins = (
         f"transform(sequence(1, greatest(size(_grams) - {window} + 1, 1)), "
@@ -439,11 +526,12 @@ def winnow_pairs(
     k: int = 8,
     window: int = 4,
     min_shared: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by shared winnowed fingerprints (id_a, id_b,
     shared_fingerprints) — the containment-style complement to Jaccard
     shingle dedup (robust to partial overlap/plagiarism-shaped reuse)."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    fp = winnow_fingerprints(df, id_col, text_col, k, window, portable=portable)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

@@ -400,3 +400,34 @@ def t17_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", quant(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+def t18_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with engine-portable hashing — the oracle-CHECKED
+    SimHash (t9's xxhash64 fingerprints are JVM-only, so its gate is
+    rows-only).  48-bit md5-derived fingerprints, 4x12-bit chunk blocking
+    on the Spark side; the DuckDB oracle recomputes fingerprints and
+    brute-forces ALL pairs, so equality also proves the blocking scheme's
+    recall is exact (pigeonhole: hamming<=3 must agree on one of 4
+    chunks)."""
+    from ..operators.dedup import simhash_md5_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        simhash_md5_pairs(docs, "doc_id", "text", max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def t19_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup with engine-portable hashing — the
+    oracle-CHECKED winnowing (t15's xxhash64 variant is rows-only).
+    md5-prefix gram hashes make the k-gram → window-min selection
+    replayable in DuckDB list_transform/list_min SQL."""
+    from ..operators.dedup import winnow_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        winnow_pairs(docs, "doc_id", "text", k=16, window=8, min_shared=20, portable=True)
+        .orderBy("id_a", "id_b")
+    )

@@ -724,3 +724,72 @@ def _minhash_portable_oracle() -> str:
 
 
 EXTRAS_ORACLES["t17_minhash_portable"] = _minhash_portable_oracle()
+
+
+def _simhash_portable_oracle() -> str:
+    """DuckDB twin of extras.t18_simhash_portable: identical tokenization
+    and md5-prefix 48-bit hashes (operators.dedup.simhash_md5_sql), but
+    brute-force ALL-pairs Hamming — so a hash match also proves the Spark
+    side's 4x12-bit chunk blocking loses no pair (exact recall)."""
+    from ..operators.dedup import SIMHASH_MD5_BITS
+
+    bits = SIMHASH_MD5_BITS
+    return f"""
+        WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+        toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+        hv AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h
+            FROM toks
+        ),
+        b AS (SELECT unnest(range(0, {bits})) AS bit),
+        votes AS (
+            SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS v
+            FROM hv CROSS JOIN b GROUP BY 1, 2
+        ),
+        sim AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE CAST(0 AS BIGINT) END) AS sim
+            FROM votes GROUP BY 1
+        )
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               bit_count(xor(a.sim, b2.sim)) AS hamming
+        FROM sim a JOIN sim b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
+EXTRAS_ORACLES["t18_simhash_portable"] = _simhash_portable_oracle()
+
+# DuckDB twin of extras.t19_winnow_portable: same normalized text, same
+# md5-prefix 32-bit gram hashes, same window-min selection (list_transform
+# over 1-based inclusive slices == Spark's transform over slice()), same
+# distinct-fingerprint pair join.
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN = 16, 8, 20
+EXTRAS_ORACLES["t19_winnow_portable"] = f"""
+    WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(norm) - {_WINNOW_K} + 1, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(norm, i, {_WINNOW_K})), 1, 8))::BIGINT
+               ) AS grams
+        FROM d
+    ),
+    m AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                   i -> list_min(grams[i:i+{_WINNOW_W}-1])
+               ) AS mins
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id AS id, unnest(mins) AS fingerprint FROM m)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN}
+    ORDER BY id_a, id_b
+"""
