@@ -16,12 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ecommerce_data_pipeline_23a91a05i4_spark.plans import analytics, extras, llmdata, monitoring
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import (
+    analytics,
+    extras,
+    llmdata,
+    monitoring,
+    relational,
+)
 from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     ANALYTICS_ORACLES,
     EXTRAS_ORACLES,
     LLMDATA_ORACLES,
     MONITORING_ORACLES,
+    RELATIONAL_ORACLES,
 )
 
 
@@ -73,6 +80,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
     }
 
 
@@ -85,4 +99,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)
     out.update(EXTRAS_ORACLES)
+    out.update(RELATIONAL_ORACLES)
     return out

@@ -726,6 +726,160 @@ def _minhash_portable_oracle() -> str:
 EXTRAS_ORACLES["t17_minhash_portable"] = _minhash_portable_oracle()
 
 
+# ------------------------------------------------- relational gates (q23+)
+
+RELATIONAL_ORACLES: dict[str, str] = {}
+
+RELATIONAL_ORACLES["q23_monthly_growth"] = f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {SQL_MONEY_SUM('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    nav AS (
+        SELECT month, n_orders, revenue,
+               LAG(revenue) OVER (ORDER BY month) AS prev_revenue
+        FROM monthly
+    )
+    SELECT month, n_orders, revenue, prev_revenue,
+           {SQL_SAFE_PCT('revenue - prev_revenue', 'prev_revenue')} AS growth_pct
+    FROM nav
+    ORDER BY month
+"""
+
+RELATIONAL_ORACLES["q24_brand_type_cube"] = f"""
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(p_type, 'ALL') AS part_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {SQL_MONEY_SUM('p_retailprice')} AS total_price,
+           {SQL_MEAN2('p_retailprice', 'COUNT(*)')} AS avg_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_type)
+    ORDER BY brand, part_type
+"""
+
+RELATIONAL_ORACLES["q25_top_parts_per_brand"] = f"""
+    WITH ranked AS (
+        SELECT p_brand AS brand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS brand_rank,
+               p_partkey AS partkey,
+               p_name AS part_name,
+               {SQL_R2('p_retailprice')} AS retail_price
+        FROM part
+    )
+    SELECT CAST(brand_rank AS INT) AS brand_rank, brand, partkey, part_name,
+           retail_price
+    FROM ranked WHERE brand_rank <= 3
+    ORDER BY brand, brand_rank
+"""
+
+RELATIONAL_ORACLES["q26_daily_activity"] = f"""
+    WITH {EVENTS_NORM},
+    od AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {SQL_MONEY_SUM('o_totalprice')} AS order_value
+        FROM orders GROUP BY 1
+    ),
+    ed AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {SQL_R2(SQL_DSUM('value'))} AS event_value
+        FROM ev GROUP BY 1
+    )
+    SELECT day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(order_value, 0.0) AS order_value,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(event_value, 0.0) AS event_value
+    FROM od FULL JOIN ed USING (day)
+    ORDER BY day
+"""
+
+RELATIONAL_ORACLES["q27_order_date_spine"] = """
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+               MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    filled AS (
+        SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    )
+    SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active_days,
+           CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_days,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+    FROM filled
+    GROUP BY 1
+    ORDER BY month
+"""
+
+RELATIONAL_ORACLES["q28_nation_balance_outliers"] = f"""
+    WITH pn AS (
+        SELECT c_nationkey,
+               SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+               COUNT(*) AS n_cust
+        FROM customer GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           c_custkey AS custkey,
+           {SQL_R2('c_acctbal')} AS acctbal
+    FROM customer c
+    JOIN pn USING (c_nationkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * 2 * n_cust > sum_bal * 3
+    ORDER BY nation, custkey
+"""
+
+RELATIONAL_ORACLES["q29_lineitem_moment_stats"] = f"""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sy,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
+               SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+                   AS syy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag AS returnflag,
+           n,
+           {SQL_QUANT('CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS avg_qty,
+           {SQL_QUANT(
+               'sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))', 6
+           )} AS stddev_qty,
+           {SQL_QUANT(
+               '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)'
+               ' - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6
+           )} AS corr_qty_price
+    FROM agg
+    ORDER BY returnflag
+"""
+
+
 def _simhash_portable_oracle() -> str:
     """DuckDB twin of extras.t18_simhash_portable: identical tokenization
     and md5-prefix 48-bit hashes (operators.dedup.simhash_md5_sql), but
