@@ -136,6 +136,29 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, key: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the event key within the
+    watermark horizon — the idempotency layer every at-least-once source
+    (Kafka, file redelivery) needs in front of the bronze sink.
+
+    State holds one entry per key seen inside the watermark window and is
+    evicted as the watermark advances, so memory is bounded by
+    (arrival rate x horizon), not by stream lifetime.  Without the
+    withWatermark call, streaming dropDuplicates state grows forever —
+    that is the 100 TB foot-gun this wrapper exists to prevent."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key, "ts"])
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small, broadcast) static dimension — no streaming state at all, the
+    static side is re-resolved per batch.  This is the streaming twin of
+    the warehouse star join (J2): facts stream, dimensions broadcast."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_available_now(stream_df: DataFrame, view_name: str) -> DataFrame:
     """Drain the stream with trigger(availableNow) into a memory sink and
     return the materialized result — the test/bench harness for streaming

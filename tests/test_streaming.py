@@ -65,6 +65,114 @@ def test_builtin_session_window_agrees_with_lag_based(spark):
     assert got == want
 
 
+def test_dedup_stream_removes_redelivered_file(spark, tmp_path):
+    """At-least-once redelivery: the same events file delivered twice must
+    dedup back to the original row count (state keyed on event_id+ts
+    within the watermark horizon)."""
+    import shutil
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(EVENTS, src / "delivery_1.parquet")
+    shutil.copy(EVENTS, src / "delivery_2.parquet")
+
+    stream = st.stream_events(spark, str(src))
+    got = st.run_available_now(
+        st.dedup_stream(stream), "dedup_t"
+    )
+    batch = spark.read.parquet(EVENTS)
+    assert got.count() == batch.count()
+
+
+def test_enrich_stream_matches_batch_star_join(spark):
+    """Stream-static broadcast enrichment must equal the batch left join."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    dim = (
+        table(spark, SF, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = st.stream_events(spark, EVENTS)
+    got = st.run_available_now(st.enrich_stream(stream, dim, "user_id"), "enrich_t")
+    batch = table(spark, SF, "events").join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == batch.count()
+    g = got.groupBy("c_nationkey").count().collect()
+    b = batch.groupBy("c_nationkey").count().collect()
+    assert {(r.c_nationkey, r["count"]) for r in g} == {
+        (r.c_nationkey, r["count"]) for r in b
+    }
+
+
+def test_append_windows_finalize_exactly_once_at_watermark(spark, tmp_path):
+    """Append-mode watermark semantics, as Spark actually guarantees them
+    (verified empirically on 4.1: the watermark guarantee is
+    ONE-DIRECTIONAL — data within the delay is never dropped, but data
+    below the watermark MAY still be aggregated; a late row arriving
+    below the watermark is accepted and its window finalized+emitted in
+    that same batch).  What IS deterministic, and what this test pins:
+
+      - a window is emitted only once the watermark passes its end
+      - each window is emitted exactly once (no re-emission)
+      - open windows (end > final watermark) are never emitted
+
+    Three files forced into separate micro-batches (maxFilesPerTrigger=1,
+    mtime order):
+
+      f1: three events 10:00-10:02      -> watermark after: 09:02
+      f2: late event 00:30 (accepted + instantly finalized: count 1)
+          fresh event 10:30             -> watermark after: 09:30
+      f3: one event 13:00               -> watermark after: 12:00,
+          which finalizes the 10:00 window (count 4); the 13:00 window
+          stays open and must NOT be emitted
+    """
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    def ns(s: str) -> int:
+        return int(time.mktime(time.strptime(s, "%Y-%m-%d %H:%M:%S"))) * 10**9
+
+    src = tmp_path / "late_events"
+    ckpt = str(tmp_path / "late_ckpt")
+    mk = lambda eid, t: Row(  # noqa: E731
+        event_id=eid, ts=ns(t), user_id=1, event_type="a", value=1.0, props="{}"
+    )
+    files = [
+        ("f1.parquet", [mk(i, f"2024-06-01 10:0{i}:00") for i in range(3)], 1000),
+        ("f2.parquet", [mk(100, "2024-06-01 00:30:00"),
+                        mk(101, "2024-06-01 10:30:00")], 2000),
+        ("f3.parquet", [mk(200, "2024-06-01 13:00:00")], 3000),
+    ]
+    for name, rows, mtime in files:
+        spark.createDataFrame(rows, schema=st.EVENTS_RAW_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+        for root, _, fs in os.walk(str(src / name)):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    raw = (
+        spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = st.hourly_event_counts(events, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_t").collect()
+    got = {(r.window_start.hour, r.event_count) for r in rows}
+    assert got == {(0, 1), (10, 4)}, f"unexpected finalized windows: {rows}"
+    assert len(rows) == 2, f"window re-emitted: {rows}"
+
+
 def test_stream_to_bronze_matches_batch_content(spark, tmp_path):
     """Streaming bronze ingest drains the file stream into parquet with
     audit columns; content equals the batch read."""
