@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ecommerce_data_pipeline_23a91a05i4_spark.plans import (
     analytics,
+    behavioral,
+    corpus,
     extras,
     llmdata,
     monitoring,
@@ -25,6 +27,8 @@ from ecommerce_data_pipeline_23a91a05i4_spark.plans import (
 )
 from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     ANALYTICS_ORACLES,
+    BEHAVIORAL_ORACLES,
+    CORPUS_ORACLES,
     EXTRAS_ORACLES,
     LLMDATA_ORACLES,
     MONITORING_ORACLES,
@@ -87,6 +91,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_order_date_spine": relational.q27_order_date_spine,
         "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
         "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
+        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
     }
 
 
@@ -94,10 +108,14 @@ def oracle_sql() -> dict[str, str]:
     """t8/t9/t15 intentionally absent: xxhash64-based, no DuckDB twin
     (driver records the weaker rows-only check for them).  t17/t18/t19
     are their oracle-CHECKED twins (MinHash/SimHash/winnowing with
-    md5-derived hashes both engines compute identically)."""
+    md5-derived hashes both engines compute identically).  t24 is also
+    rows-only: its encoder is deliberately Python (mapInPandas plumbing
+    under test); determinism is pinned by tests/test_multimodal.py."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)
     out.update(EXTRAS_ORACLES)
     out.update(RELATIONAL_ORACLES)
+    out.update(BEHAVIORAL_ORACLES)
+    out.update(CORPUS_ORACLES)
     return out

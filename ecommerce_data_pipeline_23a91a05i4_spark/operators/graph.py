@@ -1,0 +1,102 @@
+"""Distributed connected components over an undirected edge list.
+
+The missing half of near-dedup: pair generators (n-gram Jaccard t5,
+MinHash-LSH t17, SimHash t18, winnowing t19) emit *pairwise* matches, but
+a curation pipeline needs *clusters* — near-duplication is transitive in
+practice (A~B, B~C → keep one of {A,B,C}), so the pairs must be closed
+into components before electing one canonical survivor per group.  The
+reference has no graph surface at all (SURVEY.md §2 — its dedup is
+GROUP BY ... HAVING COUNT(*)>1, `sql/queries/data_quality_checks.sql:27-36`);
+this operator is part of the LLM-data extension mandated by the north star.
+
+Algorithm: min-label propagation with pointer jumping.  Every node starts
+labeled with its own id; each round, a node's label becomes the min of
+its own, its neighbors', and *its label's* label (the label-of-label
+"pointer jump", which halves chain lengths like path compression in
+union-find).  Neighbor propagation alone converges in O(diameter) rounds
+— fine for dense near-dup clusters, pathological for chains; the jump
+step brings it to O(log n) on any topology, the same bound the
+large-star/small-star formulation achieves (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14).  Each round is pure
+shuffle-on-key work that scales horizontally.
+
+Determinism: labels are mins over sets — independent of partitioning,
+join order, and engine.  An exact serial oracle (recursive CTE) can
+replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Return (node, component) for every node in `edges`, where
+    `component` is the minimum node id reachable from `node`.
+
+    Each iteration: one shuffle to aggregate neighbor minima + one
+    broadcast-or-shuffle join back to labels, then an O(nodes) action to
+    test convergence.  Lineage is truncated per round with
+    localCheckpoint so the plan does not grow with the iteration count
+    (on a cluster, prefer reliable checkpoint() to survive executor
+    loss; the loop is otherwise unchanged).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jump: follow my label to ITS label.  A label is always
+        # a node id, so the self-join resolves; this is what turns long
+        # chains from O(diameter) into O(log n) rounds.
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["component"] == parent["pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("pcomp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,206 @@
+"""Corpus-curation gates (t20-t22) — TF-IDF term ranking, near-dup
+cluster closure, and balanced stratified sampling.  These extend the
+pairwise dedup + per-doc scoring family (t1-t19) with the three
+*corpus-level* operations an LLM training-data pipeline runs after
+scoring: rank salient terms, collapse near-dup pairs into clusters with
+one canonical survivor, and rebalance strata before training.  All three
+have exact DuckDB oracles.
+
+Determinism discipline (same as plans/relational.py): integer/decimal
+arithmetic wherever possible; the only doubles are single correctly-
+rounded IEEE divisions/multiplications, which are bit-identical across
+engines (unlike ln/exp, whose libm implementations may differ in the
+last ulp — that is why t20's idf weight is rational, see its
+docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exprs import quant
+from ..operators import dedup as dd
+from ..operators.graph import connected_components
+from ..operators.text import norm_text
+from .llmdata import JACCARD_MAX_DOC_FREQ, JACCARD_THRESHOLD
+
+TFIDF_TOP_K = 3
+SAMPLE_TARGET_PER_STRATUM = 40.0
+
+
+def t20_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf-idf.
+
+    The idf weight is the *rational* smoothed form (N+1)/(df+1) instead
+    of ln((N+1)/(df+1)): log is monotone, so per-document term RANKING —
+    the thing this query returns — is identical, while the score stays a
+    single correctly-rounded IEEE division that two engines compute
+    bit-identically (libm ln implementations are allowed to differ in the
+    last ulp, which flips quantization boundaries and rank ties).  At
+    production scale swap in log1p for numeric range; the plan shape is
+    unchanged.
+
+    Plan shape: explode(tokens) → two hash aggregations (term-frequency
+    per doc, document-frequency per term) → broadcast the 1-row corpus
+    count → per-doc top-k window.  The window partitions by doc_id, so
+    the sort is per-document, never global."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            quant(
+                (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("doc_freq") + 1).cast("double"),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("term_rank"),
+            "term",
+            "tf",
+            "doc_freq",
+            "tfidf",
+        )
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+def t21_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: t5's n-gram Jaccard pairs closed into
+    connected components (operators/graph.py), with the min doc_id as
+    each cluster's canonical id.  Pairwise output is not actionable for
+    dedup — near-duplication chains (A~B~C with A!~C), and keeping
+    "one of each pair" either over- or under-deletes; the component
+    closure is what yields exactly one survivor per duplicate family.
+    Deleting `cluster_size - 1` docs per component is then a semi-join.
+
+    The component labels are minima over connected node sets — exact,
+    partitioning-independent, and replayable by a serial recursive-CTE
+    oracle."""
+    docs = table(spark, sf_dir, "documents")
+    shingled = dd.shingle_table(docs, "doc_id", "text", n=2)
+    pairs = dd.jaccard_pairs(
+        shingled, threshold=JACCARD_THRESHOLD, max_doc_freq=JACCARD_MAX_DOC_FREQ
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t22_balanced_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified corpus sample: keep ~SAMPLE_TARGET docs per
+    language regardless of how skewed the language mix is — the
+    rebalancing step before multilingual training.  Selection is
+    hash-deterministic (md5 of doc_id → uniform in [0,1), keep when
+    u * stratum_size < target), so the sample is reproducible across
+    engines, partitionings, and cluster sizes — rand()-based sampleBy
+    is none of those.  Per-stratum rates adapt automatically: strata
+    smaller than the target are kept whole.
+
+    One broadcast join against the per-language counts (5 rows); the
+    filter is embarrassingly parallel — no shuffle of the corpus
+    itself."""
+    docs = table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("stratum_size"))
+    u = dd.md5_hash32(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(2**32)
+    )
+    return (
+        docs.join(F.broadcast(sizes), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "stratum_size",
+            quant(u, 6).alias("u"),
+        )
+        .filter(
+            F.col("u") * F.col("stratum_size")
+            < F.lit(SAMPLE_TARGET_PER_STRATUM)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t23_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed manifest of the multimodal asset table: per
+    (modality, source) — asset count, DISTINCT content hashes (the
+    exact-dup rate for binary blobs), and byte volume.  This is the
+    query a curation pipeline runs before any decode: what is here, how
+    much of it is unique, how big is it.
+
+    The binary column is real (text bytes via the documents_as_assets
+    adapter — the codec layer is the only stub, operators/multimodal.py);
+    sha2-256 over raw bytes is computable by both engines, so unlike the
+    Python feature extraction (t24, rows-only) this gate has a full
+    oracle.  Content-sha dedup at 100 TB is the same hash-groupBy as text
+    exact-dedup: one shuffle on the digest."""
+    from ..operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents")
+    assets = mm.with_content_sha(mm.documents_as_assets(docs))
+    return (
+        assets.groupBy("modality", F.col("metadata")["source"].alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.countDistinct("content_sha").alias("n_unique_contents"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("modality", "source")
+    )
+
+
+def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary assets (mapInPandas):
+    the deterministic stub encoder produces sha-derived vectors, and this
+    gate aggregates them per source so the driver exercises the full
+    plumbing — binary column → Arrow batch → pandas decode → schema-stable
+    output — at gate scale.  Rows-only check by design: the encoder is
+    Python (as a real CLIP/whisper deployment would be), so no SQL twin
+    exists; its determinism is pinned by pytest instead
+    (tests/test_multimodal.py)."""
+    from ..operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents")
+    assets = mm.documents_as_assets(docs)
+    feats = mm.extract_features(assets, fake=True)
+    doc_src = docs.select(
+        F.col("doc_id").alias("asset_id"), "source"
+    )
+    return (
+        feats.join(doc_src, "asset_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg(F.element_at("features", 1)).alias("avg_f0"),
+            F.min("decode_width").alias("min_width"),
+            F.max("decode_height").alias("max_height"),
+        )
+        .orderBy("source")
+    )

@@ -285,6 +285,37 @@ ANALYTICS_ORACLES: dict[str, str] = {
 # --------------------------------------------------------- LLM-data oracles
 
 NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# Bigram-shingle Jaccard pair chain (t5's pipeline), shared verbatim by
+# t5_ngram_jaccard and t21_neardup_clusters so the two oracles cannot
+# drift.  Produces CTE `j`(id_a, id_b, jaccard ≥ 0 unfiltered).
+JACCARD_PAIR_CTES = f"""toks AS (
+            SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                        ELSE [array_to_string(l, ' ')] END AS g
+            FROM toks
+        ),
+        sh AS (SELECT DISTINCT doc_id AS id, unnest(g) AS shingle FROM grams),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 125),
+        cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+            FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+        )"""
+
 EN_STOP = r"\b(the|a|an|is|are|of|and|to|in|that)\b"
 _MARKERS = {
     "en": r"\b(the|a|an|is|are|of|and|to|in|that)\b",
@@ -379,32 +410,7 @@ LLMDATA_ORACLES: dict[str, str] = {
         ORDER BY fingerprint
     """,
     "t5_ngram_jaccard": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
-        ),
-        grams AS (
-            SELECT doc_id,
-                   CASE WHEN len(l) >= 2
-                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
-                        ELSE [array_to_string(l, ' ')] END AS g
-            FROM toks
-        ),
-        sh AS (SELECT DISTINCT doc_id AS id, unnest(g) AS shingle FROM grams),
-        sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 125),
-        cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
-        inter AS (
-            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-            FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.id < b.id
-            GROUP BY 1, 2
-        ),
-        j AS (
-            SELECT id_a, id_b,
-                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-            FROM inter
-            JOIN sizes sa ON id_a = sa.id
-            JOIN sizes sb ON id_b = sb.id
-        )
+        WITH {JACCARD_PAIR_CTES}
         SELECT id_a, id_b, {SQL_QUANT('jaccard', 6)} AS jaccard
         FROM j WHERE jaccard >= 0.3
         ORDER BY id_a, id_b
@@ -946,4 +952,208 @@ EXTRAS_ORACLES["t19_winnow_portable"] = f"""
     GROUP BY 1, 2
     HAVING COUNT(*) >= {_WINNOW_MIN}
     ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------- behavioral gates (q30-q34)
+
+BEHAVIORAL_ORACLES: dict[str, str] = {}
+
+BEHAVIORAL_ORACLES["q30_rolling_weekly_revenue"] = f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT day, n_orders, rev,
+               CAST(SUM(n_orders) OVER w AS BIGINT) AS rolling_orders,
+               SUM(rev) OVER w AS rolling_rev
+        FROM daily
+        WINDOW w AS (ORDER BY CAST(day AS DATE) - DATE '1970-01-01'
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_orders,
+           {SQL_R2('rev')} AS day_revenue,
+           rolling_orders,
+           {SQL_R2('rolling_rev')} AS rolling_revenue
+    FROM win
+    ORDER BY day
+"""
+
+BEHAVIORAL_ORACLES["q31_weekly_cohort_retention"] = f"""
+    WITH {EVENTS_NORM},
+    cohort AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM ev GROUP BY 1
+    ),
+    act AS (
+        SELECT e.user_id, c.cohort_week,
+               CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS act_week
+        FROM ev e JOIN cohort c USING (user_id)
+    ),
+    cells AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', CAST(cohort_week AS DATE),
+                              CAST(act_week AS DATE)) / 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM act GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY 1
+    )
+    SELECT cohort_week, week_offset, cohort_size, n_active,
+           {SQL_SAFE_PCT('n_active', 'cohort_size')} AS retention_pct
+    FROM cells JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+"""
+
+BEHAVIORAL_ORACLES["q32_event_funnel"] = f"""
+    WITH {EVENTS_NORM},
+    v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM ev e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY 1
+    ),
+    s(stage, n_users) AS (
+        SELECT '1_all_users', (SELECT COUNT(DISTINCT user_id) FROM ev)
+        UNION ALL SELECT '2_first_view', (SELECT COUNT(*) FROM v)
+        UNION ALL SELECT '3_click_after_view', (SELECT COUNT(*) FROM c)
+        UNION ALL SELECT '4_purchase_after_click', (SELECT COUNT(*) FROM p)
+    )
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+           {SQL_SAFE_PCT('n_users', 'LAG(n_users) OVER (ORDER BY stage)')}
+               AS step_conversion_pct
+    FROM s
+    ORDER BY stage
+"""
+
+BEHAVIORAL_ORACLES["q33_returnflag_grouping_sets"] = f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {SQL_MONEY_SUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+"""
+
+BEHAVIORAL_ORACLES["q34_click_purchase_overlap"] = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+"""
+
+
+# ------------------------------------------------- corpus gates (t20-t22)
+
+CORPUS_ORACLES: dict[str, str] = {}
+
+CORPUS_ORACLES["t20_tfidf_top_terms"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, doc_freq,
+               {SQL_QUANT(
+                   'CAST(tf * (n_docs + 1) AS DOUBLE)'
+                   ' / CAST(doc_freq + 1 AS DOUBLE)', 6
+               )} AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, doc_freq, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(term_rank AS INT) AS term_rank, term, tf, doc_freq,
+           tfidf
+    FROM ranked WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+"""
+
+# Connected components replayed serially: the recursive CTE enumerates
+# (node, reachable-ancestor) pairs from the symmetric pair graph;
+# MIN(ancestor) per node == the min-label-propagation fixpoint the Spark
+# operator converges to.
+CORPUS_ORACLES["t21_neardup_clusters"] = f"""
+    WITH RECURSIVE {JACCARD_PAIR_CTES},
+    pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    cc(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, c.lab FROM cc c JOIN sym e ON e.a = c.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM cc GROUP BY 1),
+    szs AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    )
+    SELECT doc_id, component, cluster_size
+    FROM comp JOIN szs USING (component)
+    ORDER BY doc_id
+"""
+
+CORPUS_ORACLES["t22_balanced_language_sample"] = f"""
+    WITH sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS stratum_size
+        FROM documents GROUP BY 1
+    ),
+    scored AS (
+        SELECT doc_id, lang, stratum_size,
+               {SQL_QUANT(
+                   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+                   '::BIGINT AS DOUBLE) / 4294967296.0', 6
+               )} AS u
+        FROM documents JOIN sizes USING (lang)
+    )
+    SELECT doc_id, lang, stratum_size, u
+    FROM scored
+    WHERE u * stratum_size < 40.0
+    ORDER BY doc_id
+"""
+
+CORPUS_ORACLES["t23_multimodal_manifest"] = """
+    SELECT 'image' AS modality,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique_contents,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY modality, source
 """

@@ -1,0 +1,235 @@
+"""Connected components + corpus-curation gates (t20-t22, q30-q34 helpers).
+
+The oracle gates prove cross-engine value parity; these tests pin the
+*semantics* on constructed inputs where the right answer is known by
+hand — transitive closure shapes, funnel ordering, sampling balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.operators.graph import (
+    connected_components,
+)
+from ecommerce_data_pipeline_23a91a05i4_spark.plans import behavioral, corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _components(spark, pairs):
+    out = connected_components(_edges(spark, pairs)).collect()
+    comp: dict[int, set[int]] = {}
+    for r in out:
+        comp.setdefault(r.component, set()).add(r.node)
+    return set(frozenset(s) for s in comp.values()), {
+        r.node: r.component for r in out
+    }
+
+
+def test_cc_chain_closes_transitively(spark):
+    """A-B, B-C, C-D: one component labeled by the min node, even though
+    A and D share no edge."""
+    groups, labels = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert groups == {frozenset({1, 2, 3, 4})}
+    assert set(labels.values()) == {1}
+
+
+def test_cc_separate_components_stay_separate(spark):
+    groups, labels = _components(
+        spark, [(10, 11), (20, 21), (21, 22), (30, 30)]
+    )
+    assert groups == {
+        frozenset({10, 11}),
+        frozenset({20, 21, 22}),
+        frozenset({30}),
+    }
+    assert labels[22] == 20
+
+
+def test_cc_long_chain_converges(spark):
+    """A 40-node path graph needs ~log-to-diameter rounds of propagation;
+    the loop's convergence test must carry min labels the whole way."""
+    n = 40
+    groups, labels = _components(spark, [(i, i + 1) for i in range(n)])
+    assert groups == {frozenset(range(n + 1))}
+    assert labels[n] == 0
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    g1, _ = _components(spark, [(5, 1), (1, 9)])
+    g2, _ = _components(spark, [(1, 5), (9, 1)])
+    assert g1 == g2 == {frozenset({1, 5, 9})}
+
+
+def test_neardup_clusters_cover_all_paired_docs(spark):
+    """Every doc that appears in a t5 jaccard pair must land in exactly
+    one cluster, labeled by its cluster's min doc_id, and cluster_size
+    must equal the member count."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans.llmdata import (
+        JACCARD_MAX_DOC_FREQ,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = table(spark, SF, "documents")
+    pairs = dd.jaccard_pairs(
+        dd.shingle_table(docs, "doc_id", "text", n=2),
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DOC_FREQ,
+    ).collect()
+    clusters = corpus.t21_neardup_clusters(spark, SF).collect()
+
+    paired = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert {r.doc_id for r in clusters} == paired
+    by_comp: dict[int, list] = {}
+    for r in clusters:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m.doc_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+    # each pair's endpoints must share a component (transitive closure)
+    label = {r.doc_id: r.component for r in clusters}
+    for p in pairs:
+        assert label[p.id_a] == label[p.id_b]
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    """A term unique to one doc must outrank a corpus-wide term within
+    that doc at equal tf."""
+    rows = [
+        (1, "zebra common common"),
+        (2, "common common apple"),
+        (3, "common banana banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").count()
+    n_docs = docs.count()
+    scored = (
+        tf.join(tf.groupBy("term").count().withColumnRenamed("count", "df"), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("count") * (F.lit(n_docs) + 1)).cast("double")
+                / (F.col("df") + 1).cast("double")
+            ).alias("s"),
+        )
+    )
+    d3 = {r.term: r.s for r in scored.filter("doc_id = 3").collect()}
+    assert d3["banana"] > d3["common"]
+
+
+def test_tfidf_gate_topk_shape(spark):
+    out = corpus.t20_tfidf_top_terms(spark, SF)
+    rows = out.collect()
+    assert rows, "empty tfidf output"
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.term_rank)
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= corpus.TFIDF_TOP_K
+
+
+def test_balanced_sample_caps_each_stratum(spark):
+    """Expected kept count per language is min(stratum, ~target); the
+    hash-uniform keeps it within binomial noise, and re-running is
+    byte-identical (determinism)."""
+    out = corpus.t22_balanced_language_sample(spark, SF)
+    a = [tuple(r) for r in out.collect()]
+    b = [tuple(r) for r in out.collect()]
+    assert a == b
+    kept = out.groupBy("lang").count().collect()
+    sizes = {
+        r.lang: r.stratum_size
+        for r in out.select("lang", "stratum_size").distinct().collect()
+    }
+    for r in kept:
+        n, kept_n = sizes[r.lang], r["count"]
+        expect = min(n, corpus.SAMPLE_TARGET_PER_STRATUM)
+        # 4-sigma binomial tolerance around the target rate
+        p = min(1.0, corpus.SAMPLE_TARGET_PER_STRATUM / n)
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(kept_n - expect) <= 4 * sigma + 1
+
+
+def test_funnel_is_monotone_and_ordered(spark):
+    rows = behavioral.q32_event_funnel(spark, SF).collect()
+    counts = [r.n_users for r in rows]
+    assert [r.stage for r in rows] == [
+        "1_all_users",
+        "2_first_view",
+        "3_click_after_view",
+        "4_purchase_after_click",
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].step_conversion_pct is None
+
+
+def test_funnel_respects_event_order(spark):
+    """A user who purchases BEFORE clicking must not reach stage 4."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    evs = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, 1, "view", base),
+        (2, 1, "click", base + dt.timedelta(minutes=1)),
+        (3, 1, "purchase", base + dt.timedelta(minutes=2)),
+        # user 2: purchase then view then click (no purchase AFTER click)
+        (4, 2, "purchase", base),
+        (5, 2, "view", base + dt.timedelta(minutes=1)),
+        (6, 2, "click", base + dt.timedelta(minutes=2)),
+    ]
+    ev = spark.createDataFrame(
+        evs, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    assert {r.user_id for r in c.collect()} == {1, 2}
+    assert {r.user_id for r in p.collect()} == {1}
+
+
+def test_rolling_revenue_window_shrinks_at_gaps(spark):
+    """First day's rolling value equals its own day value; every rolling
+    sum equals the hand-computed 7-day calendar sum."""
+    rows = behavioral.q30_rolling_weekly_revenue(spark, SF).collect()
+    by_day = {r.day.date(): r for r in rows}
+    days = sorted(by_day)
+    first = by_day[days[0]]
+    assert first.rolling_revenue == first.day_revenue
+    assert first.rolling_orders == first.n_orders
+    for d, r in by_day.items():
+        want = sum(
+            by_day[x].n_orders
+            for x in days
+            if 0 <= (d - x).days <= 6
+        )
+        assert r.rolling_orders == want
