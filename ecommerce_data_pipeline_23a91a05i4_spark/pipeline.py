@@ -15,8 +15,9 @@ Kept operator-for-operator: fail-fast linear DAG (X1), retry w/ backoff
 [1,2,4]s ×3 (X2, pipeline_orchestrator.py:55-56), execution report (X3),
 truncate-and-reload vs anti-join incremental modes (S5/J4), row-count
 reconciliation (S10/Q11), retention cleanup (X5).  The daily scheduler
-(X4) is engine-agnostic and intentionally out of scope (any cron/Airflow
-drives run_pipeline).
+with pidfile lock (X4, scheduler.py:53-128) lives in scheduler.py —
+stale-aware, clock-injectable; cron/Airflow can equally drive
+run_pipeline directly.
 """
 
 from __future__ import annotations

@@ -159,15 +159,77 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
-def run_available_now(stream_df: DataFrame, view_name: str) -> DataFrame:
+def attribute_stream(
+    events: DataFrame,
+    cause: str = "click",
+    effect: str = "purchase",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute each `effect` event to every
+    `cause` event by the same user within the preceding horizon — the
+    streaming form of click→purchase attribution (and of the batch
+    range-join t14 / as-of t12 family).
+
+    Both sides carry a watermark AND the join condition bounds event-time
+    distance; together they let Spark evict join state once an input is
+    older than (watermark + horizon), so state is O(arrival rate x
+    horizon), not unbounded.  A stream-stream join WITHOUT the time-range
+    condition must keep every row forever — the same foot-gun
+    dedup_stream documents for dropDuplicates.
+
+    Inner join by design: appends fire as soon as both sides match; an
+    outer variant would additionally wait for watermark closure on the
+    unmatched side."""
+    c = (
+        events.filter(F.col("event_type") == cause)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("cause_id"),
+            F.col("ts").alias("cause_ts"),
+        )
+        .withWatermark("cause_ts", horizon)
+    )
+    e = (
+        events.filter(F.col("event_type") == effect)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("effect_id"),
+            F.col("ts").alias("effect_ts"),
+            F.col("value"),
+        )
+        .withWatermark("effect_ts", horizon)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("effect_ts") > F.col("cause_ts"))
+        & (
+            F.col("effect_ts")
+            <= F.col("cause_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return c.join(e, cond, "inner").select(
+        "user_id", "cause_id", "effect_id", "cause_ts", "effect_ts", "value"
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, view_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drain the stream with trigger(availableNow) into a memory sink and
     return the materialized result — the test/bench harness for streaming
-    plans (production would writeStream to parquet/Kafka instead)."""
+    plans (production would writeStream to parquet/Kafka instead).
+
+    Default mode is update (aggregations emit refined results per batch);
+    stream-stream joins are append-only by Spark's rules — pass
+    output_mode="append" for those."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(view_name)
-        .outputMode("update" if stream_df.isStreaming else "append")
+        .outputMode(
+            output_mode
+            or ("update" if stream_df.isStreaming else "append")
+        )
         .trigger(availableNow=True)
         .start()
     )

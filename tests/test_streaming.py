@@ -189,3 +189,38 @@ def test_stream_to_bronze_matches_batch_content(spark, tmp_path):
     g = {r.event_id for r in got.select("event_id").collect()}
     b = {r.event_id for r in batch.select("event_id").collect()}
     assert g == b
+
+
+def test_attribute_stream_matches_batch_interval_join(spark):
+    """Stream-stream interval join (click→purchase within 30 min per
+    user) must produce exactly the batch join's matches."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    stream = st.stream_events(spark, EVENTS)
+    got = st.run_available_now(
+        st.attribute_stream(stream), "attrib_t", output_mode="append"
+    ).collect()
+
+    ev = table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("cause_id"),
+        F.col("ts").alias("cause_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("effect_id"),
+        F.col("ts").alias("effect_ts"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("effect_ts") > F.col("cause_ts"))
+        & (F.col("effect_ts") <= F.col("cause_ts") + F.expr("INTERVAL 30 minutes")),
+    ).collect()
+
+    got_keys = {(r.cause_id, r.effect_id) for r in got}
+    want_keys = {(r.cause_id, r.effect_id) for r in want}
+    assert got_keys == want_keys
+    assert len(got) == len(want)
+    assert got_keys, "no attributed pairs — test data assumption broken"
