@@ -96,3 +96,59 @@ def test_silver_transactions_partition_pruning(spark, pipeline_base):
     assert "PartitionFilters" in plan and "txn_month" in plan
     line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "2023-05" in line
+
+
+def test_balanced_sample_broadcasts_stratum_counts(spark):
+    """t22 must join the 5-row per-language counts by broadcast — the
+    corpus itself is never shuffled."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import corpus
+
+    plan = explain_str(corpus.t22_balanced_language_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_window_is_per_document(spark):
+    """t20's top-k window must partition by doc_id (per-group sort), and
+    the corpus-count join must broadcast its single row."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import corpus
+
+    plan = explain_str(corpus.t20_tfidf_top_terms(spark, SF))
+    assert "partitionBy: [doc_id" in plan or "[doc_id#" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row count, broadcast side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """q33 computes both grouping sets from ONE lineitem scan via Expand —
+    not one scan per set."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import behavioral
+
+    plan = explain_str(behavioral.q33_returnflag_grouping_sets(spark, SF))
+    assert "Expand" in plan
+    # exactly one scan node in the plan tree (formatted mode repeats the
+    # name in the detail section, so count the tree rendering)
+    assert plan.count("+- Scan parquet") == 1
+
+
+def test_rolling_window_aggregates_before_window(spark):
+    """q30's RANGE window must run over the post-aggregate daily relation:
+    partial aggregation below the window, exactly one window node."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import behavioral
+
+    df = behavioral.q30_rolling_weekly_revenue(spark, SF)
+    df.collect()
+    plan = explain_str(df, "simple")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_reuses_user_id_shuffle_key(spark):
+    """q32's three stage aggregations all hash-partition on user_id; no
+    Python evaluation anywhere in the funnel."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import behavioral
+
+    plan = explain_str(behavioral.q32_event_funnel(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
