@@ -22,6 +22,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -66,6 +67,50 @@ def read(
                 "(spark.jars); not available in this environment"
             ) from e
     raise KeyError(f"unknown source format {fmt!r}")
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSON-lines ingest that QUARANTINES bad rows
+    instead of silently nulling (PERMISSIVE default) or dropping
+    (DROPMALFORMED) them — at 100 TB there are always malformed lines,
+    and both silent behaviors corrupt downstream counts.
+
+    Returns (valid, quarantine): `valid` carries the declared schema
+    exactly; `quarantine` is one string column of the raw offending
+    lines, writable to a dead-letter location for replay.  The split is
+    two filters over ONE permissive read — Spark caches nothing here, but
+    both branches push the corrupt-null test into the same scan.
+
+    Implementation note: built on text-source + from_json rather than the
+    JSON file source, because Spark disallows queries that reference only
+    the corrupt-record column of a raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the suggested
+    workaround is cache(), unacceptable at ingest scale).  Text-source
+    parsing is the same JVM JSON parser, keeps the raw line first-class,
+    and stays fully pushdown/codegen-friendly."""
+    full_schema = StructType(schema.fields).add(corrupt_col, "string")
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+    valid = (
+        parsed.filter(~bad)
+        .select("j.*")
+        .drop(corrupt_col)
+    )
+    quarantine = parsed.filter(bad).select("raw_line")
+    return valid, quarantine
 
 
 def write_bucketed(

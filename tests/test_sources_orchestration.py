@@ -104,3 +104,41 @@ def test_cleanup_old_files_retention(tmp_path):
     assert (tmp_path / "raw/generation_metadata.json").exists()
     assert (tmp_path / "reports/quality_report.json").exists()
     assert (tmp_path / "raw/fresh.csv").exists()
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine with their raw text;
+    valid rows carry the declared schema; nothing is silently dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.registry import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "name": "ok"}',
+                "this is not json at all",
+                '{"id": 2, "name": "also ok"}',
+                '{"id": "not-a-number", "name": "type clash"}',
+                '{"id": 3, "name": "fine"}',
+                '{"broken": ',
+            ]
+        )
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    valid, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    v = valid.orderBy("id").collect()
+    q = quarantine.collect()
+    assert [(r.id, r.name) for r in v] == [(1, "ok"), (2, "also ok"), (3, "fine")]
+    assert len(q) == 3
+    assert valid.columns == ["id", "name"]
+    raws = {r.raw_line for r in q}
+    assert "this is not json at all" in raws
+    assert any("not-a-number" in r for r in raws)
+    # conservation: every input line is either valid or quarantined
+    assert valid.count() + quarantine.count() == 6
