@@ -1,0 +1,91 @@
+"""Lakehouse table maintenance: small-file compaction and
+dynamic-partition incremental refresh.
+
+Neither exists in the reference — Postgres has VACUUM and in-place
+UPDATE, so it never meets the two file-layout failure modes a parquet
+lakehouse accumulates at scale:
+
+1. **Small files.**  Every micro-batch / incremental append writes its
+   own files; after months a partition holds thousands of KB-sized
+   parquet files and scan cost is dominated by open/footer overhead,
+   not bytes.  `compact_parquet` rewrites a directory to
+   size-targeted files and swaps atomically.
+
+2. **Full-refresh writes on partitioned tables.**  `mode("overwrite")`
+   on a partitioned table truncates EVERY partition even when the new
+   data touches one month (the reference's truncate-and-reload S5,
+   acceptable at 40k rows, catastrophic at 100 TB).
+   `overwrite_dynamic_partitions` flips Spark's
+   partitionOverwriteMode=dynamic for the write, replacing only the
+   partitions present in the incoming DataFrame.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_data_files(path: str | Path) -> list[Path]:
+    return [
+        p
+        for p in Path(path).rglob("*.parquet")
+        if not p.name.startswith((".", "_"))
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into ~target_file_bytes files.
+
+    File count is sized from the CURRENT on-disk bytes (compressed), so
+    the rewrite preserves compression ratio assumptions; repartition (not
+    coalesce) is used so the rewrite also rebalances skewed input files.
+    The swap is write-aside + rename — readers see either the old layout
+    or the new one, never a mix; the directory is replaced only after
+    the new write fully commits (Spark's _SUCCESS protocol).
+
+    Returns {files_before, files_after, bytes}."""
+    src = Path(path)
+    files = parquet_data_files(src)
+    total = sum(f.stat().st_size for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(str(src))
+    tmp = src.parent / f".compact-{uuid.uuid4().hex}"
+    df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
+    old = src.parent / f".old-{uuid.uuid4().hex}"
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(parquet_data_files(src)),
+        "bytes": total,
+    }
+
+
+def overwrite_dynamic_partitions(
+    df: DataFrame, path: str, *partition_cols: str
+) -> None:
+    """Overwrite ONLY the partitions present in `df`, leaving every other
+    partition's files untouched (no read, no rewrite, no mtime change).
+
+    This is the incremental-refresh primitive for the gold layer: build
+    the changed month(s), write them, done — the 100 TB replacement for
+    the reference's truncate-and-reload.  The session flag is restored
+    after the write, so surrounding code keeps static-overwrite
+    semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

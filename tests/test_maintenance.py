@@ -1,0 +1,84 @@
+"""Table-maintenance operators: compaction preserves content while
+collapsing file counts; dynamic partition overwrite leaves untouched
+partitions byte-for-byte (and mtime-for-mtime) alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.sources.maintenance import (
+    compact_parquet,
+    overwrite_dynamic_partitions,
+    parquet_data_files,
+)
+
+
+def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 small files
+    before_sum = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    n_before = len(parquet_data_files(path))
+    assert n_before >= 64
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    assert after.count() == 10000
+    assert after.agg(F.sum("v")).collect()[0][0] == before_sum
+
+
+def test_dynamic_overwrite_touches_only_changed_partition(spark, tmp_path):
+    path = str(tmp_path / "bymonth")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-02", 20.0), (3, "2024-03", 30.0)],
+        "id long, month string, v double",
+    )
+    base.write.partitionBy("month").parquet(path)
+    jan_files = {
+        p: p.stat().st_mtime_ns
+        for p in parquet_data_files(path)
+        if "month=2024-01" in str(p)
+    }
+    assert jan_files
+
+    # rewrite ONLY February with new values
+    feb = spark.createDataFrame(
+        [(20, "2024-02", 99.0)], "id long, month string, v double"
+    )
+    overwrite_dynamic_partitions(feb, path, "month")
+
+    # January files: same paths, same mtimes — physically untouched
+    for p, mtime in jan_files.items():
+        assert p.exists() and p.stat().st_mtime_ns == mtime
+
+    got = {
+        (r.month, r.id, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01", 1, 10.0),
+        ("2024-02", 20, 99.0),
+        ("2024-03", 3, 30.0),
+    }
+    # session flag restored to static
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
+
+
+def test_static_overwrite_would_have_dropped_other_partitions(spark, tmp_path):
+    """Contrast case documenting WHY the dynamic mode exists: a plain
+    overwrite of one month wipes the other partitions."""
+    path = str(tmp_path / "wipe")
+    spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-02", 2.0)],
+        "id long, month string, v double",
+    ).write.partitionBy("month").parquet(path)
+    spark.createDataFrame(
+        [(9, "2024-02", 9.0)], "id long, month string, v double"
+    ).write.mode("overwrite").partitionBy("month").parquet(path)
+    months = {r.month for r in spark.read.parquet(path).collect()}
+    assert months == {"2024-02"}  # January is gone — the S5 failure mode
