@@ -233,3 +233,33 @@ def test_rolling_revenue_window_shrinks_at_gaps(spark):
             if 0 <= (d - x).days <= 6
         )
         assert r.rolling_orders == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be value-identical to the plain join on skewed
+    data (90% of rows share one key), for inner and left, and the hot
+    key must actually fan out across salt buckets."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.skew import salted_join
+
+    large = spark.range(2000).selectExpr(
+        "id", "case when id % 10 < 9 then 1 else cast(id % 5 as long) end as k"
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (99, "unmatched")], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(large, small, "k", how=how, salt_source="id")
+        want = large.join(small, "k", how)
+        assert got.count() == want.count(), how
+        g = {(r.k, r.id, r.label) for r in got.collect()}
+        w = {(r.k, r.id, r.label) for r in want.collect()}
+        assert g == w, how
+
+    # fan-out: the hot key's rows must spread over >1 salt bucket
+    from pyspark.sql import functions as F
+
+    salted = large.withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(8)))
+    n_buckets = (
+        salted.filter("k = 1").select("_salt").distinct().count()
+    )
+    assert n_buckets >= 4
