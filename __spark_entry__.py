@@ -34,15 +34,37 @@ from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     MONITORING_ORACLES,
     RELATIONAL_ORACLES,
 )
+from ecommerce_data_pipeline_23a91a05i4_spark.session import (
+    ensure_session_defaults,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (top products by revenue) on /root/testdata/sf0.001."""
+    ensure_session_defaults(spark)
     return analytics.q1_top_products(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Normalize the (possibly driver-owned) session before building the
+    plan — the one sanctioned conf touch-point; see session.py."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_defaults(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
         "q3_customer_segmentation": analytics.q3_customer_segmentation,
@@ -101,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
         "t24_multimodal_features": corpus.t24_multimodal_features,
-    }
+}
 
 
 def oracle_sql() -> dict[str, str]:

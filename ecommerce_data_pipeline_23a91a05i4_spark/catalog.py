@@ -36,12 +36,6 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    # The testdata timestamps are tz-naive; Spark renders instants in the
-    # session timezone, so year()/date_trunc() would shift under a
-    # non-UTC session (e.g. a caller-owned SparkSession).  Pin UTC here —
-    # runtime-settable — so every plan built on this catalog matches the
-    # naive-timestamp oracle regardless of who created the session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _events(spark, path)
@@ -49,15 +43,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects.  Read nanos as long and truncate to microseconds —
-    the oracle mirrors this exactly with make_timestamp(epoch_ns(ts)//1000).
-    Integer division (DIV), not float: ns-since-epoch exceeds 2^53."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Normalize events.ts to a session-TZ TIMESTAMP whatever physical
+    type the parquet stored, branching on the *read* dtype:
+
+    - parquet timestamp[us] (the driver testdata; isAdjustedToUTC=false) is
+      read by Spark as TIMESTAMP_NTZ -> cast to TIMESTAMP.  Under the UTC
+      session (session.get_spark) the cast is instant-preserving and the
+      values match a naive-timestamp oracle (DuckDB) bit-for-bit.
+    - nanos-as-long (a session with spark.sql.legacy.parquet.nanosAsLong
+      set, reading TIMESTAMP(NANOS) parquet) -> truncate to micros with
+      integer division (DIV, not float: ns-since-epoch exceeds 2^53).
+    - already TIMESTAMP -> pass through.
+
+    The reader never mutates session conf; timezone/legacy settings belong
+    to the session factory (session.py) / entry boundary.
+    """
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -21,8 +21,10 @@ from ..functions.exprs import (
 REV = "l_extendedprice * (1 - l_discount)"
 PROFIT = f"{REV} - l_quantity * p_retailprice * 0.7"
 
+# events.ts is parquet timestamp[us]; DuckDB reads it natively as a naive
+# TIMESTAMP, exactly what the Spark catalog produces under its UTC session.
 EVENTS_NORM = (
-    "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "ev AS (SELECT event_id, ts, "
     "user_id, event_type, value, props FROM events)"
 )
 

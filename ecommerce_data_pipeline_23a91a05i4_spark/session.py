@@ -57,3 +57,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Normalize a caller-owned session once at the entry boundary.
+
+    The testdata timestamps are tz-naive; plans render instants in the
+    session timezone, so a non-UTC caller session would shift
+    year()/date_trunc()/casts away from the naive-timestamp oracle.
+    Sessions built by :func:`get_spark` are already UTC; for foreign
+    sessions (the driver hands ``entry(spark)`` its own) this pins it.
+    Readers/plans themselves never mutate conf — this is the single
+    sanctioned place, and it is a no-op when already normalized.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -32,11 +32,12 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_RAW_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("ts", TimestampNTZType()),  # parquet timestamp[us], tz-naive
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -52,7 +53,6 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
 
     File streams need a *directory*; a single-file path is handled by
     streaming its parent with a pathGlobFilter on the file name."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
@@ -60,7 +60,9 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # tz-naive micros -> session-TZ TIMESTAMP (instant-preserving under the
+    # UTC session), matching the batch catalog's events normalization.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_counts(

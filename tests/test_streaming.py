@@ -130,13 +130,15 @@ def test_append_windows_finalize_exactly_once_at_watermark(spark, tmp_path):
 
     from pyspark.sql import Row
 
-    def ns(s: str) -> int:
-        return int(time.mktime(time.strptime(s, "%Y-%m-%d %H:%M:%S"))) * 10**9
+    from datetime import datetime
+
+    def naive(s: str):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
 
     src = tmp_path / "late_events"
     ckpt = str(tmp_path / "late_ckpt")
     mk = lambda eid, t: Row(  # noqa: E731
-        event_id=eid, ts=ns(t), user_id=1, event_type="a", value=1.0, props="{}"
+        event_id=eid, ts=naive(t), user_id=1, event_type="a", value=1.0, props="{}"
     )
     files = [
         ("f1.parquet", [mk(i, f"2024-06-01 10:0{i}:00") for i in range(3)], 1000),
@@ -156,7 +158,7 @@ def test_append_windows_finalize_exactly_once_at_watermark(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src) + "/*")
     )
-    events = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = st.hourly_event_counts(events, watermark="1 hour")
     q = (
         agg.writeStream.format("memory")
