@@ -35,13 +35,20 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
+    # One failing query must never forfeit the suite: every query is
+    # individually guarded and the JSON line is always emitted, with
+    # per-query errors recorded instead of timings.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
-        df = fn(spark, sf_dir)
-        df.collect()  # warm: codegen compile, footer reads, page cache
-        t0 = time.perf_counter()
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()  # warm: codegen compile, footer reads, page cache
+            t0 = time.perf_counter()
+            df.collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Headline value = the 10-query analytics suite, the number BASELINE.md
     # reports for the reference (4.44 s at ~30k fact rows).  The monitoring
@@ -60,6 +67,8 @@ def main() -> None:
     from ecommerce_data_pipeline_23a91a05i4_spark.pipeline import run_pipeline
 
     base = tempfile.mkdtemp(prefix="bench_pipeline_")
+    steps: dict[str, float] = {}
+    pipeline_ok = False
     try:
         rep = run_pipeline(spark, base, 1000, 500, 10000)
         steps = {
@@ -67,23 +76,24 @@ def main() -> None:
             for name, info in rep["steps_executed"].items()
         }
         pipeline_ok = rep["overall_status"] == "success"
+    except Exception as exc:  # noqa: BLE001 — still emit the JSON line
+        errors["__pipeline__"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ref_analytics10_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "all_queries_total_sec": round(sum(timings.values()), 4),
-                "pipeline_sf_ref_steps_sec": steps,
-                "pipeline_sf_ref_ok": pipeline_ok,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "ref_analytics10_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "all_queries_total_sec": round(sum(timings.values()), 4),
+        "pipeline_sf_ref_steps_sec": steps,
+        "pipeline_sf_ref_ok": pipeline_ok,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
