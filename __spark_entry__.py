@@ -34,6 +34,9 @@ from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
     MONITORING_ORACLES,
     RELATIONAL_ORACLES,
 )
+from ecommerce_data_pipeline_23a91a05i4_spark.plans.static_oracles import (
+    STATIC_ORACLES,
+)
 from ecommerce_data_pipeline_23a91a05i4_spark.session import (
     ensure_session_defaults,
 )
@@ -127,12 +130,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    """t8/t9/t15 intentionally absent: xxhash64-based, no DuckDB twin
-    (driver records the weaker rows-only check for them).  t17/t18/t19
-    are their oracle-CHECKED twins (MinHash/SimHash/winnowing with
-    md5-derived hashes both engines compute identically).  t24 is also
-    rows-only: its encoder is deliberately Python (mapInPandas plumbing
-    under test); determinism is pinned by tests/test_multimodal.py."""
+    """Every query has an oracle.  t8/t9/t15 (xxhash64-based, which DuckDB
+    cannot recompute) use static-expected oracles generated by
+    tools/gen_static_oracles.py, guarded by a corpus checksum so stale
+    expectations fail loudly; their md5 twins t17/t18/t19 carry full
+    computed oracles proving the algorithms.  t24's oracle pins the
+    deterministic mapInPandas encoder output via the same SQL arithmetic
+    mirrored in DuckDB where expressible (see CORPUS_ORACLES); remaining
+    rows-only entries, if any, are documented at their definition."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)
@@ -140,4 +145,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(RELATIONAL_ORACLES)
     out.update(BEHAVIORAL_ORACLES)
     out.update(CORPUS_ORACLES)
+    out.update(STATIC_ORACLES)
     return out

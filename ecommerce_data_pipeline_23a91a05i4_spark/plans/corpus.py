@@ -180,10 +180,14 @@ def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic stub encoder produces sha-derived vectors, and this
     gate aggregates them per source so the driver exercises the full
     plumbing — binary column → Arrow batch → pandas decode → schema-stable
-    output — at gate scale.  Rows-only check by design: the encoder is
-    Python (as a real CLIP/whisper deployment would be), so no SQL twin
-    exists; its determinism is pinned by pytest instead
-    (tests/test_multimodal.py)."""
+    output — at gate scale.  The encoder is Python (as a real
+    CLIP/whisper deployment would be) so DuckDB cannot recompute it; the
+    gate instead carries a static-expected oracle
+    (tools/gen_static_oracles.py), which is sound because every output
+    column is deterministic: avg_f0 uses the repo's exact decimal-sum
+    mean (order-independent under any partitioning) and the encoder's
+    determinism is pinned by tests/test_multimodal.py."""
+    from ..functions.exprs import dsum, quant as q
     from ..operators import multimodal as mm
 
     docs = table(spark, sf_dir, "documents")
@@ -198,7 +202,12 @@ def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.avg(F.element_at("features", 1)).alias("avg_f0"),
+            q(
+                dsum(F.element_at("features", 1), "decimal(28,12)")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_f0"),
             F.min("decode_width").alias("min_width"),
             F.max("decode_height").alias("max_height"),
         )
