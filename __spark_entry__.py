@@ -91,6 +91,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
         "t6_knn_cosine": llmdata.t6_knn_cosine,
         "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
         "t8_minhash_lsh": llmdata.t8_minhash_lsh,
         "t9_simhash": llmdata.t9_simhash,
         "q17_revenue_rollup": extras.q17_revenue_rollup,

@@ -163,14 +163,95 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding-level near-dedup).
 
-    All-pairs is O(N²) — correct at corpus sizes where N² fits (or after
-    LSH pre-blocking); the scale path is knn_lsh-style bucketing first.
+    All-pairs is O(N²) — the exact ground truth, usable only at corpus
+    sizes where N² fits.  The scale path is
+    :func:`embedding_neardup_pairs_lsh`, which blocks with banded SRP-LSH
+    buckets before the identical exact-cosine verification.
     """
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            quant(cosine(F.col("v_a"), F.col("v_b")), ndigits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    bands: int = 6,
+    bits_per_band: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dedup: signed-random-projection LSH
+    blocking, then exact cosine verification on candidates only.
+
+    Each vector gets bands*bits_per_band signature bits from plan-literal
+    hyperplanes; a pair is a candidate iff it agrees on ALL bits of at
+    least one band (the banded S-curve, exactly like MinHash-LSH).
+    Verification joins the vectors back onto the (distinct) candidate
+    pairs, so pairwise cosine work is O(candidates) — never the
+    O(N²) cross join of :func:`embedding_neardup_pairs`.
+
+    Recall is the SRP S-curve 1-(1-p^r)^b with p = 1 - theta/pi: near-
+    identical pairs (cosine >= 0.9) are found with >99% probability at
+    the defaults, while pairs just above a low threshold may be missed —
+    the standard LSH trade; the exact variant remains the ground truth.
+
+    Shuffles: one on (band, key) for the bucket join, one distinct on
+    the candidate pairs, two broadcast-or-shuffle joins to re-attach
+    vectors.  Bucket skew is bounded by 2^bits_per_band keys per band
+    times corpus clustering; raise bits_per_band to split hot buckets.
+    """
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    mask = (1 << bits_per_band) - 1
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    banded = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -114,6 +114,17 @@ def t7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, NEARDUP_COSINE).orderBy("id_a", "id_b")
 
 
+def t7b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for t7: SRP-LSH banded blocking then exact cosine on
+    candidates only — no cross join anywhere in the plan (asserted by
+    tests/test_plan_quality.py).  The oracle mirrors the plan-literal
+    hyperplanes, so the banding itself is verified cross-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs_lsh(emb, NEARDUP_COSINE).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def t8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only for the driver: xxhash64 has no cross-engine oracle."""
     docs = table(spark, sf_dir, "documents")

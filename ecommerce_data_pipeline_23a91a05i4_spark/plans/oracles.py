@@ -459,6 +459,66 @@ LLMDATA_ORACLES: dict[str, str] = {
 }
 
 
+def _srp_lsh_oracle(
+    threshold: float, bands: int, bits_per_band: int, dim: int, seed: int
+) -> str:
+    """DuckDB twin of operators/similarity.embedding_neardup_pairs_lsh:
+    the SAME hyperplane literals (single source of truth — imported from
+    the operator module), the same sequential-fold dot products, the same
+    banded agree-on-all-bits candidate rule, the same exact-cosine verify.
+    Both engines fold left-to-right over double-cast elements, so the
+    sign bits — and therefore the candidate set — match bit-for-bit."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+
+    def plane_lit(coeffs: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+    bit_cols = ",\n                   ".join(
+        f"CASE WHEN {_dot('embedding', plane_lit(planes[p]))} > 0 "
+        f"THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(bands * bits_per_band)
+    )
+    band_cols = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"bit{i * bits_per_band + j} * {1 << j}" for j in range(bits_per_band)
+        )
+        + f") AS band{i}"
+        for i in range(bands)
+    )
+    band_match = " OR ".join(f"a.band{i} = b.band{i}" for i in range(bands))
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt({_dot('embedding', 'embedding')}) AS nrm,
+                   {bit_cols}
+            FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, embedding, nrm,
+                   {band_cols}
+            FROM v
+        ),
+        scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {SQL_QUANT(_dot('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)', 6)}
+                       AS cosine_sim
+            FROM sig a JOIN sig b
+              ON a.vec_id < b.vec_id AND ({band_match})
+        )
+        SELECT id_a, id_b, cosine_sim
+        FROM scored WHERE cosine_sim >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
+    threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7
+)
+
+
 # ------------------------------------------------------------ extra oracles
 
 EXTRAS_ORACLES: dict[str, str] = {

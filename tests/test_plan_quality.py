@@ -152,3 +152,11 @@ def test_funnel_reuses_user_id_shuffle_key(spark):
     plan = explain_str(behavioral.q32_event_funnel(spark, SF))
     assert "hashpartitioning(user_id" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_neardup_has_no_cartesian_product(spark):
+    """t7b (the scale path for embedding near-dedup) must block with LSH
+    buckets — no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    plan = explain_str(llmdata.t7b_embedding_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

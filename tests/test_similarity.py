@@ -80,3 +80,27 @@ def test_ivf_train_deterministic_shapes(spark):
     cents = sim.ivf_train(emb, k=5, iters=1).collect()
     assert len(cents) == 5
     assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
+    """LSH-blocked near-dup pairs are a subset of the exact all-pairs
+    result with identical cosines, and recall on the strongly-similar
+    pairs (cosine >= 0.9, the actual near-dups) is high."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_neardup_pairs(emb, 0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_neardup_pairs_lsh(emb, 0.35).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH produced a pair the exact scan did not"
+    for k, v in lsh.items():
+        assert v == exact[k], f"cosine mismatch for {k}"
+    strong = {k for k, v in exact.items() if v >= 0.9}
+    if strong:
+        recall = len(strong & set(lsh)) / len(strong)
+        assert recall >= 0.95, f"high-similarity recall too low: {recall:.2f}"
