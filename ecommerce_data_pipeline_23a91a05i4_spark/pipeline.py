@@ -300,9 +300,12 @@ def run_pipeline(
     n_transactions: int = 10000,
     run_date: str = datagen.RUN_DATE,
     incremental: bool = False,
+    backoff: list[float] | None = None,
 ) -> dict:
     """X1: the fixed 6-step linear DAG, fail-fast, with execution report
-    (pipeline_orchestrator.py:46-53,130-161)."""
+    (pipeline_orchestrator.py:46-53,130-161).  ``backoff`` overrides the
+    default retry delays (config.pipeline.max_retries/retry_delay_seconds
+    via config.PipelineConfig.backoff())."""
     base = Path(base_dir)
     raw = base / "raw"
     report = PipelineReport()
@@ -359,7 +362,9 @@ def run_pipeline(
         ),
     ]
     for name, fn in steps:
-        if not run_step(name, fn, report):
+        if not run_step(
+            name, fn, report, backoff if backoff is not None else RETRY_BACKOFF_S
+        ):
             break  # fail-fast (pipeline_orchestrator.py:134-136)
 
     # monitoring runs even after a failed step — that is its job
@@ -389,30 +394,75 @@ def run_pipeline(
 def main(argv: list[str] | None = None) -> int:
     """CLI entry point: python -m ecommerce_data_pipeline_23a91a05i4_spark.pipeline --base DIR
     (the in-process equivalent of the reference's
-    `python scripts/pipeline_orchestrator.py`)."""
+    `python scripts/pipeline_orchestrator.py`).
+
+    ``--config config.yaml`` supplies defaults from the reference's
+    config-file surface (data sizes, retry policy, schedule, retention);
+    explicit CLI flags override it.  ``--schedule N`` runs the pipeline
+    under the daily scheduler (N runs; the reference loops forever —
+    pass a large N or wrap in a service manager)."""
     import argparse
 
+    from .config import load_config
     from .session import get_spark
 
     ap = argparse.ArgumentParser(description="run the full lakehouse pipeline")
     ap.add_argument("--base", required=True, help="lakehouse output directory")
-    ap.add_argument("--customers", type=int, default=1000)
-    ap.add_argument("--products", type=int, default=500)
-    ap.add_argument("--transactions", type=int, default=10000)
-    ap.add_argument("--run-date", default=datagen.RUN_DATE)
+    ap.add_argument("--config", help="YAML/JSON config file (reference surface)")
+    ap.add_argument("--customers", type=int, default=None)
+    ap.add_argument("--products", type=int, default=None)
+    ap.add_argument("--transactions", type=int, default=None)
+    ap.add_argument("--run-date", default=None)
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument(
+        "--schedule",
+        type=int,
+        default=None,
+        metavar="N",
+        help="run under the daily scheduler for N runs instead of once",
+    )
     args = ap.parse_args(argv)
 
-    spark = get_spark("ecommerce-pipeline")
-    report = run_pipeline(
-        spark,
-        args.base,
-        args.customers,
-        args.products,
-        args.transactions,
-        args.run_date,
-        args.incremental,
+    from .config import PipelineConfig
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    for section in cfg.ignored_sections:
+        print(f"note: config section {section!r} is out of engine scope; ignored")
+    customers = args.customers if args.customers is not None else cfg.customers
+    products = args.products if args.products is not None else cfg.products
+    transactions = (
+        args.transactions if args.transactions is not None else cfg.transactions
     )
+    run_date = args.run_date or cfg.run_date or datagen.RUN_DATE
+
+    spark = get_spark("ecommerce-pipeline")
+
+    def one_run() -> dict:
+        return run_pipeline(
+            spark,
+            args.base,
+            customers,
+            products,
+            transactions,
+            run_date,
+            args.incremental,
+            backoff=cfg.backoff(),
+        )
+
+    if args.schedule is not None:
+        from .scheduler import run_daily
+
+        run_daily(
+            one_run,
+            at=cfg.daily_run_time,
+            cleanup_fn=lambda: cleanup_old_files(
+                Path(args.base), cfg.retention_days
+            ),
+            max_runs=args.schedule,
+        )
+        return 0
+
+    report = one_run()
     print(json.dumps(report, indent=2))
     return 0 if report["overall_status"] == "success" else 1
 
