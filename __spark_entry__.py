@@ -127,6 +127,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
         "t24_multimodal_features": corpus.t24_multimodal_features,
+        "t25_frame_sample": corpus.t25_frame_sample,
 }
 
 

@@ -73,6 +73,25 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     }
 
 
+def decode_audio(content: bytes, fake: bool = False) -> dict:
+    """STUB — audio decoding needs soundfile/ffmpeg, not present here.
+
+    fake=True returns a deterministic pseudo-decode (sample rate and
+    sample count derived from the content hash); real deployments
+    replace only this function body."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codec not available in this environment; "
+            "pass fake=True for the deterministic test double"
+        )
+    h = hashlib.sha256(content or b"").digest()
+    return {
+        "sample_rate": (8000, 16000, 44100, 48000)[h[0] % 4],
+        "n_samples": 1000 + int.from_bytes(h[1:4], "big") % 100_000,
+        "channels": 1 + h[4] % 2,
+    }
+
+
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
     """Deterministic frame-sampling plan for video: offsets every_ms
     apart (the decode of each offset is the stubbed part)."""
@@ -128,6 +147,108 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("content", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: Arrow-batched binary-in/binary-out, the
+    shape a real thumbnailing stage has at 100 TB (embarrassingly
+    parallel, no shuffle, memory bounded by the Arrow batch size).
+
+    The pixel work is the stub (needs PIL): fake=True emits a
+    deterministic content-hash-derived payload whose length follows
+    32 + (width*height*3) // 4096 — a documented formula so output
+    size is verifiable engine-independently; fake=False raises from
+    the codec stub by design."""
+    out_len = 32 + (width * height * 3) // 4096
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image(b"", fake=False)  # raises NotImplementedError
+            payloads = []
+            for c in pdf["content"]:
+                digest = hashlib.sha256(
+                    (c or b"") + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                ).digest()
+                payloads.append((digest * (out_len // 32 + 1))[:out_len])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "content": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_offset_ms", LongType(), False),
+    StructField("frame", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def sample_video_frames(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    duration_key: str = "duration_ms",
+    fake: bool = True,
+) -> DataFrame:
+    """mapInPandas video frame sampling: one output row per sampled
+    offset (offsets every_ms apart across metadata[duration_key]).
+
+    The *plan* (which offsets) is exact and engine-verifiable:
+    ceil(duration/every_ms) frames at offsets 0, every_ms, 2*every_ms …
+    The *decode* of each frame is the stub — fake=True emits a 32-byte
+    hash-derived payload per frame; fake=False raises by design.
+
+    Scale: fan-out is data-dependent (duration/every_ms per asset) but
+    Arrow-batched and shuffle-free; a skewed long-video corpus can
+    repartition on asset_id first.  The explode happens inside pandas,
+    so one giant asset cannot blow the driver — only its own batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image(b"", fake=False)  # raises NotImplementedError
+            ids, offs, frames = [], [], []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["metadata"]
+            ):
+                duration = int((meta or {}).get(duration_key, 0))
+                for off in frame_sample_offsets(duration, every_ms):
+                    ids.append(aid)
+                    offs.append(off)
+                    frames.append(
+                        hashlib.sha256(
+                            (content or b"") + off.to_bytes(8, "big")
+                        ).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_offset_ms": pd.Series(offs, dtype="int64"),
+                    "frame": frames,
+                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

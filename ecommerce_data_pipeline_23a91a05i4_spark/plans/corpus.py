@@ -175,6 +175,43 @@ def t23_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t25_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas fan-out): documents
+    stand in as video assets with duration_ms = n_chars * 10, sampled
+    every 2000 ms.  One output row per frame flows through the Arrow
+    boundary, then aggregates per source.
+
+    The sampling PLAN is exact arithmetic — ceil(duration/every) frames
+    at offsets 0, 2000, … — so the oracle recomputes it straight from
+    n_chars in SQL: cardinality, last-offset, and byte totals all check
+    cross-engine even though frame payloads are produced in Python
+    (stub decode, 32 bytes/frame by contract)."""
+    from ..operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(
+            F.lit("duration_ms"), (F.col("n_chars") * 10).cast("string")
+        ).alias("metadata"),
+    )
+    frames = mm.sample_video_frames(assets, every_ms=2000)
+    doc_src = docs.select(F.col("doc_id").alias("asset_id"), "source")
+    return (
+        frames.join(doc_src, "asset_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count(F.lit(1)).alias("total_frames"),
+            F.max("frame_offset_ms").alias("max_last_offset_ms"),
+            F.sum("n_bytes").alias("total_frame_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
 def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary assets (mapInPandas):
     the deterministic stub encoder produces sha-derived vectors, and this

@@ -1208,6 +1208,30 @@ CORPUS_ORACLES["t22_balanced_language_sample"] = f"""
     ORDER BY doc_id
 """
 
+# Frame-sampling plan arithmetic recomputed from n_chars: duration =
+# n_chars*10 ms, frames every 2000 ms -> ceil(duration/2000) offsets
+# starting at 0; stub frames are 32 bytes by contract (multimodal.py).
+CORPUS_ORACLES["t25_frame_sample"] = """
+    WITH per_doc AS (
+        SELECT source,
+               CASE WHEN n_chars > 0
+                    THEN CAST(CEIL(n_chars * 10 / 2000.0) AS BIGINT)
+                    ELSE 0 END AS n_frames
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN n_frames > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_assets,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(MAX(CASE WHEN n_frames > 0 THEN (n_frames - 1) * 2000 END)
+               AS BIGINT) AS max_last_offset_ms,
+           CAST(SUM(n_frames) * 32 AS BIGINT) AS total_frame_bytes
+    FROM per_doc
+    GROUP BY source
+    HAVING SUM(n_frames) > 0
+    ORDER BY source
+"""
+
 CORPUS_ORACLES["t23_multimodal_manifest"] = """
     SELECT 'image' AS modality,
            source,

@@ -52,3 +52,50 @@ def test_decode_stub_raises_without_fake(spark):
 def test_frame_sampling_plan():
     assert mm.frame_sample_offsets(3500, 1000) == [0, 1000, 2000, 3000]
     assert mm.frame_sample_offsets(0) == []
+
+
+def test_resize_images_deterministic_and_schema_stable(spark):
+    a = _assets(spark).limit(20)
+    r1 = mm.resize_images(a, 256, 128).orderBy("asset_id").collect()
+    r2 = mm.resize_images(a, 256, 128).orderBy("asset_id").collect()
+    assert r1 == r2  # content-hash-derived payloads are run-stable
+    expected_len = 32 + (256 * 128 * 3) // 4096
+    assert all(r.n_bytes == expected_len == len(r.content) for r in r1)
+    assert all((r.width, r.height) == (256, 128) for r in r1)
+    # different target size -> different payloads (dims are in the hash)
+    other = mm.resize_images(a, 64, 64).orderBy("asset_id").collect()
+    assert all(x.content != y.content for x, y in zip(r1, other))
+
+
+def test_sample_video_frames_matches_offset_plan(spark):
+    docs = table(spark, SF, "documents").limit(30)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(
+            F.lit("duration_ms"), (F.col("n_chars") * 10).cast("string")
+        ).alias("metadata"),
+    )
+    frames = mm.sample_video_frames(assets, every_ms=2000).collect()
+    durations = {r.doc_id: r.n_chars * 10 for r in docs.collect()}
+    by_asset: dict[int, list[int]] = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_offset_ms)
+        assert r.n_bytes == 32 == len(r.frame)
+    for aid, dur in durations.items():
+        expect = mm.frame_sample_offsets(dur, 2000)
+        assert sorted(by_asset.get(aid, [])) == expect, aid
+
+
+def test_audio_decode_stub_gating():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"abc")
+    d1, d2 = mm.decode_audio(b"abc", fake=True), mm.decode_audio(b"abc", fake=True)
+    assert d1 == d2 and d1["sample_rate"] in (8000, 16000, 44100, 48000)
+
+
+def test_resize_without_fake_raises(spark):
+    a = _assets(spark).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.resize_images(a, 32, 32, fake=False).collect()
