@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q14_volume_anomaly": monitoring.q14_volume_anomaly,
         "q15_hourly_events": monitoring.q15_hourly_events,
         "q16_user_sessions": monitoring.q16_user_sessions,
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
         "t3_quality_score": llmdata.t3_quality_score,
@@ -94,6 +95,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
         "t8_minhash_lsh": llmdata.t8_minhash_lsh,
         "t9_simhash": llmdata.t9_simhash,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q18_salted_event_stats": extras.q18_salted_event_stats,
         "t10_token_frequencies": extras.t10_token_frequencies,

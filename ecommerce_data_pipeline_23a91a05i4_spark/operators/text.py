@@ -60,6 +60,25 @@ def regex_count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style split classes — contraction
+# suffixes, letter runs, SHORT digit runs (BPE vocabularies chunk numbers
+# into <=3-digit pieces), and single punctuation/symbol marks.  Applied to
+# normalized (lowercased, space-collapsed) text; the character classes are
+# shared Java-regex/RE2 syntax, so Spark and DuckDB tokenize identically.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^a-z0-9 ]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish token array over normalized text (closer to what an LLM
+    tokenizer counts than whitespace words — numbers chunked, punctuation
+    split off, contractions separated)."""
+    return F.regexp_extract_all(norm_text(col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     n = norm_text(col)
     return {lang: regex_count(n, pat) for lang, pat in LANG_MARKERS.items()}

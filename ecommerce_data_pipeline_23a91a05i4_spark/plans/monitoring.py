@@ -137,6 +137,36 @@ def q15_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s1_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming == batch parity gate: drains the Structured Streaming
+    twin of q15 (file-source readStream → complete-mode aggregation →
+    memory sink, availableNow trigger) and returns the final table.
+
+    Because hourly_event_counts_exact uses the same deterministic
+    arithmetic as the batch query, this gate shares q15's DuckDB oracle
+    — the driver independently proves the streaming path computes the
+    batch answer.  At scale the same plan runs continuously against
+    Kafka with a watermark (streaming/ingest.hourly_event_counts);
+    availableNow replay is the standard backfill mode."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    ev = st.stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = st.hourly_event_counts_exact(ev)
+    name = "s1_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap.
 

@@ -139,6 +139,12 @@ MONITORING_ORACLES["q15_hourly_events"] = f"""
     ORDER BY window_start, event_type
 """
 
+# The streaming gate drains the exact streaming twin of q15 and must
+# produce byte-identical rows — same oracle by construction.
+MONITORING_ORACLES["s1_streaming_hourly_events"] = MONITORING_ORACLES[
+    "q15_hourly_events"
+]
+
 ANALYTICS_ORACLES: dict[str, str] = {
     "q1_top_products": f"""
         SELECT p_name AS product_name,
@@ -517,6 +523,35 @@ def _srp_lsh_oracle(
 LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
     threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7
 )
+
+
+def _bpe_oracle() -> str:
+    """Same BPE-ish pattern as the Spark tokenizer (single source of
+    truth — operators/text.BPE_ISH_PATTERN); the classes are shared
+    Java-regex/RE2 syntax so both engines emit identical token lists."""
+    from ..operators.text import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+        WITH d AS (SELECT doc_id, {NORM} AS norm FROM documents),
+        t AS (
+            SELECT doc_id,
+                   len(string_split(norm, ' ')) AS ws,
+                   len(regexp_extract_all(norm, '{pat}')) AS bpe,
+                   length(norm) AS nc
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(ws AS BIGINT) AS n_tokens_ws,
+               CAST(bpe AS BIGINT) AS n_tokens_bpe,
+               {SQL_QUANT('CAST(nc AS DOUBLE) / NULLIF(bpe, 0)', 6)}
+                   AS chars_per_bpe_token
+        FROM t
+        ORDER BY doc_id
+    """
+
+
+LLMDATA_ORACLES["t26_bpe_token_stats"] = _bpe_oracle()
 
 
 # ------------------------------------------------------------ extra oracles

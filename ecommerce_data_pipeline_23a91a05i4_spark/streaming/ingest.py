@@ -65,6 +65,25 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def hourly_event_counts_exact(events: DataFrame) -> DataFrame:
+    """The *exact* streaming twin of plans/monitoring.q15_hourly_events:
+    identical grouping (date_trunc hour, not the window() operator — no
+    watermark, meant for complete-mode/availableNow replay) and identical
+    deterministic arithmetic (decimal sum + floor-quantized mean), so a
+    drained stream produces byte-identical rows to the batch query and
+    can share its DuckDB oracle."""
+    from ..functions.exprs import dsum, mean2, r2
+
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        r2(dsum(F.col("value"))).alias("total_value"),
+        mean2(F.col("value"), F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
 def hourly_event_counts(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -160,3 +160,23 @@ def test_lsh_neardup_has_no_cartesian_product(spark):
     plan = explain_str(llmdata.t7b_embedding_neardup_lsh(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_query_paths_never_mutate_session_conf():
+    """Readers and query plans must not set session conf: the sanctioned
+    touch-points are session.py (the factory plus the entry-boundary
+    normalization) and sources/maintenance.py's set/restore pair around
+    a dynamic-partition-overwrite write (not a query path, and it
+    restores the prior value)."""
+    import pathlib
+
+    import ecommerce_data_pipeline_23a91a05i4_spark as pkg_mod
+
+    pkg = pathlib.Path(pkg_mod.__file__).parent
+    allowed = {pkg / "session.py", pkg / "sources" / "maintenance.py"}
+    offenders = [
+        str(p)
+        for p in sorted(pkg.rglob("*.py"))
+        if p not in allowed and "conf.set" in p.read_text()
+    ]
+    assert not offenders, f"session conf mutated outside sanctioned sites: {offenders}"
