@@ -134,14 +134,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    """Every query has an oracle.  t8/t9/t15 (xxhash64-based, which DuckDB
-    cannot recompute) use static-expected oracles generated by
-    tools/gen_static_oracles.py, guarded by a corpus checksum so stale
-    expectations fail loudly; their md5 twins t17/t18/t19 carry full
-    computed oracles proving the algorithms.  t24's oracle pins the
-    deterministic mapInPandas encoder output via the same SQL arithmetic
-    mirrored in DuckDB where expressible (see CORPUS_ORACLES); remaining
-    rows-only entries, if any, are documented at their definition."""
+    """Every query has an oracle.  t8/t9/t15/t24 (xxhash64 or Python-
+    encoder based — DuckDB cannot recompute those hashes) use
+    static-expected oracles generated by tools/gen_static_oracles.py,
+    guarded by a corpus checksum so stale expectations fail loudly
+    rather than silently passing; the md5 twins t17/t18/t19 carry full
+    computed oracles proving the same algorithms, and t24's encoder
+    determinism is additionally pinned by tests/test_multimodal.py.
+    All other entries are computed ANSI-SQL twins."""
     out = dict(ANALYTICS_ORACLES)
     out.update(MONITORING_ORACLES)
     out.update(LLMDATA_ORACLES)
