@@ -85,6 +85,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q15_hourly_events": monitoring.q15_hourly_events,
         "q16_user_sessions": monitoring.q16_user_sessions,
         "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
         "t3_quality_score": llmdata.t3_quality_score,

@@ -167,6 +167,41 @@ def s1_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming parity gate: drains the applyInPandasWithState
+    sessionizer (update mode emits the running per-user counts each
+    micro-batch) and rolls up to the final value with max() — sound
+    because both counters are monotone non-decreasing — so the result is
+    batch-split-invariant.  The oracle recomputes sessions with the q16
+    window arithmetic, independently proving the one Python-stateful
+    operator in the engine against SQL semantics."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    ev = st.stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    sess = st.sessionize_stream(ev)
+    name = "s2_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap.
 

@@ -145,6 +145,28 @@ MONITORING_ORACLES["s1_streaming_hourly_events"] = MONITORING_ORACLES[
     "q15_hourly_events"
 ]
 
+# Stateful sessionization drained to final per-user counts: q16's window
+# arithmetic restricted to the two columns the state machine tracks.
+MONITORING_ORACLES["s2_streaming_sessionization"] = f"""
+    WITH {EVENTS_NORM},
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                    OR LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
 ANALYTICS_ORACLES: dict[str, str] = {
     "q1_top_products": f"""
         SELECT p_name AS product_name,

@@ -70,6 +70,71 @@ def compact_parquet(
     }
 
 
+# --------------------------------------------- atomic multi-table publish
+
+CURRENT_POINTER = "_CURRENT"
+
+
+def publish_tables(
+    tables: dict[str, DataFrame], root: str | Path
+) -> str:
+    """Cross-table atomic publish: stage-then-pointer-swap.
+
+    The reference loads the warehouse under one Postgres transaction
+    (ingest_to_staging.py autocommit=False — SURVEY §2.12 X6); plain
+    per-table parquet overwrites are atomic per TABLE but a reader can
+    observe table A from the new load with table B from the old one.
+    This primitive restores cross-table atomicity with the standard
+    lakehouse snapshot pattern (the minimal form of what Delta/Iceberg
+    commit logs do):
+
+    1. every table is written under ``root/v-<uuid>/<name>`` (a staging
+       version directory readers never resolve on their own),
+    2. a manifest records the table list,
+    3. the ``_CURRENT`` pointer file is atomically replaced (POSIX
+       same-directory rename) to name the new version directory.
+
+    Readers (:func:`read_published`) resolve the pointer first, so they
+    see the previous snapshot until the rename — a crash anywhere before
+    the rename leaves the old snapshot intact and the half-written
+    version directory invisible as garbage for retention cleanup.
+    Old versions stay readable for in-flight queries (snapshot
+    isolation); `cleanup_old_files`-style retention prunes them later.
+
+    Returns the published version id."""
+    import json as _json
+
+    rootp = Path(root)
+    rootp.mkdir(parents=True, exist_ok=True)
+    version = f"v-{uuid.uuid4().hex}"
+    vdir = rootp / version
+    for name, df in tables.items():
+        df.write.mode("errorifexists").parquet(str(vdir / name))
+    with open(vdir / "_manifest.json", "w") as fh:
+        _json.dump({"version": version, "tables": sorted(tables)}, fh)
+    tmp_ptr = rootp / f".ptr-{uuid.uuid4().hex}"
+    tmp_ptr.write_text(version)
+    tmp_ptr.rename(rootp / CURRENT_POINTER)  # the atomic commit point
+    return version
+
+
+def read_published(
+    spark: SparkSession, root: str | Path, name: str
+) -> DataFrame:
+    """Read table ``name`` from the currently-published snapshot (resolves
+    the ``_CURRENT`` pointer written by :func:`publish_tables`)."""
+    rootp = Path(root)
+    version = (rootp / CURRENT_POINTER).read_text().strip()
+    return spark.read.parquet(str(rootp / version / name))
+
+
+def published_versions(root: str | Path) -> list[str]:
+    """All version directories under ``root`` (current + historical)."""
+    return sorted(
+        p.name for p in Path(root).iterdir() if p.is_dir() and p.name.startswith("v-")
+    )
+
+
 def overwrite_dynamic_partitions(
     df: DataFrame, path: str, *partition_cols: str
 ) -> None:

@@ -82,3 +82,37 @@ def test_static_overwrite_would_have_dropped_other_partitions(spark, tmp_path):
     ).write.mode("overwrite").partitionBy("month").parquet(path)
     months = {r.month for r in spark.read.parquet(path).collect()}
     assert months == {"2024-02"}  # January is gone — the S5 failure mode
+
+
+def test_publish_tables_cross_table_atomic(spark, tmp_path):
+    """Readers always see one consistent snapshot: both tables flip
+    together at the pointer swap, and a half-staged new version is
+    invisible until committed."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import maintenance as mt
+
+    root = tmp_path / "pub"
+    a1 = spark.range(5).withColumnRenamed("id", "a")
+    b1 = spark.range(7).withColumnRenamed("id", "b")
+    v1 = mt.publish_tables({"ta": a1, "tb": b1}, root)
+    assert mt.read_published(spark, root, "ta").count() == 5
+    assert mt.read_published(spark, root, "tb").count() == 7
+
+    # simulate a crash mid-publish: stage new data WITHOUT the pointer swap
+    import uuid as _uuid
+
+    stale = root / f"v-{_uuid.uuid4().hex}"
+    spark.range(99).withColumnRenamed("id", "a").write.parquet(str(stale / "ta"))
+    assert mt.read_published(spark, root, "ta").count() == 5  # old snapshot intact
+
+    # a real second publish flips both tables at once
+    v2 = mt.publish_tables(
+        {"ta": spark.range(11).withColumnRenamed("id", "a"),
+         "tb": spark.range(13).withColumnRenamed("id", "b")},
+        root,
+    )
+    assert v2 != v1
+    assert mt.read_published(spark, root, "ta").count() == 11
+    assert mt.read_published(spark, root, "tb").count() == 13
+    # historical snapshot still readable (snapshot isolation for in-flight readers)
+    assert spark.read.parquet(str(root / v1 / "ta")).count() == 5
+    assert set(mt.published_versions(root)) >= {v1, v2}
