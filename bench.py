@@ -27,6 +27,82 @@ from ecommerce_data_pipeline_23a91a05i4_spark.session import get_spark  # noqa: 
 import __spark_entry__ as entry_mod  # noqa: E402
 
 
+def scale_probe(factor: int = 8) -> None:
+    """Reproducible scale probe (``python bench.py --scale-probe``):
+    materialize lineitem at 1x and ``factor``x with IDENTICAL parallel
+    file layout (the raw testdata is a single file = a single scan
+    split, which would unfairly handicap the base measurement), then
+    time the q1-shaped scan+aggregate on both END TO END (I/O
+    included).  Prints one JSON line with the slowdown ratio and
+    rows/s; a ratio well under ``factor`` means fixed overhead, not
+    data volume, dominates at test scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-scale-probe")
+    raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    tmp = tempfile.mkdtemp(prefix="bench_scale_probe_")
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    paths = {}
+    for name, fac in (("base", 1), ("scaled", factor)):
+        paths[name] = os.path.join(tmp, f"lineitem_{fac}x.parquet")
+        raw.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+        ).drop("_r").repartition(n_files).write.parquet(paths[name])
+    li = spark.read.parquet(paths["base"])
+    big = spark.read.parquet(paths["scaled"])
+
+    def q1_shaped(df):
+        return (
+            df.groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).alias("rev"),
+                F.sum("l_quantity").alias("qty"),
+            )
+            .orderBy(F.desc("rev"))
+            .limit(10)
+        )
+
+    timings = {}
+    for name, df, rows in (("base", li, li.count()), ("scaled", big, None)):
+        q = q1_shaped(df)
+        q.collect()  # warm
+        best = min(
+            (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(3)
+        )
+        timings[name] = {
+            "sec": round(best, 4),
+            "rows": rows if rows is not None else timings["base"]["rows"] * factor,
+        }
+    shutil.rmtree(tmp, ignore_errors=True)
+    ratio = round(timings["scaled"]["sec"] / max(timings["base"]["sec"], 1e-9), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_slowdown_ratio",
+                "value": ratio,
+                "unit": f"x at {factor}x rows",
+                "base": timings["base"],
+                "scaled": timings["scaled"],
+                "rows_per_sec_scaled": round(
+                    timings["scaled"]["rows"] / timings["scaled"]["sec"]
+                ),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -97,4 +173,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-probe" in sys.argv:
+        scale_probe()
+    else:
+        main()
