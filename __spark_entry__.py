@@ -131,6 +131,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
         "t24_multimodal_features": corpus.t24_multimodal_features,
         "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
 }
 
 

@@ -175,6 +175,67 @@ def t23_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_TOKEN_BUDGET = 2048
+N_SHARDS = 16
+
+
+def t27_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly: greedy sequential packing of documents
+    into fixed token-budget bins (contiguous fill — a doc goes into the
+    bin its running-prefix token count falls in), per source.
+
+    Deterministic under any partitioning: the pack order is (source,
+    doc_id), not arrival order.  The window is PARTITIONED by source so
+    state per group is bounded; for a single unbounded source the scale
+    path is the standard two-phase prefix sum (per-partition partials +
+    broadcast offsets), same math, no global window.  Output is the
+    per-bin manifest a training dataloader consumes."""
+    from ..operators import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    ntok = tx.token_count(F.col("text")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(F.col("nt")).over(w)
+    bin_id = F.floor((cum - F.col("nt")) / F.lit(float(PACK_TOKEN_BUDGET)))
+    return (
+        docs.select("source", "doc_id", ntok.alias("nt"))
+        .withColumn("bin_id", bin_id)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            quant(
+                F.sum("nt").cast("double") / F.lit(float(PACK_TOKEN_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def t28_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharding for training-data output: shard =
+    md5-prefix(doc_id) mod N — stable across engines, runs, cluster
+    sizes, and insert order (what makes shard-level resume/caching
+    sound).  Output is the shard manifest with balance stats; the md5
+    32-bit prefix idiom is the engine-portable hash shared with the
+    dedup operators (operators/dedup.md5_hash32)."""
+    from ..operators.dedup import md5_hash32
+
+    docs = table(spark, sf_dir, "documents")
+    shard = F.pmod(md5_hash32(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+    return (
+        docs.select(shard.alias("shard_id"), "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def t25_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas fan-out): documents
     stand in as video assets with duration_ms = n_chars * 10, sampled

@@ -1265,6 +1265,44 @@ CORPUS_ORACLES["t22_balanced_language_sample"] = f"""
     ORDER BY doc_id
 """
 
+# Greedy sequential packing: contiguous fill over (source, doc_id) order
+# — a doc's bin is floor(prefix-sum-before-it / budget).  Same whitespace
+# tokenizer as t1; 2048-token budget (plans/corpus.PACK_TOKEN_BUDGET).
+CORPUS_ORACLES["t27_sequence_packing"] = f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS nt
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, nt,
+               SUM(nt) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM d
+    )
+    SELECT source,
+           CAST(FLOOR((cum - nt) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           {SQL_QUANT('CAST(SUM(nt) AS DOUBLE) / 2048.0', 6)} AS fill_ratio
+    FROM c
+    GROUP BY source, 2
+    ORDER BY source, bin_id
+"""
+
+# Deterministic sharding: md5-prefix(doc_id) mod 16 — the same portable
+# 32-bit md5 idiom the dedup oracles use.
+CORPUS_ORACLES["t28_shard_assignment"] = """
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+               AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard_id
+"""
+
 # Frame-sampling plan arithmetic recomputed from n_chars: duration =
 # n_chars*10 ms, frames every 2000 ms -> ceil(duration/2000) offsets
 # starting at 0; stub frames are 32 bytes by contract (multimodal.py).
