@@ -37,6 +37,7 @@ class PipelineConfig:
     run_date: str | None = None  # data_generation.start_date
     max_retries: int = 3
     retry_delay_seconds: float = 5.0
+    atomic_gold: bool = False  # pipeline.atomic_gold — X6 snapshot publish
     daily_run_time: str = "14:45"
     retention_days: int = 7
     ignored_sections: tuple[str, ...] = field(default_factory=tuple)
@@ -77,6 +78,7 @@ def load_config(path: str | Path) -> PipelineConfig:
         run_date=str(gen["start_date"]) if "start_date" in gen else None,
         max_retries=int(pipe.get("max_retries", 3)),
         retry_delay_seconds=float(pipe.get("retry_delay_seconds", 5)),
+        atomic_gold=bool(pipe.get("atomic_gold", False)),
         daily_run_time=str(sched.get("daily_run_time", "14:45")),
         retention_days=int(sched.get("retention_days", 7)),
         ignored_sections=ignored,

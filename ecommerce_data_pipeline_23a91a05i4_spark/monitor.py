@@ -123,7 +123,12 @@ def run_monitoring(
     out: Path | None = None,
     lookback_days: int = 30,
 ) -> dict:
-    read = lambda layer, t: spark.read.parquet(str(base / layer / t))  # noqa: E731
+    from .sources.maintenance import resolve_table_path
+
+    # snapshot-pointer-aware: gold may be an atomically-published version
+    read = lambda layer, t: spark.read.parquet(  # noqa: E731
+        resolve_table_path(base / layer, t)
+    )
     freshness = layer_freshness(
         {
             "bronze": (read("bronze", "transactions"), "loaded_at"),

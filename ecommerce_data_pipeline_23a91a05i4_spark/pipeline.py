@@ -98,7 +98,12 @@ def _silver_path(base: Path, table: str) -> str:
 
 
 def _gold_path(base: Path, table: str) -> str:
-    return str(base / "gold" / table)
+    """Reader path for a gold table — snapshot-pointer-aware: after an
+    atomic publish (silver_to_gold(atomic=True)) this resolves through
+    gold/_CURRENT; with the flat legacy layout it is gold/<table>."""
+    from .sources.maintenance import resolve_table_path
+
+    return resolve_table_path(base / "gold", table)
 
 
 def ingest_to_bronze(
@@ -185,8 +190,24 @@ def bronze_to_silver(
         writer.parquet(target)
 
 
+GOLD_TABLES = (
+    "dim_customers",
+    "dim_products",
+    "dim_date",
+    "dim_payment_method",
+    "fact_sales",
+    "agg_daily_sales",
+    "agg_product_performance",
+    "agg_customer_metrics",
+)
+
+
 def silver_to_gold(
-    spark: SparkSession, base: Path, run_date: str, run_ts: str | None = None
+    spark: SparkSession,
+    base: Path,
+    run_date: str,
+    run_ts: str | None = None,
+    atomic: bool = False,
 ) -> None:
     """Staged gold build: dims → fact → aggregates.
 
@@ -195,14 +216,37 @@ def silver_to_gold(
     fact join lineage (3× the most expensive plan in the pipeline).
     Materialize-then-derive is the standard checkpoint pattern for any
     multi-consumer intermediate at scale.
+
+    ``atomic=True`` stages every table under a fresh gold version
+    directory and commits them with one pointer swap
+    (sources/maintenance.commit_version) — the cross-table transactional
+    load the reference got from Postgres (X6): readers see the previous
+    complete warehouse until all eight tables are staged.
     """
+    import uuid as _uuid
+
     read = lambda t: spark.read.parquet(_silver_path(base, t))  # noqa: E731
     ts = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
+
+    gold_root = base / "gold"
+    if not atomic:
+        from .sources.maintenance import CURRENT_POINTER
+
+        if (gold_root / CURRENT_POINTER).exists():
+            raise ValueError(
+                "gold layer was published atomically (snapshot pointer "
+                "present); rerun with atomic=True — published versions "
+                "are immutable"
+            )
+    version = f"v-{_uuid.uuid4().hex}" if atomic else None
+    target = (lambda name: str(gold_root / version / name)) if atomic else (
+        lambda name: str(gold_root / name)
+    )
 
     def write(name: str, df: DataFrame) -> None:
         # gold audit column: what the freshness monitor probes (Q7)
         df.withColumn("created_at", ts).write.mode("overwrite").parquet(
-            _gold_path(base, name)
+            target(name)
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -233,7 +277,7 @@ def silver_to_gold(
         "fact_sales",
         warehouse.build_fact_sales(items, transactions, products, dim_c, dim_p, dim_pm, dim_d),
     )
-    fact = spark.read.parquet(_gold_path(base, "fact_sales"))
+    fact = spark.read.parquet(target("fact_sales"))
     with ThreadPoolExecutor(max_workers=3) as pool:
         list(
             pool.map(
@@ -246,18 +290,14 @@ def silver_to_gold(
             )
         )
 
+    if atomic:
+        from .sources.maintenance import commit_version
+
+        commit_version(gold_root, version, list(GOLD_TABLES))
+
 
 def register_gold_views(spark: SparkSession, base: Path) -> None:
-    for name in (
-        "dim_customers",
-        "dim_products",
-        "dim_date",
-        "dim_payment_method",
-        "fact_sales",
-        "agg_daily_sales",
-        "agg_product_performance",
-        "agg_customer_metrics",
-    ):
+    for name in GOLD_TABLES:
         spark.read.parquet(_gold_path(base, name)).createOrReplaceTempView(name)
 
 
@@ -301,11 +341,14 @@ def run_pipeline(
     run_date: str = datagen.RUN_DATE,
     incremental: bool = False,
     backoff: list[float] | None = None,
+    atomic_gold: bool = False,
 ) -> dict:
     """X1: the fixed 6-step linear DAG, fail-fast, with execution report
     (pipeline_orchestrator.py:46-53,130-161).  ``backoff`` overrides the
     default retry delays (config.pipeline.max_retries/retry_delay_seconds
-    via config.PipelineConfig.backoff())."""
+    via config.PipelineConfig.backoff()); ``atomic_gold`` publishes the
+    warehouse as one pointer-swapped snapshot (X6 cross-table
+    atomicity)."""
     base = Path(base_dir)
     raw = base / "raw"
     report = PipelineReport()
@@ -352,7 +395,12 @@ def run_pipeline(
             lambda: bronze_to_silver(spark, base, run_ts, incremental),
         ),
         ("data_quality_checks", lambda: run_quality_checks(spark, base, base / "reports")),
-        ("warehouse_load", lambda: silver_to_gold(spark, base, run_date, run_ts)),
+        (
+            "warehouse_load",
+            lambda: silver_to_gold(
+                spark, base, run_date, run_ts, atomic=atomic_gold
+            ),
+        ),
         (
             "analytics_generation",
             lambda: (
@@ -415,6 +463,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-date", default=None)
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument(
+        "--atomic-gold",
+        action="store_true",
+        help="publish the warehouse as one pointer-swapped snapshot",
+    )
+    ap.add_argument(
         "--schedule",
         type=int,
         default=None,
@@ -447,6 +500,7 @@ def main(argv: list[str] | None = None) -> int:
             run_date,
             args.incremental,
             backoff=cfg.backoff(),
+            atomic_gold=args.atomic_gold or cfg.atomic_gold,
         )
 
     if args.schedule is not None:

@@ -102,20 +102,44 @@ def publish_tables(
     isolation); `cleanup_old_files`-style retention prunes them later.
 
     Returns the published version id."""
-    import json as _json
-
     rootp = Path(root)
     rootp.mkdir(parents=True, exist_ok=True)
     version = f"v-{uuid.uuid4().hex}"
     vdir = rootp / version
     for name, df in tables.items():
         df.write.mode("errorifexists").parquet(str(vdir / name))
-    with open(vdir / "_manifest.json", "w") as fh:
-        _json.dump({"version": version, "tables": sorted(tables)}, fh)
+    commit_version(rootp, version, sorted(tables))
+    return version
+
+
+def commit_version(
+    root: str | Path, version: str, table_names: list[str]
+) -> None:
+    """The commit point of the stage-then-publish protocol: write the
+    manifest into the (fully staged) version directory, then atomically
+    rename a temp pointer file onto ``_CURRENT``.  Callers that stage
+    their own writes (e.g. the pipeline's gold build, which needs its
+    materialize-then-derive fact checkpoint mid-stage) call this
+    directly; :func:`publish_tables` is the one-shot convenience."""
+    import json as _json
+
+    rootp = Path(root)
+    with open(rootp / version / "_manifest.json", "w") as fh:
+        _json.dump({"version": version, "tables": list(table_names)}, fh)
     tmp_ptr = rootp / f".ptr-{uuid.uuid4().hex}"
     tmp_ptr.write_text(version)
     tmp_ptr.rename(rootp / CURRENT_POINTER)  # the atomic commit point
-    return version
+
+
+def resolve_table_path(root: str | Path, name: str) -> str:
+    """Reader-side resolution: honor the ``_CURRENT`` snapshot pointer
+    when present, else fall back to the flat legacy layout — so readers
+    work identically against published and unpublished directories."""
+    rootp = Path(root)
+    ptr = rootp / CURRENT_POINTER
+    if ptr.exists():
+        return str(rootp / ptr.read_text().strip() / name)
+    return str(rootp / name)
 
 
 def read_published(
@@ -123,9 +147,7 @@ def read_published(
 ) -> DataFrame:
     """Read table ``name`` from the currently-published snapshot (resolves
     the ``_CURRENT`` pointer written by :func:`publish_tables`)."""
-    rootp = Path(root)
-    version = (rootp / CURRENT_POINTER).read_text().strip()
-    return spark.read.parquet(str(rootp / version / name))
+    return spark.read.parquet(resolve_table_path(root, name))
 
 
 def published_versions(root: str | Path) -> list[str]:

@@ -119,3 +119,37 @@ def test_pipeline_main_cli_overrides_config(spark, tmp_path):
     assert rc == 0
     meta = json.loads((base / "raw" / "generation_metadata.json").read_text())
     assert meta["customers"] == 31 and meta["transactions"] == 150
+
+
+def test_pipeline_atomic_gold_snapshot_publish(spark, tmp_path):
+    """atomic_gold publishes the warehouse as one pointer-swapped
+    snapshot: views and the monitor resolve through the pointer, a
+    second run flips the pointer while the first version stays intact,
+    and a non-atomic rerun on a published layout is refused."""
+    import pytest as _pytest
+
+    from ecommerce_data_pipeline_23a91a05i4_spark import pipeline
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import maintenance as mt
+
+    base = tmp_path / "lake"
+    rep = pipeline.run_pipeline(spark, base, 40, 15, 120, atomic_gold=True)
+    assert rep["overall_status"] == "success"
+    gold = base / "gold"
+    assert (gold / mt.CURRENT_POINTER).exists()
+    v1 = (gold / mt.CURRENT_POINTER).read_text().strip()
+
+    pipeline.register_gold_views(spark, base)
+    n_fact = spark.table("fact_sales").count()
+    assert n_fact > 0
+
+    # second atomic build flips the pointer; v1 remains readable
+    pipeline.silver_to_gold(spark, base, "2024-01-16", "2024-01-16 00:00:00", atomic=True)
+    v2 = (gold / mt.CURRENT_POINTER).read_text().strip()
+    assert v2 != v1
+    assert spark.read.parquet(str(gold / v1 / "fact_sales")).count() == n_fact
+    pipeline.register_gold_views(spark, base)  # resolves to v2
+    assert spark.table("fact_sales").count() == n_fact
+
+    # published layout refuses a mutating non-atomic write
+    with _pytest.raises(ValueError, match="atomic"):
+        pipeline.silver_to_gold(spark, base, "2024-01-17", atomic=False)
