@@ -547,6 +547,60 @@ LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
 )
 
 
+# Capstone curation chain: t3's score arithmetic + t2's lang argmax +
+# t4's min-doc_id-per-fingerprint dedup rule, composed in one statement.
+_CURATION_SCORE = (
+    "least(toks / 50.0, 1.0) * 0.25 + least(chars / 250.0, 1.0) * 0.25 "
+    "+ least(stops / greatest(toks, 1.0) * 4.0, 1.0) * 0.30 "
+    "+ (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.20"
+)
+
+LLMDATA_ORACLES["t29_curation_pipeline"] = f"""
+    WITH d AS (SELECT doc_id, n_chars, text, {NORM} AS norm FROM documents),
+    m AS (
+        SELECT doc_id, n_chars, md5(norm) AS fp,
+               CAST(len(string_split(norm, ' ')) AS DOUBLE) AS toks,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(regexp_extract_all(norm, '{EN_STOP}')) AS DOUBLE)
+                   AS stops,
+               {SQL_QUANT("CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / greatest(length(text), 1)", 6)}
+                   AS punct_ratio,
+               {_SCORE_COLS}
+        FROM d
+    ),
+    scored AS (
+        SELECT doc_id, n_chars, fp,
+               {SQL_QUANT(_CURATION_SCORE, 4)} AS q,
+               CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+                    WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+                    WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+                    WHEN score_de > score_en THEN 'de'
+                    ELSE 'en' END AS lang
+        FROM m
+    ),
+    kept AS (
+        SELECT lang, n_chars, q,
+               CASE WHEN q >= 0.8 THEN 'A'
+                    WHEN q >= 0.6 THEN 'B'
+                    WHEN q >= 0.4 THEN 'C'
+                    ELSE 'D' END AS grade
+        FROM (
+            SELECT s.*, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+            FROM scored s
+        )
+        WHERE doc_id = keep_id AND q >= 0.5
+    )
+    SELECT lang, grade,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {SQL_QUANT('CAST(SUM(CAST(q AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*)', 6)}
+               AS avg_quality
+    FROM kept
+    GROUP BY lang, grade
+    ORDER BY lang, grade
+"""
+
+
 def _bpe_oracle() -> str:
     """Same BPE-ish pattern as the Spark tokenizer (single source of
     truth — operators/text.BPE_ISH_PATTERN); the classes are shared
