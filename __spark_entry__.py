@@ -106,6 +106,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q20_orders_without_items": extras.q20_orders_without_items,
         "q21_priority_pivot": extras.q21_priority_pivot,
         "q22_price_percentiles": extras.q22_price_percentiles,
+        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
         "t12_event_asof_order": extras.t12_event_asof_order,
         "t13_vocab_difference": extras.t13_vocab_difference,
         "t14_event_session_ranges": extras.t14_event_session_ranges,

@@ -15,7 +15,7 @@ never the answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -381,6 +381,51 @@ def q22_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pctl(0.5).alias("p50"),
             pctl(0.9).alias("p90"),
             pctl(0.99).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q22b_price_percentiles_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB scale path for q22: EXACT grouped percentiles with no
+    per-group buffering.  percentile() materializes each group's values
+    in an ObjectHashAggregate buffer; this variant instead sorts within
+    the group once (the window shuffle), computes each value's rank and
+    the group size, and reconstructs the type-7 interpolation
+    v[lo] + frac·(v[lo+1] − v[lo]) with conditional aggregates over the
+    two bracketing ranks.  Memory per task is the sort spill budget, not
+    the group size, and the final groupBy reuses the window's hash
+    partitioning (no extra exchange — asserted in test_plan_quality).
+    Identical numbers to q22, so it shares the oracle."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wg = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+
+    def pctl(p: float, name: str):
+        pos = 1.0 + (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(pos).cast("long")
+        frac = pos - lo.cast("double")
+        lo_val = F.max(F.when(F.col("rn") == lo, F.col("v")))
+        hi_val = F.max(
+            F.when(F.col("rn") == F.least(lo + 1, F.col("n")), F.col("v"))
+        )
+        return quant(lo_val + F.max(frac) * (hi_val - lo_val), 4).alias(name)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pctl(0.5, "p50"),
+            pctl(0.9, "p90"),
+            pctl(0.99, "p99"),
         )
         .orderBy("o_orderpriority")
     )

@@ -831,6 +831,12 @@ EXTRAS_ORACLES["q22_price_percentiles"] = f"""
     ORDER BY o_orderpriority
 """
 
+# The windowed variant computes the same type-7 interpolated percentiles
+# — identical numbers, shared oracle.
+EXTRAS_ORACLES["q22b_price_percentiles_windowed"] = EXTRAS_ORACLES[
+    "q22_price_percentiles"
+]
+
 
 def _minhash_portable_oracle() -> str:
     """DuckDB twin of extras.t17_minhash_portable: identical shingling

@@ -180,3 +180,17 @@ def test_query_paths_never_mutate_session_conf():
         if p not in allowed and "conf.set" in p.read_text()
     ]
     assert not offenders, f"session conf mutated outside sanctioned sites: {offenders}"
+
+
+def test_windowed_percentiles_avoid_group_buffering(spark):
+    """q22b must compute exact percentiles via sort+window, not
+    percentile()'s ObjectHashAggregate value buffer, and its final
+    aggregate must reuse the window's hash partitioning (exactly one
+    exchange on the group key)."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import extras
+
+    df = extras.q22b_price_percentiles_windowed(spark, SF)
+    plan = explain_str(df)
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(o_orderpriority") <= 1
