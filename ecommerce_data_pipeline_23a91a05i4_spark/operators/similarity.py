@@ -295,7 +295,16 @@ def ivf_train(
             assigned.join(v, "id")
             .select("cluster_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cluster_id", "dim")
-            .agg(F.avg("val").alias("m"))
+            # decimal-exact mean: centroids are bit-identical under any
+            # partitioning, so the trained index is fully deterministic
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cluster_id")
             .agg(
                 F.transform(
