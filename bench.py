@@ -130,7 +130,11 @@ def main() -> None:
     # reports for the reference (4.44 s at ~30k fact rows).  The monitoring
     # (q11+) and LLM-data (t*) suites are timed in "queries" but kept out
     # of the headline so the comparison stays apples-to-apples.
-    ref10 = [n for n in timings if n.startswith("q") and int(n[1:].split("_")[0]) <= 10]
+    def _qnum(name: str) -> int | None:
+        m = re.match(r"q(\d+)_", name)
+        return int(m.group(1)) if m else None
+
+    ref10 = [n for n in timings if (_qnum(n) or 99) <= 10]
     total = round(sum(timings[n] for n in ref10), 4)
 
     # End-to-end pipeline at the reference's exact scale (1000 customers /
