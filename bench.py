@@ -27,6 +27,18 @@ from ecommerce_data_pipeline_23a91a05i4_spark.session import get_spark  # noqa: 
 import __spark_entry__ as entry_mod  # noqa: E402
 
 
+def headline_names(names) -> list[str]:
+    """The q1-q10 reference-suite subset of the query names — tolerant of
+    any naming (q22b, t-gates, s-gates) so a new gate can never crash
+    the bench (tests/test_bench_contract.py)."""
+
+    def qnum(name: str) -> int | None:
+        m = re.match(r"q(\d+)_", name)
+        return int(m.group(1)) if m else None
+
+    return [n for n in names if (qnum(n) or 99) <= 10]
+
+
 def scale_probe(factor: int = 8) -> None:
     """Reproducible scale probe (``python bench.py --scale-probe``):
     materialize lineitem at 1x and ``factor``x with IDENTICAL parallel
@@ -130,11 +142,7 @@ def main() -> None:
     # reports for the reference (4.44 s at ~30k fact rows).  The monitoring
     # (q11+) and LLM-data (t*) suites are timed in "queries" but kept out
     # of the headline so the comparison stays apples-to-apples.
-    def _qnum(name: str) -> int | None:
-        m = re.match(r"q(\d+)_", name)
-        return int(m.group(1)) if m else None
-
-    ref10 = [n for n in timings if (_qnum(n) or 99) <= 10]
+    ref10 = headline_names(timings)
     total = round(sum(timings[n] for n in ref10), 4)
 
     # End-to-end pipeline at the reference's exact scale (1000 customers /
