@@ -98,6 +98,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t9_simhash": llmdata.t9_simhash,
         "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
         "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q18_salted_event_stats": extras.q18_salted_event_stats,
         "t10_token_frequencies": extras.t10_token_frequencies,

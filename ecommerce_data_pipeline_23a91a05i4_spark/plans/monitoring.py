@@ -57,6 +57,37 @@ def q11_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t30_corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene twin of q11: every cross-table invariant of
+    the corpus tables as one left-anti/aggregate pass — embeddings
+    without a backing document, documents without an embedding
+    (coverage gap, not necessarily an error — counted, not asserted),
+    duplicate vec_ids, and events from users with no document author
+    analog are out of scope (no such FK).  Same plan shape as q11: no
+    key-set collect, each check is a broadcast-or-shuffle anti join."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    emb = table(spark, sf_dir, "embeddings")
+
+    def check(name: str, df: DataFrame):
+        return df.agg(F.count(F.lit(1)).alias("violation_count")).select(
+            F.lit(name).alias("check_name"), "violation_count"
+        )
+
+    orphan_emb = emb.join(docs, emb.vec_id == docs.doc_id, "left_anti")
+    uncovered_docs = docs.join(emb, docs.doc_id == emb.vec_id, "left_anti")
+    dup_vecs = (
+        emb.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        check("duplicate_vec_id", dup_vecs)
+        .unionAll(check("document_without_embedding", uncovered_docs))
+        .unionAll(check("embedding_without_document", orphan_emb))
+        .orderBy("check_name")
+    )
+
+
 def q12_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING-based duplicate detection (ref data_quality_checks.sql:27-36):
     users with more than one event of the same type."""

@@ -139,6 +139,25 @@ MONITORING_ORACLES["q15_hourly_events"] = f"""
     ORDER BY window_start, event_type
 """
 
+MONITORING_ORACLES["t30_corpus_integrity"] = """
+    SELECT 'duplicate_vec_id' AS check_name,
+           (SELECT COUNT(*) FROM (
+                SELECT vec_id FROM embeddings
+                GROUP BY vec_id HAVING COUNT(*) > 1))
+               AS violation_count
+    UNION ALL
+    SELECT 'document_without_embedding',
+           (SELECT COUNT(*) FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.vec_id = d.doc_id))
+    UNION ALL
+    SELECT 'embedding_without_document',
+           (SELECT COUNT(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d
+                              WHERE d.doc_id = e.vec_id))
+    ORDER BY check_name
+"""
+
 # The streaming gate drains the exact streaming twin of q15 and must
 # produce byte-identical rows — same oracle by construction.
 MONITORING_ORACLES["s1_streaming_hourly_events"] = MONITORING_ORACLES[
