@@ -59,7 +59,15 @@ def _parse(text: str, path: str) -> dict:
 
         loaded = yaml.safe_load(text)
     except ImportError:
-        loaded = json.loads(text)
+        try:
+            loaded = json.loads(text)
+        except json.JSONDecodeError as exc:
+            # A bare JSONDecodeError on a YAML file never mentions the
+            # real problem (PyYAML absent) — say so explicitly.
+            raise ValueError(
+                f"cannot parse {path}: not valid JSON, and PyYAML is not "
+                "installed (install pyyaml if the file is YAML)"
+            ) from exc
     if not isinstance(loaded, dict):
         raise ValueError(f"config root must be a mapping: {path}")
     return loaded

@@ -121,15 +121,27 @@ def _session_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user session counting: a new session starts after a >30 min gap.
-    State is (last event micros, session count, event count)."""
+    State is (last event micros, session count, event count).
+
+    All Arrow chunks of the micro-batch are concatenated and sorted ONCE
+    before folding the gap state — a group spanning multiple chunks would
+    otherwise see non-globally-sorted timestamps and mis-count sessions.
+    Ordering is guaranteed *within* a micro-batch only; an event arriving
+    in a later batch with a timestamp older than the group's last seen one
+    (late data beyond the trigger boundary) is folded in arrival order —
+    pair with dedup_stream's watermark (or a session-window agg) when the
+    source can reorder across batches."""
     if state.exists:
         last_us, n_sessions, n_events = state.get
     else:
         last_us, n_sessions, n_events = None, 0, 0
-    for pdf in pdfs:
-        # normalize to microseconds explicitly — Arrow may back the column
-        # with datetime64[ns] or [us] depending on pandas/pyarrow versions
-        for us in pdf["ts"].astype("datetime64[us]").astype("int64").sort_values():
+    # normalize to microseconds explicitly — Arrow may back the column
+    # with datetime64[ns] or [us] depending on pandas/pyarrow versions
+    chunks = [
+        pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdfs
+    ]
+    if chunks:
+        for us in pd.concat(chunks, ignore_index=True).sort_values():
             if last_us is None or us - last_us > SESSION_GAP_US:
                 n_sessions += 1
             last_us = int(us)

@@ -15,7 +15,10 @@ def test_headline_selector_handles_every_registered_query_name():
 
     names = list(entry_mod._QUERIES)
     picked = bench.headline_names(names)
-    assert picked == [f"q{i}_" + n.split("_", 1)[1] for i, n in enumerate(picked, 1)] or True
+    # Registry order no longer starts at q1 (rotation schedule), so the
+    # headline must be exactly q1..q10 as a SET, registry-order preserved.
+    assert sorted(int(n.split("_")[0][1:]) for n in picked) == list(range(1, 11))
+    assert [n for n in names if n in picked] == picked
     assert len(picked) == 10
     assert all(n.startswith("q") for n in picked)
     assert "q22b_price_percentiles_windowed" not in picked
@@ -25,3 +28,16 @@ def test_headline_selector_handles_every_registered_query_name():
 def test_headline_selector_tolerates_arbitrary_names():
     weird = ["q1_a", "q10_b", "q11_c", "qxx_d", "t5_e", "s1_f", "q22b_g", "zz"]
     assert bench.headline_names(weird) == ["q1_a", "q10_b"]
+
+
+def test_headline_total_nulls_out_on_any_headline_failure():
+    names = ["q1_a", "q2_b", "q11_c"]
+    total, failed = bench.headline_total(
+        names, {"q1_a": 1.0, "q11_c": 9.0}, {"q2_b": "Boom: x"}
+    )
+    assert total is None and failed == ["q2_b"]
+    # Non-headline failures must NOT null the headline.
+    total, failed = bench.headline_total(
+        names, {"q1_a": 1.0, "q2_b": 2.0}, {"q11_c": "Boom: y"}
+    )
+    assert total == 3.0 and failed == []

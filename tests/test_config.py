@@ -153,3 +153,19 @@ def test_pipeline_atomic_gold_snapshot_publish(spark, tmp_path):
     # published layout refuses a mutating non-atomic write
     with _pytest.raises(ValueError, match="atomic"):
         pipeline.silver_to_gold(spark, base, "2024-01-17", atomic=False)
+
+
+def test_yaml_without_pyyaml_raises_actionable_error(tmp_path, monkeypatch):
+    """On a yaml-less interpreter, a real YAML config must fail with a
+    message naming the missing dependency, not a bare JSONDecodeError."""
+    import sys
+
+    import pytest as _pytest
+
+    from ecommerce_data_pipeline_23a91a05i4_spark import config as cfg
+
+    p = tmp_path / "c.yaml"
+    p.write_text("pipeline:\n  max_retries: 5\n")
+    monkeypatch.setitem(sys.modules, "yaml", None)  # import yaml -> ImportError
+    with _pytest.raises(ValueError, match="PyYAML is not installed"):
+        cfg.load_config(p)

@@ -226,3 +226,37 @@ def test_attribute_stream_matches_batch_interval_join(spark):
     assert got_keys == want_keys
     assert len(got) == len(want)
     assert got_keys, "no attributed pairs — test data assumption broken"
+
+
+def test_session_fn_is_chunk_split_invariant():
+    """_session_fn must fold timestamps in GLOBAL sorted order even when
+    one user's micro-batch arrives as several Arrow chunks whose ranges
+    interleave — per-chunk sorting would invent phantom sessions."""
+    import pandas as pd
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming.ingest import (
+        _session_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def run(chunks):
+        state = FakeState()
+        ts = [pd.to_datetime(c, unit="m") for c in chunks]
+        out = list(
+            _session_fn(
+                (1,), iter([pd.DataFrame({"ts": c}) for c in ts]), state
+            )
+        )
+        assert len(out) == 1
+        return int(out[0]["n_sessions"][0]), int(out[0]["n_events"][0])
+
+    # minutes 0,5,10,200,205 → 2 true sessions (gap >30 min at 200)
+    whole = run([[0, 5, 10, 200, 205]])
+    interleaved = run([[0, 10, 205], [5, 200]])
+    assert whole == (2, 5)
+    assert interleaved == whole
