@@ -74,7 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # window), (c) green in r2 only, (d) green in both r1+r2 — bucket (d)
 # tail rotates back into the window in later rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) never driver-green ------------------------------------
+        # -- (a) never driver-green (t31 is new in round 3) -------------
+        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -127,9 +128,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q9_dow_pattern": analytics.q9_dow_pattern,
         "q10_discount_impact": analytics.q10_discount_impact,
         "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) double-green tail, rotated out this round ---------------
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q20_orders_without_items": extras.q20_orders_without_items,
         "q21_priority_pivot": extras.q21_priority_pivot,
         "q22_price_percentiles": extras.q22_price_percentiles,

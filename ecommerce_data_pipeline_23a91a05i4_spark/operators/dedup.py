@@ -233,26 +233,15 @@ def md5_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def minhash_md5_pairs(
-    shingled: DataFrame,
-    num_perm: int = 32,
-    bands: int = 8,
-    threshold: float = 0.35,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with engine-portable hashing.
-
-    Same S-curve and join discipline as minhash_signatures/
-    lsh_candidate_pairs, but every hash is md5-derived with literal modular
-    permutations (minhash_coeffs), so a DuckDB oracle replays the whole
-    pipeline — signature, banding, candidate generation, verification —
-    bit-for-bit.  Returns (id_a, id_b, jaccard) for candidate pairs whose
-    exact Jaccard (computed only over candidates, O(candidates) work)
-    meets the threshold.
-    """
-    r = num_perm // bands
-    assert bands * r == num_perm, "num_perm must be divisible by bands"
+def minhash_md5_signatures(shingled: DataFrame, num_perm: int = 32) -> DataFrame:
+    """Per-doc portable MinHash signature (id, mh0..mh{n-1}): min over
+    shingles of the literal modular permutations from minhash_coeffs
+    applied to the md5-prefix shingle hash.  One shuffle on id.  Pure
+    per-doc state — a document's signature never depends on the rest of
+    the corpus, which is what makes signatures PERSISTABLE and the
+    incremental (delta-vs-corpus) dedup below possible."""
     hv = md5_hash32(F.col("shingle"))
-    sig = shingled.groupBy("id").agg(
+    return shingled.groupBy("id").agg(
         *[
             F.min((F.lit(a).cast("long") * hv + F.lit(b)) % F.lit(MINHASH_P)).alias(
                 f"mh{i}"
@@ -260,6 +249,14 @@ def minhash_md5_pairs(
             for i, (a, b) in enumerate(minhash_coeffs(num_perm))
         ]
     )
+
+
+def md5_band_table(sig: DataFrame, num_perm: int = 32, bands: int = 8) -> DataFrame:
+    """Band a portable signature into (id, band, bkey) bucket rows — the
+    LSH index relation.  Persist this (bucketed by bkey) to make the
+    corpus side of incremental dedup a zero-rehash, zero-shuffle scan."""
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must be divisible by bands"
     banded = None
     for bnd in range(bands):
         cols = [F.col(f"mh{bnd * r + j}") for j in range(r)]
@@ -269,17 +266,14 @@ def minhash_md5_pairs(
             F.md5(F.concat_ws(",", *cols)).alias("bkey"),
         )
         banded = one if banded is None else banded.unionAll(one)
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return banded
+
+
+def _verify_jaccard(
+    cands: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs:
+    O(candidates) work, shingle join keyed on (id, shingle)."""
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sa, sb = shingled.alias("sa"), shingled.alias("sb")
     inter = (
@@ -305,6 +299,96 @@ def minhash_md5_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_md5_pairs(
+    shingled: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with engine-portable hashing.
+
+    Same S-curve and join discipline as minhash_signatures/
+    lsh_candidate_pairs, but every hash is md5-derived with literal modular
+    permutations (minhash_coeffs), so a DuckDB oracle replays the whole
+    pipeline — signature, banding, candidate generation, verification —
+    bit-for-bit.  Returns (id_a, id_b, jaccard) for candidate pairs whose
+    exact Jaccard (computed only over candidates, O(candidates) work)
+    meets the threshold.
+    """
+    sig = minhash_md5_signatures(shingled, num_perm)
+    banded = md5_band_table(sig, num_perm, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, shingled, threshold)
+
+
+def minhash_incremental_pairs(
+    corpus_bands: DataFrame,
+    delta_shingled: DataFrame,
+    all_shingled: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Cross-run incremental near-dedup: pair a NEW batch (delta) against
+    an EXISTING corpus without ever re-pairing the corpus with itself.
+
+    ``corpus_bands`` is the persisted LSH index of prior runs — the
+    (id, band, bkey) relation from md5_band_table, ideally stored as a
+    parquet table bucketed by bkey (sources.registry.write_bucketed) so
+    reading it back plans no Exchange on the corpus side of the candidate
+    join.  ``delta_shingled`` covers only the new documents;
+    ``all_shingled`` covers corpus ∪ delta and is consulted ONLY for the
+    exact-Jaccard verification of candidate pairs (semi-joined to
+    candidate ids first, so verification work is O(candidates) whatever
+    the corpus size).
+
+    The candidate join is delta_bands ⋈ (corpus_bands ∪ delta_bands):
+    every emitted pair contains ≥1 delta document by construction —
+    corpus×corpus pairs are structurally impossible, which is the whole
+    point (a 100 TB corpus is never re-hashed, re-banded, or re-paired;
+    per-batch cost is O(|delta| + candidates)).  Because signatures and
+    band keys are pure per-document functions, the result equals the
+    full-corpus minhash_md5_pairs output restricted to pairs touching the
+    delta — an equivalence the t31 oracle checks cross-engine.
+
+    After a run, append the delta's band rows to the persisted index to
+    absorb the batch into the corpus for the next run.
+    """
+    delta_bands = md5_band_table(
+        minhash_md5_signatures(delta_shingled, num_perm), num_perm, bands
+    )
+    every = corpus_bands.select("id", "band", "bkey").unionAll(
+        delta_bands.select("id", "band", "bkey")
+    )
+    d, o = delta_bands.alias("d"), every.alias("o")
+    cands = (
+        d.join(
+            o,
+            (F.col("d.band") == F.col("o.band"))
+            & (F.col("d.bkey") == F.col("o.bkey"))
+            & (F.col("d.id") != F.col("o.id")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    verify_shingles = all_shingled.join(cand_ids, "id", "left_semi")
+    return _verify_jaccard(cands, verify_shingles, threshold)
 
 
 # ------------------------------------------------------------------ SimHash

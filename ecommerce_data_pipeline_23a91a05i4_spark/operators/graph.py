@@ -36,26 +36,40 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node in `edges`, where
     `component` is the minimum node id reachable from `node`.
 
     Each iteration: one shuffle to aggregate neighbor minima + one
     broadcast-or-shuffle join back to labels, then an O(nodes) action to
-    test convergence.  Lineage is truncated per round with
-    localCheckpoint so the plan does not grow with the iteration count
-    (on a cluster, prefer reliable checkpoint() to survive executor
-    loss; the loop is otherwise unchanged).
+    test convergence.  Lineage is truncated per round so the plan does
+    not grow with the iteration count.
+
+    checkpoint_dir selects the truncation durability: None (default)
+    uses localCheckpoint — executor-memory blocks, fine on local[*] and
+    fastest, but an executor loss mid-loop kills the job because the
+    truncated lineage cannot be replayed.  On a real cluster pass an
+    HDFS/S3 path: the loop then uses reliable checkpoint(), whose files
+    survive executor loss and let Spark recompute from the last round.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def snap(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = snap(sym)
 
-    labels = (
+    labels = snap(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -88,8 +102,8 @@ def connected_components(
                     F.coalesce(F.col("pcomp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = snap(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -52,18 +52,43 @@ def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha", F.sha2(F.col(content_col), 256))
 
 
-def decode_image(content: bytes, fake: bool = False) -> dict:
-    """STUB — image decoding needs PIL/libjpeg, not present here.
+try:  # real codec, used only when explicitly requested (fake=False)
+    from PIL import Image as _PILImage  # noqa: N814
+except ImportError:  # the test container has no Pillow; the stub rules
+    _PILImage = None
 
-    fake=True returns a deterministic pseudo-decode (dimensions and a pixel
-    checksum derived from the content hash) so pipeline plumbing tests can
-    run; real deployments replace only this function body.
+
+def decode_image(content: bytes, fake: bool = False) -> dict:
+    """Image decode behind a gated import.
+
+    fake=True (the gate/oracle path) returns a deterministic pseudo-decode
+    (dimensions and a pixel checksum derived from the content hash) —
+    engine-independent, so t24's static oracle stays pinned to it.
+
+    fake=False uses Pillow when importable and returns the SAME contract
+    (width/height/channels/pixel_checksum over the decoded RGB bytes);
+    without Pillow it raises NotImplementedError so a misconfigured
+    deployment fails loudly instead of producing stub numbers.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "pass fake=True for the deterministic test double"
-        )
+        if _PILImage is None:
+            raise NotImplementedError(
+                "image codec (Pillow) not available in this environment; "
+                "pass fake=True for the deterministic test double"
+            )
+        import io
+
+        with _PILImage.open(io.BytesIO(content or b"")) as im:
+            rgb = im.convert("RGB")
+            pixels = rgb.tobytes()
+            return {
+                "width": rgb.width,
+                "height": rgb.height,
+                "channels": 3,
+                "pixel_checksum": int.from_bytes(
+                    hashlib.sha256(pixels).digest()[:8], "big", signed=True
+                ),
+            }
     h = hashlib.sha256(content or b"").digest()
     return {
         "width": 64 + h[0] % 192,
@@ -175,7 +200,10 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                decode_image(b"", fake=False)  # raises NotImplementedError
+                raise NotImplementedError(
+                    "real resize kernel not implemented; pass fake=True "
+                    "for the deterministic payload double"
+                )
             payloads = []
             for c in pdf["content"]:
                 digest = hashlib.sha256(
@@ -225,7 +253,10 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                decode_image(b"", fake=False)  # raises NotImplementedError
+                raise NotImplementedError(
+                    "video frame decoder not implemented; pass fake=True "
+                    "for the deterministic frame double"
+                )
             ids, offs, frames = [], [], []
             for aid, content, meta in zip(
                 pdf["asset_id"], pdf["content"], pdf["metadata"]

@@ -930,6 +930,85 @@ def _minhash_portable_oracle() -> str:
 EXTRAS_ORACLES["t17_minhash_portable"] = _minhash_portable_oracle()
 
 
+def _incremental_minhash_oracle() -> str:
+    """DuckDB twin of llmdata.t31_incremental_minhash.  The oracle takes
+    the OPPOSITE route to the Spark plan on purpose: it recomputes the
+    full-corpus portable-MinHash pairing (t17's chain, threshold 0.35)
+    and then restricts to pairs touching the delta (doc_id % 5 = 0).
+    Equality therefore proves the incremental delta⋈(corpus∪delta)
+    formulation returns exactly the full recompute's delta-touching
+    pairs — the correctness contract of cross-run dedup."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    num_perm, bands = 32, 8
+    r = num_perm // bands
+    mins = ",\n                   ".join(
+        f"MIN(({a} * hv + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT id, {j} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+            j=j, cols=", ".join(f"mh{j * r + k}" for k in range(r))
+        )
+        for j in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                        ELSE [array_to_string(l, ' ')] END AS g
+            FROM toks
+        ),
+        sh AS (SELECT DISTINCT doc_id AS id, unnest(g) AS shingle FROM grams),
+        hv AS (
+            SELECT id, shingle,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv
+            FROM sh
+        ),
+        sig AS (
+            SELECT id,
+                   {mins}
+            FROM hv GROUP BY id
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+            WHERE a.id % 5 = 0 OR b.id % 5 = 0
+        ),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cand c
+            JOIN sh a ON a.id = c.id_a
+            JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+        )
+        SELECT id_a, id_b, {SQL_QUANT('jaccard', 6)} AS jaccard,
+               CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'delta_delta'
+                    ELSE 'delta_corpus' END AS pair_kind
+        FROM j WHERE jaccard >= 0.35
+        ORDER BY id_a, id_b
+    """
+
+
+LLMDATA_ORACLES["t31_incremental_minhash"] = _incremental_minhash_oracle()
+
+
 # ------------------------------------------------- relational gates (q23+)
 
 RELATIONAL_ORACLES: dict[str, str] = {}

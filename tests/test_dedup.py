@@ -126,3 +126,119 @@ def test_minhash_portable_jaccard_values_are_exact(docs):
         for r in dd.minhash_md5_pairs(shingled, threshold=0.5).collect()
     }
     assert by_pair[(1, 2)] == 1.0
+
+
+# ----------------------------------------------- cross-run incremental dedup
+
+
+def _split(docs, delta_ids):
+    corpus = docs.filter(~F.col("doc_id").isin(delta_ids))
+    delta = docs.filter(F.col("doc_id").isin(delta_ids))
+    return corpus, delta
+
+
+def test_incremental_excludes_corpus_corpus_pairs(docs):
+    """Corpus docs 1/2/3 are mutual exact dups — a full recompute pairs
+    them, but the incremental run (delta = {4, 6}) must never re-emit a
+    corpus×corpus pair, only delta-touching ones."""
+    corpus, delta = _split(docs, [4, 6])
+    corpus_bands = dd.md5_band_table(
+        dd.minhash_md5_signatures(dd.shingle_table(corpus, "doc_id", "text"))
+    )
+    pairs = dd.minhash_incremental_pairs(
+        corpus_bands,
+        dd.shingle_table(delta, "doc_id", "text"),
+        dd.shingle_table(docs, "doc_id", "text"),
+        threshold=0.5,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a in (4, 6) or b in (4, 6) for a, b in got)
+    assert (1, 2) not in got and (1, 3) not in got and (2, 3) not in got
+    # doc 4 is a near-dup of corpus docs 1/2/3 and must be caught
+    assert {(1, 4), (2, 4), (3, 4)} <= got
+
+
+def test_incremental_equals_full_recompute_restricted_to_delta(docs):
+    """The contract the t31 oracle checks cross-engine, pinned here on
+    planted data too: incremental == full recompute ∩ delta-touching."""
+    corpus, delta = _split(docs, [3, 4])
+    shingled_all = dd.shingle_table(docs, "doc_id", "text")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_md5_pairs(shingled_all, threshold=0.5).collect()
+        if r.id_a in (3, 4) or r.id_b in (3, 4)
+    }
+    corpus_bands = dd.md5_band_table(
+        dd.minhash_md5_signatures(dd.shingle_table(corpus, "doc_id", "text"))
+    )
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_incremental_pairs(
+            corpus_bands,
+            dd.shingle_table(delta, "doc_id", "text"),
+            shingled_all,
+            threshold=0.5,
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
+    """Production shape: the corpus band index is PERSISTED bucketed by
+    bkey and read back — results identical to the in-memory run, the
+    corpus side scans as a bucketed table (no re-hash of old docs), and
+    the next batch is absorbed by appending delta bands."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.registry import (
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("lsh_index")
+    corpus, delta = _split(docs, [4, 6])
+    corpus_bands = dd.md5_band_table(
+        dd.minhash_md5_signatures(dd.shingle_table(corpus, "doc_id", "text"))
+    )
+    write_bucketed(
+        corpus_bands, "lsh_corpus_bands", str(base / "bands"), "bkey", 4
+    )
+    try:
+        stored = spark.table("lsh_corpus_bands")
+        # an aggregate keyed on bkey consumes the bucketed distribution:
+        # the scan reports Bucketed: true and plans NO Exchange — the
+        # corpus side of the candidate join gets the same treatment
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            stored.groupBy("bkey").count().explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan and "Exchange" not in plan
+
+        delta_sh = dd.shingle_table(delta, "doc_id", "text")
+        all_sh = dd.shingle_table(docs, "doc_id", "text")
+        from_store = {
+            tuple(r)
+            for r in dd.minhash_incremental_pairs(
+                stored, delta_sh, all_sh, threshold=0.5
+            ).collect()
+        }
+        in_memory = {
+            tuple(r)
+            for r in dd.minhash_incremental_pairs(
+                corpus_bands, delta_sh, all_sh, threshold=0.5
+            ).collect()
+        }
+        assert from_store == in_memory and from_store
+
+        # absorb the batch: append delta bands; the index now covers all
+        delta_bands = dd.md5_band_table(dd.minhash_md5_signatures(delta_sh))
+        write_bucketed(
+            delta_bands, "lsh_corpus_bands", str(base / "bands"), "bkey", 4,
+            mode="append",
+        )
+        n_all = dd.md5_band_table(
+            dd.minhash_md5_signatures(all_sh)
+        ).count()
+        assert spark.table("lsh_corpus_bands").count() == n_all
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_corpus_bands")

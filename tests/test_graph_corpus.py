@@ -60,6 +60,29 @@ def test_cc_long_chain_converges(spark):
     assert labels[n] == 0
 
 
+def test_cc_reliable_checkpoint_converges(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage truncation from
+    localCheckpoint to reliable checkpoint() (cluster-durable: survives
+    executor loss).  Same answers, and checkpoint files actually land in
+    the directory."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    ckpt = str(tmp_path / "cc_ckpt")
+    out = connected_components(
+        _edges(spark, pairs), checkpoint_dir=ckpt
+    ).collect()
+    comp: dict[int, set[int]] = {}
+    for r in out:
+        comp.setdefault(r.component, set()).add(r.node)
+    assert set(frozenset(s) for s in comp.values()) == {
+        frozenset({1, 2, 3, 4}),
+        frozenset({10, 11}),
+        frozenset({20}),
+    }
+    import pathlib
+
+    assert any(pathlib.Path(ckpt).rglob("*")), "no reliable checkpoint files written"
+
+
 def test_cc_edge_direction_irrelevant(spark):
     g1, _ = _components(spark, [(5, 1), (1, 9)])
     g2, _ = _components(spark, [(1, 5), (9, 1)])

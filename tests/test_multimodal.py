@@ -41,12 +41,42 @@ def test_extract_features_fake_mode(spark):
     assert rows == again  # deterministic
 
 
-def test_decode_stub_raises_without_fake(spark):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG...")
+def test_decode_real_mode_fails_loudly_on_bad_input(spark):
+    """fake=False must never silently fall back to stub numbers: without
+    Pillow it raises NotImplementedError; with Pillow, garbage bytes
+    raise the decoder's error."""
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG...")
+        err = "NotImplementedError|codec"
+    else:
+        with pytest.raises(Exception):
+            mm.decode_image(b"\x89PNG...")  # truncated, undecodable
+        err = "cannot identify|Unidentified|image"
     # and the error propagates through the real mapInPandas path
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match=err):
         mm.extract_features(_assets(spark), fake=False).limit(1).collect()
+
+
+def test_decode_image_real_codec_contract():
+    """With Pillow importable, fake=False decodes a real PNG and returns
+    the SAME contract as the stub (width/height/channels/pixel_checksum),
+    with true dimensions and a checksum stable across calls.  Skipped
+    where Pillow is absent (this container)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (20, 10), (255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    out = mm.decode_image(png, fake=False)
+    assert set(out) == {"width", "height", "channels", "pixel_checksum"}
+    assert (out["width"], out["height"], out["channels"]) == (20, 10, 3)
+    assert out == mm.decode_image(png, fake=False)
+    # and it is NOT the stub's hash-derived pseudo-decode
+    assert out != mm.decode_image(png, fake=True)
 
 
 def test_frame_sampling_plan():
