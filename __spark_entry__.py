@@ -74,8 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # window), (c) green in r2 only, (d) green in both r1+r2 — bucket (d)
 # tail rotates back into the window in later rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) never driver-green (t31 is new in round 3) -------------
+        # -- (a) never driver-green (t31-t34 are new in round 3) --------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
+        "t32_pii_redaction": llmdata.t32_pii_redaction,
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -126,10 +129,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
         "q8_product_profitability": analytics.q8_product_profitability,
         "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) double-green tail, rotated out this round ---------------
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q20_orders_without_items": extras.q20_orders_without_items,
         "q21_priority_pivot": extras.q21_priority_pivot,

@@ -52,33 +52,24 @@ def headline_total(
     return round(sum(timings[n] for n in ref10), 4), []
 
 
-def scale_probe(factor: int = 8) -> None:
-    """Reproducible scale probe (``python bench.py --scale-probe``):
-    materialize lineitem at 1x and ``factor``x with IDENTICAL parallel
-    file layout (the raw testdata is a single file = a single scan
-    split, which would unfairly handicap the base measurement), then
-    time the q1-shaped scan+aggregate on both END TO END (I/O
-    included).  Prints one JSON line with the slowdown ratio and
-    rows/s; a ratio well under ``factor`` means fixed overhead, not
-    data volume, dominates at test scale."""
+def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> dict:
+    """Reproducible scale probe: materialize lineitem at 1x and each
+    ``factors``x with IDENTICAL parallel file layout (the raw testdata is
+    a single file = a single scan split, which would unfairly handicap
+    the base measurement), then time the q1-shaped scan+aggregate on
+    every copy END TO END (I/O included).  Returns per-factor slowdown
+    ratios and rows/s; a ratio well under the factor means fixed
+    overhead, not data volume, dominates at test scale — each extra
+    factor is another point on the overhead-vs-volume curve backing the
+    100x extrapolation."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench-scale-probe")
     raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     tmp = tempfile.mkdtemp(prefix="bench_scale_probe_")
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    paths = {}
-    for name, fac in (("base", 1), ("scaled", factor)):
-        paths[name] = os.path.join(tmp, f"lineitem_{fac}x.parquet")
-        raw.withColumn(
-            "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-        ).drop("_r").repartition(n_files).write.parquet(paths[name])
-    li = spark.read.parquet(paths["base"])
-    big = spark.read.parquet(paths["scaled"])
 
     def q1_shaped(df):
         return (
@@ -95,37 +86,35 @@ def scale_probe(factor: int = 8) -> None:
             .limit(10)
         )
 
-    timings = {}
-    for name, df, rows in (("base", li, li.count()), ("scaled", big, None)):
-        q = q1_shaped(df)
-        q.collect()  # warm
-        best = min(
-            (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
-                time.perf_counter()
+    try:
+        points: dict[str, dict] = {}
+        base_rows = base_sec = None
+        for fac in (1, *factors):
+            path = os.path.join(tmp, f"lineitem_{fac}x.parquet")
+            raw.withColumn(
+                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+            ).drop("_r").repartition(n_files).write.parquet(path)
+            df = spark.read.parquet(path)
+            q = q1_shaped(df)
+            q.collect()  # warm
+            best = min(
+                (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(3)
             )
-            for _ in range(3)
-        )
-        timings[name] = {
-            "sec": round(best, 4),
-            "rows": rows if rows is not None else timings["base"]["rows"] * factor,
-        }
-    shutil.rmtree(tmp, ignore_errors=True)
-    ratio = round(timings["scaled"]["sec"] / max(timings["base"]["sec"], 1e-9), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe_slowdown_ratio",
-                "value": ratio,
-                "unit": f"x at {factor}x rows",
-                "base": timings["base"],
-                "scaled": timings["scaled"],
-                "rows_per_sec_scaled": round(
-                    timings["scaled"]["rows"] / timings["scaled"]["sec"]
-                ),
-                "sf_dir": sf_dir,
+            if fac == 1:
+                base_rows, base_sec = df.count(), best
+            rows = base_rows * fac
+            points[f"{fac}x"] = {
+                "sec": round(best, 4),
+                "rows": rows,
+                "slowdown_vs_1x": round(best / max(base_sec, 1e-9), 2),
+                "rows_per_sec": round(rows / best),
             }
-        )
-    )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
 
 
 def main() -> None:
@@ -181,6 +170,14 @@ def main() -> None:
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
+    # Scale probe (8x/32x lineitem, identical layout) — the overhead-vs-
+    # volume curve behind the 100x claims, published with every run.
+    probe: dict = {}
+    try:
+        probe = run_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+
     out = {
         "metric": "ref_analytics10_total_seconds",
         "value": total,
@@ -189,6 +186,7 @@ def main() -> None:
         "all_queries_total_sec": round(sum(timings.values()), 4),
         "pipeline_sf_ref_steps_sec": steps,
         "pipeline_sf_ref_ok": pipeline_ok,
+        "scale_probe": probe,
         "sf": sf,
     }
     if errors:
@@ -199,22 +197,35 @@ def main() -> None:
     # The driver stores only the TAIL of stdout; the big line above can be
     # truncated from the front, losing the headline.  Repeat the verdict-
     # critical numbers in a tiny trailing line that survives any window.
-    print(
-        json.dumps(
-            {
-                "headline_total_sec": total,
-                "ratio_vs_baseline_4.44s": (
-                    round(total / 4.44, 4) if total is not None else None
-                ),
-                "headline_incomplete": bool(failed_headline),
-                "sf": sf,
-            }
-        )
-    )
+    tail = {
+        "headline_total_sec": total,
+        "ratio_vs_baseline_4.44s": (
+            round(total / 4.44, 4) if total is not None else None
+        ),
+        "headline_incomplete": bool(failed_headline),
+        "sf": sf,
+    }
+    probe_points = probe.get("points", {})
+    for k, v in probe_points.items():
+        if k != "1x":
+            tail[f"scale_probe_{k}_slowdown"] = v["slowdown_vs_1x"]
+    print(json.dumps(tail))
 
 
 if __name__ == "__main__":
     if "--scale-probe" in sys.argv:
-        scale_probe()
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        extra = [a for a in sys.argv[1:] if a.isdigit()]
+        factors = tuple(int(a) for a in extra) or (8, 32)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_probe",
+                    **run_scale_probe(
+                        get_spark("bench-scale-probe"), sf_dir, factors
+                    ),
+                }
+            )
+        )
     else:
         main()

@@ -1,0 +1,155 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, repetition-based quality filters, and train-test
+decontamination.
+
+Not in the reference (its quality surface is null/range/RI checks,
+SURVEY.md §2.9); these are the north-star LLM-data extensions.  All three
+follow the same scale discipline as the rest of the extension suite:
+
+- PII detection/redaction is pure per-row regexp column expressions —
+  no shuffle, whole-stage codegen, and the regex classes are shared
+  Java-regex/RE2 syntax so a DuckDB oracle replays them exactly.
+- Repetition stats (the Gopher/C4-style signals: top-word dominance,
+  duplicate-n-gram fraction — Rae et al. 2021 §A1.1) need per-(doc, word)
+  counts: one shuffle keyed on (id, token), then a per-doc rollup.
+  Group cardinality is bounded by per-doc vocabulary, never corpus size.
+- Decontamination joins candidate-document shingles against the
+  benchmark's distinct shingle set.  Benchmarks are small by nature
+  (thousands of rows), so the set broadcasts and the check is a
+  map-side semi-probe per shingle — no corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import regex_count, tokens
+
+# Shared Java-regex / RE2 syntax (no lookbehind, no \p classes) so Spark
+# and DuckDB match identically, character for character.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}([-.]\d{4})?\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+REDACT_TOKEN = "[PII]"
+
+# Order matters: ipv4 before phone would also work, but email must go
+# first (an email's domain can contain digit runs a later pattern might
+# clip mid-match); pin an explicit order so redaction is deterministic.
+REDACT_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    return regex_count(col, PII_PATTERNS[kind])
+
+
+def redact_pii(col: Column, token: str = REDACT_TOKEN) -> Column:
+    """Replace every PII match with ``token``, all kinds, fixed order."""
+    out = col
+    for kind in REDACT_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def word_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document repetition signals over whitespace tokens:
+
+    (id, n_words, n_distinct_words, top_word_count, top_word_ratio,
+     n_bigrams, n_distinct_bigrams, dup_bigram_ratio)
+
+    top_word_ratio is the Gopher-style "most frequent word dominates the
+    document" signal; dup_bigram_ratio (1 − distinct/total bigrams) is
+    the duplicate-n-gram fraction.  Two shuffles: (id, word) counts, then
+    the per-doc rollup — both keyed on bounded-cardinality groups.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    word_counts = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = word_counts.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.size(tokens(F.col(text_col))) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens(F.col(text_col))) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tokens(F.col(text_col)), i + 1, 2)
+                ),
+            ),
+        )
+        .otherwise(F.array())
+        .alias("g"),
+    ).select(
+        "id",
+        F.size("g").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct_bigrams"),
+    )
+    return word_stats.join(grams, "id").select(
+        "id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        (F.col("top_word_count").cast("double") / F.col("n_words")).alias(
+            "top_word_ratio"
+        ),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.when(F.col("n_bigrams") > 0,
+               1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+def contamination_stats(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Train-test decontamination: for each candidate document, the
+    fraction of its word n-gram shingles that appear ANYWHERE in the
+    benchmark corpus (the standard n-gram-overlap contamination test,
+    e.g. GPT-3 appendix C / PaLM appendix).
+
+    Returns (id, n_shingles, n_overlap, contamination_ratio).  The
+    benchmark's distinct shingle set is deduplicated across its documents
+    and broadcast (benchmarks are small by construction); candidates keep
+    their shingles distinct per doc, so the probe is one broadcast
+    left-semi-shaped join plus a per-doc rollup.
+    """
+    from .dedup import shingle_table
+
+    cand = shingle_table(candidates, id_col, text_col, n=n)
+    bench = F.broadcast(
+        shingle_table(benchmark, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        cand.join(bench, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    sizes = cand.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return sizes.join(hits, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("contamination_ratio"),
+    )

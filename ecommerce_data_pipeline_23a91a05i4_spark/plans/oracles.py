@@ -649,6 +649,129 @@ def _bpe_oracle() -> str:
 LLMDATA_ORACLES["t26_bpe_token_stats"] = _bpe_oracle()
 
 
+def _pii_oracle() -> str:
+    """DuckDB twin of llmdata.t32_pii_redaction: identical deterministic
+    PII planting, the same shared-RE2/Java regexes from
+    operators/curation.PII_PATTERNS, the same redaction order, and an
+    md5 over the redacted text so one leaked character mismatches."""
+    from ..operators.curation import PII_PATTERNS, REDACT_ORDER, REDACT_TOKEN
+
+    red = "t"
+    for kind in REDACT_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '{REDACT_TOKEN}', 'g')"
+    counts = {
+        k: f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        for k in ("email", "phone", "ipv4")
+    }
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142 now' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 logged' ELSE '' END
+                   AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts['email']} AS n_emails,
+               {counts['phone']} AS n_phones,
+               {counts['ipv4']} AS n_ips,
+               {counts['email']} + {counts['phone']} + {counts['ipv4']} AS n_pii,
+               CAST(length({red}) AS BIGINT) AS n_chars_redacted,
+               md5({red}) AS redacted_md5
+        FROM aug
+        ORDER BY doc_id
+    """
+
+
+LLMDATA_ORACLES["t32_pii_redaction"] = _pii_oracle()
+
+
+LLMDATA_ORACLES["t33_repetition_filters"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ws AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_count
+        FROM wc GROUP BY doc_id
+    ),
+    gr AS (
+        SELECT doc_id,
+               CASE WHEN len(l) >= 2
+                    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                    ELSE [] END AS g
+        FROM (SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents)
+    ),
+    gs AS (
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_bigrams
+        FROM gr
+    ),
+    ratios AS (
+        SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+               CAST(top_word_count AS DOUBLE) / n_words AS twr,
+               n_bigrams, n_distinct_bigrams,
+               CASE WHEN n_bigrams > 0
+                    THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                    ELSE 0.0 END AS dbr
+        FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+    )
+    SELECT doc_id, n_words, n_distinct_words, top_word_count,
+           {SQL_QUANT('twr', 6)} AS top_word_ratio,
+           n_bigrams, n_distinct_bigrams,
+           {SQL_QUANT('dbr', 6)} AS dup_bigram_ratio,
+           (twr <= 0.2 AND dbr <= 0.6) AS keep
+    FROM ratios
+    ORDER BY doc_id
+"""
+
+
+LLMDATA_ORACLES["t34_decontamination"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               CASE WHEN len(l) >= 5
+                    THEN list_transform(range(1, len(l) - 3),
+                                        i -> array_to_string(l[i:i+4], ' '))
+                    ELSE [array_to_string(l, ' ')] END AS g
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, unnest(g) AS shingle FROM grams
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM cand GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM cand WHERE shingle IN (SELECT shingle FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           {SQL_QUANT('CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles', 6)}
+               AS contamination_ratio,
+           (CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles >= 0.1)
+               AS flagged
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    ORDER BY s.doc_id
+"""
+
+
 # ------------------------------------------------------------ extra oracles
 
 EXTRAS_ORACLES: dict[str, str] = {

@@ -99,6 +99,84 @@ def test_scd2_merge_is_idempotent(spark):
     assert r.is_current and str(r.effective_date) == "2024-01-01"
 
 
+def test_scd2_partitioned_merge_touches_only_affected_partitions(spark, tmp_path):
+    """The partition-pruned merge: a 2-key CDC batch against a 60-key
+    dimension must (a) produce exactly the full scd2_merge answer,
+    (b) report only the buckets holding updated keys, and (c) leave every
+    other partition's files byte-untouched (same paths, sizes, mtimes —
+    never read, never rewritten)."""
+    import datetime as dt
+    import os
+    from pathlib import Path
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.scd2 import (
+        SCD2_BUCKET_COL,
+        scd2_bucket,
+        scd2_merge_partitioned,
+        write_dim_partitioned,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _dim(
+        spark, [(f"C{i}", f"city{i}", d0, None, True) for i in range(60)]
+    )
+    path = str(tmp_path / "dim_customers")
+    n_buckets = 8
+    write_dim_partitioned(dim, path, "customer_id", n_buckets)
+
+    def file_stats():
+        out = {}
+        for p in Path(path).rglob("*.parquet"):
+            st = os.stat(p)
+            out[str(p)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = file_stats()
+
+    updates = spark.createDataFrame(
+        [("C3", "Mumbai"), ("C100", "Chennai")],
+        "customer_id string, city string",
+    )
+    affected = scd2_merge_partitioned(
+        spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+    )
+
+    expect_buckets = sorted(
+        r.b
+        for r in updates.select(
+            scd2_bucket(F.col("customer_id"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert affected == expect_buckets and 0 < len(affected) < n_buckets
+
+    after = file_stats()
+    prefix = {f"{SCD2_BUCKET_COL}={b}" for b in affected}
+    untouched_before = {
+        p: s for p, s in before.items()
+        if not any(seg in p for seg in prefix)
+    }
+    untouched_after = {
+        p: s for p, s in after.items()
+        if not any(seg in p for seg in prefix)
+    }
+    assert untouched_before == untouched_after  # identical files, stats and all
+    assert untouched_before  # the assertion actually covers partitions
+
+    got = {
+        (r.customer_id, r.city, str(r.effective_date), str(r.end_date), r.is_current)
+        for r in spark.read.parquet(path).drop(SCD2_BUCKET_COL).collect()
+    }
+    want = {
+        (r.customer_id, r.city, str(r.effective_date), str(r.end_date), r.is_current)
+        for r in scd2_merge(
+            dim, updates, "customer_id", ["city"], "2024-02-01"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_scd2_merge_dedupes_update_batch(spark):
     import datetime as dt
 
