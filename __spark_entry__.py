@@ -79,6 +79,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t32_pii_redaction": llmdata.t32_pii_redaction,
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
+        "t36_temperature_mix": corpus.t36_temperature_mix,
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -127,10 +129,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q5_payment_distribution": analytics.q5_payment_distribution,
         "q6_geo_revenue": analytics.q6_geo_revenue,
         "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) double-green tail, rotated out this round ---------------
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
         "q10_discount_impact": analytics.q10_discount_impact,
         "q11_referential_integrity": monitoring.q11_referential_integrity,
         "q17_revenue_rollup": extras.q17_revenue_rollup,

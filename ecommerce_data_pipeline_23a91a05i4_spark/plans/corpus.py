@@ -236,6 +236,126 @@ def t28_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def t35_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window fan-out
+    every pretraining/RAG pipeline runs: each document becomes chunks of
+    CHUNK_TOKENS tokens at CHUNK_STRIDE steps (16-token overlap), short
+    docs one whole chunk.  Pure plan arithmetic: the chunk list is a
+    higher-order expression over the token array, the fan-out one
+    posexplode — per-row compute, no shuffle, no Python, and the fan-out
+    factor is len/stride, never data-dependent state.  md5 over each
+    chunk's text pins content (one wrong token boundary fails the hash);
+    the DuckDB oracle replays slicing via list arithmetic."""
+    from ..operators import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    nt = F.size(toks)
+    n_chunks = F.when(nt <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (nt - CHUNK_TOKENS + CHUNK_STRIDE - 1)
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.split(F.col("chunk"), " ")).cast("long").alias(
+                "n_tokens_chunk"
+            ),
+            F.md5(F.col("chunk")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+MIX_ALPHA_SQRT = True  # alpha = 0.5 via sqrt: IEEE-exact in every engine
+MIX_TARGET_FRACTION = 0.4
+MIX_MOD = 1_000_000
+
+
+def t36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multi-corpus sampling
+    strategy of GPT-3/PaLM data recipes: small sources up-weighted via
+    weight ∝ size^alpha, alpha=0.5): per-source acceptance rates are
+    derived from char mass, and documents are kept by a deterministic
+    md5 threshold test — reproducible across engines, runs, and cluster
+    sizes, no rand().
+
+    Cross-engine determinism engineering: sqrt is IEEE-correctly-rounded
+    (unlike pow), and each sqrt is floored to an integer micro-weight
+    BEFORE summing, so the cross-source sum is exact integer arithmetic
+    with no float ordering sensitivity.  One broadcastable 20-row
+    aggregate joined back to the corpus — the scan keeps its partition
+    count, no corpus-sized shuffle."""
+    from ..operators.dedup import md5_hash32
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w6 = F.floor(
+        F.sqrt(F.col("total_chars").cast("double")) * MIX_MOD + 0.5
+    ).cast("long")
+    weighted = per_src.withColumn("w6", w6)
+    totals = weighted.agg(
+        F.sum("w6").alias("sum_w6"), F.sum("n_docs").alias("n_total")
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_TARGET_FRACTION)
+            * F.col("n_total").cast("double")
+            * F.col("w6").cast("double")
+            / (F.col("sum_w6").cast("double") * F.col("n_docs").cast("double")),
+        ).alias("rate"),
+    )
+    thr = F.floor(F.col("rate") * MIX_MOD).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates.withColumn("thr", thr)), "source")
+        .withColumn(
+            "keep",
+            F.pmod(
+                md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                F.lit(MIX_MOD),
+            )
+            < F.col("thr"),
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("total_chars").alias("total_chars"),
+            quant(F.first("rate"), 6).alias("rate"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def t25_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas fan-out): documents
     stand in as video assets with duration_ms = n_chars * 10, sampled

@@ -1608,6 +1608,70 @@ CORPUS_ORACLES["t25_frame_sample"] = """
     ORDER BY source
 """
 
+CORPUS_ORACLES["t35_sliding_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    nc AS (
+        SELECT doc_id, l,
+               CASE WHEN len(l) <= 64 THEN 1
+                    ELSE 1 + (len(l) - 64 + 47) // 48 END AS ns
+        FROM toks
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, ns),
+                      i -> {{'cid': i,
+                            'txt': array_to_string(l[i*48+1 : i*48+64], ' ')}}))
+                   AS s
+        FROM nc
+    )
+    SELECT doc_id,
+           CAST(s.cid AS BIGINT) AS chunk_id,
+           CAST(len(string_split(s.txt, ' ')) AS BIGINT) AS n_tokens_chunk,
+           md5(s.txt) AS chunk_md5
+    FROM ch
+    ORDER BY doc_id, chunk_id
+"""
+
+CORPUS_ORACLES["t36_temperature_mix"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *,
+               CAST(FLOOR(sqrt(CAST(total_chars AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS w6
+        FROM per_src
+    ),
+    tot AS (SELECT SUM(w6) AS sum_w6, SUM(n_docs) AS n_total FROM w),
+    rates AS (
+        SELECT source, n_docs, total_chars,
+               LEAST(1.0,
+                     0.4 * CAST(n_total AS DOUBLE) * CAST(w6 AS DOUBLE)
+                     / (CAST(sum_w6 AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                   AS rate
+        FROM w CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.source, d.n_chars,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+                % 1000000) < CAST(FLOOR(r.rate * 1000000) AS BIGINT) AS keep
+        FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT r.source, r.n_docs, r.total_chars,
+           {SQL_QUANT('r.rate', 6)} AS rate,
+           CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.keep THEN k.n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM rates r JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n_docs, r.total_chars, r.rate
+    ORDER BY r.source
+"""
+
 CORPUS_ORACLES["t23_multimodal_manifest"] = """
     SELECT 'image' AS modality,
            source,

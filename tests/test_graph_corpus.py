@@ -186,6 +186,61 @@ def test_balanced_sample_caps_each_stratum(spark):
         assert abs(kept_n - expect) <= 4 * sigma + 1
 
 
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Chunk invariants on the real corpus: chunk 0 starts at token 0,
+    consecutive chunks advance by exactly the stride, every chunk except
+    possibly the last is full-size, and the union of chunks covers every
+    token of the document."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import text as tx
+
+    out = corpus.t35_sliding_chunks(spark, SF).collect()
+    docs = {
+        r.doc_id: r.nt
+        for r in table(spark, SF, "documents")
+        .select("doc_id", tx.token_count(F.col("text")).alias("nt"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(docs)
+    C, S = corpus.CHUNK_TOKENS, corpus.CHUNK_STRIDE
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        nt = docs[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        want_n = 1 if nt <= C else 1 + -(-(nt - C) // S)
+        assert len(chunks) == want_n, (doc_id, nt)
+        for c in chunks[:-1]:
+            assert c.n_tokens_chunk == C
+        # last chunk covers through the final token
+        last_start = (len(chunks) - 1) * S
+        assert last_start + chunks[-1].n_tokens_chunk == max(nt, last_start + 1) or (
+            nt <= C and chunks[-1].n_tokens_chunk == nt
+        )
+
+
+def test_temperature_mix_flattens_source_weights(spark):
+    """alpha=0.5 mixing: a source's keep rate grows with the SQUARE ROOT
+    of its char mass, not linearly — the flattening that up-weights small
+    corpora relative to proportional sampling.  Also: overall kept
+    fraction lands near the 0.4 target, and reruns are byte-identical
+    (deterministic md5 thresholds, no rand())."""
+    rows = corpus.t36_temperature_mix(spark, SF).collect()
+    by_chars = sorted(rows, key=lambda r: r.total_chars)
+    small, large = by_chars[0], by_chars[-1]
+    r_ratio = large.rate / small.rate
+    c_ratio = large.total_chars / small.total_chars
+    assert r_ratio < c_ratio  # sub-linear: flattened vs proportional
+    assert abs(r_ratio - c_ratio**0.5) < 0.01  # exactly the alpha=0.5 curve
+    n_total = sum(r.n_docs for r in rows)
+    n_kept = sum(r.n_kept for r in rows)
+    assert abs(n_kept / n_total - corpus.MIX_TARGET_FRACTION) < 0.15
+    again = corpus.t36_temperature_mix(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_funnel_is_monotone_and_ordered(spark):
     rows = behavioral.q32_event_funnel(spark, SF).collect()
     counts = [r.n_users for r in rows]

@@ -162,6 +162,56 @@ def test_lsh_neardup_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_dedup_has_no_cartesian_and_no_udfs(spark):
+    """t31's candidate join must stay an equi-join on (band, bkey) —
+    never a nested-loop pairing — and the whole chain pure JVM."""
+    plan = explain_str(llmdata.t31_incremental_minhash(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    """t34 probes candidate shingles against the benchmark set as a
+    BROADCAST semi join — the corpus side must never shuffle on shingle
+    for the membership test."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import llmdata as ld
+
+    plan = explain_str(ld.t34_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_sliding_chunks_plan_is_shuffle_free(spark):
+    """t35's chunk fan-out is per-row plan arithmetic: scan → project →
+    generate → sort for output ordering.  No Exchange may appear before
+    the final output sort, and no Python anywhere."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import text as tx
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import corpus as cp
+
+    # the orderBy exists only for the driver's stable output; assert the
+    # unordered computation itself plans zero Exchange
+    docs = table(spark, SF, "documents")
+    toks = tx.tokens(F.col("text"))
+    nt = F.size(toks)
+    n_chunks = F.when(nt <= cp.CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (nt - cp.CHUNK_TOKENS + cp.CHUNK_STRIDE - 1)
+            / F.lit(float(cp.CHUNK_STRIDE))
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * cp.CHUNK_STRIDE + 1, cp.CHUNK_TOKENS)
+        ),
+    )
+    q = docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    plan = explain_str(q)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_query_paths_never_mutate_session_conf():
     """Readers and query plans must not set session conf: the sanctioned
     touch-points are session.py (the factory plus the entry-boundary
