@@ -182,6 +182,111 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_band_table(
+    vectors: DataFrame,
+    bands: int = 6,
+    bits_per_band: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SRP-LSH index relation (id, band, key): plan-literal hyperplane
+    signature sliced into per-band keys.  A vector's rows depend on
+    nothing but the vector itself, so this table is PERSISTABLE (bucketed
+    by key) and the corpus side of incremental embedding dedup never
+    re-projects old vectors."""
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    mask = (1 << bits_per_band) - 1
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    return v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_neardup_incremental(
+    corpus_bands: DataFrame,
+    delta: DataFrame,
+    all_vectors: DataFrame,
+    threshold: float,
+    bands: int = 6,
+    bits_per_band: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-run incremental embedding near-dedup — the SRP-LSH twin of
+    dedup.minhash_incremental_pairs: a NEW vector batch (delta) is paired
+    against the EXISTING corpus through its persisted band index, without
+    ever re-pairing (or re-projecting) the corpus against itself.
+
+    Candidates come from delta_bands ⋈ (corpus_bands ∪ delta_bands) on
+    (band, key): every candidate touches ≥1 delta vector by construction,
+    and per-batch cost is O(|delta| + candidates) whatever the corpus
+    size.  Exact-cosine verification reads vectors from ``all_vectors``
+    restricted (left-semi) to candidate ids.  Band keys are pure
+    per-vector functions of plan-literal hyperplanes, so the result
+    equals the full embedding_neardup_pairs_lsh output restricted to
+    delta-touching pairs (the t37 oracle checks this cross-engine).
+    After the run, append the delta's band rows to the stored index.
+    """
+    delta_bands = srp_band_table(
+        delta, bands, bits_per_band, dim, seed, id_col, vec_col
+    )
+    every = corpus_bands.select("id", "band", "key").unionAll(
+        delta_bands.select("id", "band", "key")
+    )
+    d, o = delta_bands.alias("d"), every.alias("o")
+    cands = (
+        d.join(
+            o,
+            (F.col("d.band") == F.col("o.band"))
+            & (F.col("d.key") == F.col("o.key"))
+            & (F.col("d.id") != F.col("o.id")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    v = (
+        all_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(cand_ids, "id", "left_semi")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            quant(cosine(F.col("v_a"), F.col("v_b")), ndigits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float,
@@ -213,29 +318,12 @@ def embedding_neardup_pairs_lsh(
     vectors.  Bucket skew is bounded by 2^bits_per_band keys per band
     times corpus clustering; raise bits_per_band to split hot buckets.
     """
-    planes = _hyperplanes(dim, bands * bits_per_band, seed)
-    mask = (1 << bits_per_band) - 1
     v = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    banded = v.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = srp_band_table(
+        vectors, bands, bits_per_band, dim, seed, id_col, vec_col
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

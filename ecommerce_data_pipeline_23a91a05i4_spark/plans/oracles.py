@@ -507,14 +507,24 @@ LLMDATA_ORACLES: dict[str, str] = {
 
 
 def _srp_lsh_oracle(
-    threshold: float, bands: int, bits_per_band: int, dim: int, seed: int
+    threshold: float,
+    bands: int,
+    bits_per_band: int,
+    dim: int,
+    seed: int,
+    delta_only: bool = False,
 ) -> str:
     """DuckDB twin of operators/similarity.embedding_neardup_pairs_lsh:
     the SAME hyperplane literals (single source of truth — imported from
     the operator module), the same sequential-fold dot products, the same
     banded agree-on-all-bits candidate rule, the same exact-cosine verify.
     Both engines fold left-to-right over double-cast elements, so the
-    sign bits — and therefore the candidate set — match bit-for-bit."""
+    sign bits — and therefore the candidate set — match bit-for-bit.
+
+    delta_only=True is t37's twin: the full recompute restricted to
+    pairs touching the delta partition (vec_id % 5 = 0) plus the
+    pair_kind label — equality proves the incremental formulation
+    returns exactly the full pairing's delta-touching subset."""
     from ..operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
@@ -536,6 +546,15 @@ def _srp_lsh_oracle(
         for i in range(bands)
     )
     band_match = " OR ".join(f"a.band{i} = b.band{i}" for i in range(bands))
+    delta_pred = (
+        "AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)" if delta_only else ""
+    )
+    kind_col = (
+        ",\n               CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0"
+        " THEN 'delta_delta' ELSE 'delta_corpus' END AS pair_kind"
+        if delta_only
+        else ""
+    )
     return f"""
         WITH v AS (
             SELECT vec_id, embedding,
@@ -553,9 +572,9 @@ def _srp_lsh_oracle(
                    {SQL_QUANT(_dot('a.embedding', 'b.embedding') + ' / (a.nrm * b.nrm)', 6)}
                        AS cosine_sim
             FROM sig a JOIN sig b
-              ON a.vec_id < b.vec_id AND ({band_match})
+              ON a.vec_id < b.vec_id AND ({band_match}) {delta_pred}
         )
-        SELECT id_a, id_b, cosine_sim
+        SELECT id_a, id_b, cosine_sim{kind_col}
         FROM scored WHERE cosine_sim >= {threshold}
         ORDER BY id_a, id_b
     """
@@ -563,6 +582,10 @@ def _srp_lsh_oracle(
 
 LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
     threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7
+)
+
+LLMDATA_ORACLES["t37_incremental_embedding_neardup"] = _srp_lsh_oracle(
+    threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7, delta_only=True
 )
 
 

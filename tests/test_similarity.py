@@ -104,3 +104,29 @@ def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
     if strong:
         recall = len(strong & set(lsh)) / len(strong)
         assert recall >= 0.95, f"high-similarity recall too low: {recall:.2f}"
+
+
+def test_incremental_embedding_neardup_equals_full_restricted(spark):
+    """The t37 contract on real data, operator-level: incremental
+    delta⋈(corpus∪delta) pairing == full LSH recompute restricted to
+    delta-touching pairs, and no corpus×corpus pair ever appears."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_delta = F.col("vec_id") % 5 == 0
+    corpus_bands = sim.srp_band_table(emb.filter(~is_delta))
+    inc = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_neardup_incremental(
+            corpus_bands, emb.filter(is_delta), emb, 0.35
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_neardup_pairs_lsh(emb, 0.35).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert inc == full
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
