@@ -82,6 +82,22 @@ def shingle_table(
     )
 
 
+def shingle_array(text_col: Column, n: int = 2) -> Column:
+    """The distinct word-n-gram shingle SET of one document as an array
+    column — the per-row (stateless, streaming-safe) form of
+    shingle_table: explode(shingle_array) ≡ shingle_table's rows, and
+    min/intersect over the array equal the grouped forms."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(norm_text(text_col)))
+    return F.array_distinct(grams)
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 def jaccard_pairs(
@@ -331,6 +347,44 @@ def minhash_md5_pairs(
         .distinct()
     )
     return _verify_jaccard(cands, shingled, threshold)
+
+
+def rowwise_md5_bands(
+    shingles: Column, num_perm: int = 32, bands: int = 8
+) -> Column:
+    """Per-ROW portable MinHash banding: given a document's shingle-set
+    array, return an array of (band, bkey) structs — no aggregation, no
+    shuffle, no state.  min over the array equals the grouped min of
+    minhash_md5_signatures, so the band keys are identical to the
+    persisted index's; this is what lets a STREAMING pipeline band
+    incoming documents statelessly and join them against the stored
+    corpus index (streaming/ingest.neardup_stream)."""
+    r = num_perm // bands
+    assert bands * r == num_perm, "num_perm must be divisible by bands"
+    coeffs = minhash_coeffs(num_perm)
+
+    def perm(a: int, b: int):
+        # closure factory: F.transform dispatches on lambda ARITY (a
+        # 2-arg lambda receives (element, index)), so coefficients must
+        # be captured without adding parameters
+        return lambda s: (
+            F.lit(a).cast("long") * md5_hash32(s) + F.lit(b)
+        ) % F.lit(MINHASH_P)
+
+    mins = [
+        F.array_min(F.transform(shingles, perm(a, b))) for a, b in coeffs
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[mins[bnd * r + j] for j in range(r)])
+                ).alias("bkey"),
+            )
+            for bnd in range(bands)
+        ]
+    )
 
 
 def minhash_incremental_pairs(

@@ -233,6 +233,57 @@ def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s3_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dedup parity gate: new documents (doc_id % 5 == 0)
+    arrive as a file stream and are screened IN-FLIGHT against the static
+    corpus LSH index — zero streaming state (per-row banding via
+    dedup.rowwise_md5_bands + two stream-static joins; see
+    streaming/ingest.neardup_stream).  The drain is availableNow; the
+    multi-band duplicate candidates are collapsed after the drain
+    (identical quantized jaccard per pair, so distinct() is exact).
+
+    The oracle recomputes the full-corpus portable-MinHash pairing in
+    DuckDB restricted to delta×corpus pairs — the driver independently
+    proves the streaming path equals the batch incremental dedup (t31)
+    on its cross pairs.  In production corpus_bands/corpus_shingles are
+    the persisted bucketed tables t31 maintains; the stream appends its
+    own bands to the index after each batch."""
+    import os
+    import uuid
+
+    from ..functions.exprs import quant
+    from ..operators import dedup as dd
+    from ..streaming import ingest as st
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_bands = dd.md5_band_table(
+        dd.minhash_md5_signatures(dd.shingle_table(corpus, "doc_id", "text", n=2))
+    )
+    corpus_shingles = corpus.select(
+        F.col("doc_id").alias("id"), dd.shingle_array(F.col("text")).alias("shingles")
+    )
+    delta = st.stream_documents(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") % 5 == 0)
+    pairs = st.neardup_stream(delta, corpus_bands, corpus_shingles)
+    name = "s3_neardup_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("id_a", "id_b", quant(F.col("jaccard"), 6).alias("jaccard"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap.
 

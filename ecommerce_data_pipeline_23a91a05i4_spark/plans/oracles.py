@@ -1076,14 +1076,28 @@ def _minhash_portable_oracle() -> str:
 EXTRAS_ORACLES["t17_minhash_portable"] = _minhash_portable_oracle()
 
 
-def _incremental_minhash_oracle() -> str:
+def _incremental_minhash_oracle(cross_only: bool = False) -> str:
     """DuckDB twin of llmdata.t31_incremental_minhash.  The oracle takes
     the OPPOSITE route to the Spark plan on purpose: it recomputes the
     full-corpus portable-MinHash pairing (t17's chain, threshold 0.35)
     and then restricts to pairs touching the delta (doc_id % 5 = 0).
     Equality therefore proves the incremental delta⋈(corpus∪delta)
     formulation returns exactly the full recompute's delta-touching
-    pairs — the correctness contract of cross-run dedup."""
+    pairs — the correctness contract of cross-run dedup.
+
+    cross_only=True is s3's twin (streaming screen of the delta against
+    the static corpus): exactly one endpoint in the delta, and no
+    pair_kind column."""
+    if cross_only:
+        cand_pred = "(a.id % 5 = 0) <> (b.id % 5 = 0)"
+        kind_col = ""
+    else:
+        cand_pred = "a.id % 5 = 0 OR b.id % 5 = 0"
+        kind_col = (
+            ",\n               CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0"
+            " THEN 'delta_delta'\n"
+            "                    ELSE 'delta_corpus' END AS pair_kind"
+        )
     from ..operators.dedup import MINHASH_P, minhash_coeffs
 
     num_perm, bands = 32, 8
@@ -1127,7 +1141,7 @@ def _incremental_minhash_oracle() -> str:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-            WHERE a.id % 5 = 0 OR b.id % 5 = 0
+            WHERE {cand_pred}
         ),
         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
         inter AS (
@@ -1144,15 +1158,16 @@ def _incremental_minhash_oracle() -> str:
             JOIN sizes sa ON id_a = sa.id
             JOIN sizes sb ON id_b = sb.id
         )
-        SELECT id_a, id_b, {SQL_QUANT('jaccard', 6)} AS jaccard,
-               CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'delta_delta'
-                    ELSE 'delta_corpus' END AS pair_kind
+        SELECT id_a, id_b, {SQL_QUANT('jaccard', 6)} AS jaccard{kind_col}
         FROM j WHERE jaccard >= 0.35
         ORDER BY id_a, id_b
     """
 
 
 LLMDATA_ORACLES["t31_incremental_minhash"] = _incremental_minhash_oracle()
+MONITORING_ORACLES["s3_streaming_neardup"] = _incremental_minhash_oracle(
+    cross_only=True
+)
 
 
 # ------------------------------------------------- relational gates (q23+)

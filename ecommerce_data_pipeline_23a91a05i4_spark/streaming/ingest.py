@@ -245,6 +245,99 @@ def attribute_stream(
     )
 
 
+DOCS_RAW_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the documents parquet (same single-file
+    handling as stream_events)."""
+    import os
+
+    reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def neardup_stream(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """STREAMING near-dedup of incoming documents against the persisted
+    corpus LSH index — in-flight contamination/duplication screening, the
+    streaming twin of operators/dedup.minhash_incremental_pairs.
+
+    Everything on the stream side is STATELESS per-row work: the
+    document's shingle set, MinHash signature, and band keys are pure
+    column expressions (dedup.rowwise_md5_bands — provably equal to the
+    batch groupBy signatures), the bands explode is a flatMap, and both
+    joins are stream-static:
+
+      stream bands ⋈ corpus_bands on (band, bkey)   -> candidates
+      candidates  ⋈ corpus_shingles on corpus id    -> exact verify
+
+    Exact Jaccard is per-row array arithmetic over the two shingle
+    sets.  No watermark state, no stream-stream join, no aggregation —
+    state is zero, so the plan runs at any rate.  One candidate pair can
+    surface via several bands; the caller dedups after the drain (or a
+    keyed idempotent sink absorbs it) — kept out of the stream to avoid
+    unbounded dropDuplicates state.
+
+    corpus_bands: (id, band, bkey) from dedup.md5_band_table (persisted);
+    corpus_shingles: (id, shingles array<string>) for the same corpus.
+    Emits (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    from ..operators.dedup import rowwise_md5_bands, shingle_array
+
+    enriched = docs.select(
+        F.col("doc_id").alias("d_id"),
+        shingle_array(F.col("text")).alias("d_shingles"),
+    ).select(
+        "d_id",
+        "d_shingles",
+        F.explode(rowwise_md5_bands(F.col("d_shingles"), num_perm, bands)).alias(
+            "bk"
+        ),
+    ).select("d_id", "d_shingles", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    cand = enriched.join(
+        corpus_bands.select(
+            F.col("id").alias("c_id"), "band", "bkey"
+        ),
+        ["band", "bkey"],
+    ).filter(F.col("d_id") != F.col("c_id"))
+    verified = cand.join(
+        F.broadcast(
+            corpus_shingles.select(
+                F.col("id").alias("c_id"), F.col("shingles").alias("c_shingles")
+            )
+        ),
+        "c_id",
+    )
+    inter = F.size(F.array_intersect(F.col("d_shingles"), F.col("c_shingles")))
+    union = (
+        F.size(F.col("d_shingles")) + F.size(F.col("c_shingles")) - inter
+    )
+    return (
+        verified.select(
+            F.least(F.col("d_id"), F.col("c_id")).alias("id_a"),
+            F.greatest(F.col("d_id"), F.col("c_id")).alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, view_name: str, output_mode: str | None = None
 ) -> DataFrame:

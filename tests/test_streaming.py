@@ -260,3 +260,54 @@ def test_session_fn_is_chunk_split_invariant():
     interleaved = run([[0, 10, 205], [5, 200]])
     assert whole == (2, 5)
     assert interleaved == whole
+
+
+def test_neardup_stream_matches_batch_incremental(spark, tmp_path):
+    """The streaming near-dedup screen must equal the batch incremental
+    dedup's delta×corpus pairs — including when the source file is
+    REDELIVERED (duplicate input), since candidate rows are value-
+    identical and collapse in the post-drain distinct."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming import ingest as st
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_bands = dd.md5_band_table(
+        dd.minhash_md5_signatures(dd.shingle_table(corpus, "doc_id", "text", n=2))
+    )
+    corpus_shingles = corpus.select(
+        F.col("doc_id").alias("id"),
+        dd.shingle_array(F.col("text")).alias("shingles"),
+    )
+
+    # batch ground truth: incremental pairs restricted to cross pairs
+    batch = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dd.minhash_incremental_pairs(
+            corpus_bands,
+            dd.shingle_table(docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", n=2),
+            dd.shingle_table(docs, "doc_id", "text", n=2),
+            threshold=0.35,
+        ).collect()
+        if (r.id_a % 5 == 0) != (r.id_b % 5 == 0)
+    }
+
+    # stream the delta documents from a dir holding the file TWICE
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "a.parquet")
+    shutil.copy(f"{sf}/documents.parquet", src / "b.parquet")
+    delta = st.stream_documents(spark, str(src)).filter(F.col("doc_id") % 5 == 0)
+    pairs = st.neardup_stream(delta, corpus_bands, corpus_shingles)
+    out = st.run_available_now(pairs, "s3_test_sink", output_mode="append")
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in out.select("id_a", "id_b", "jaccard").distinct().collect()
+    }
+    assert got == batch and got
