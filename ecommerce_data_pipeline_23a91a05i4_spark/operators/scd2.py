@@ -162,9 +162,25 @@ def scd2_merge_partitioned(
     This is the plain-parquet answer to Delta/Iceberg MERGE; swapping the
     writer for a transactional format changes step 4 only.  Returns the
     affected bucket ids (observability + test hook).
+
+    Crash recovery: the swap renames the old partition to a dot-prefixed
+    `.bucket.old` dir (invisible to Spark) before moving the new one in,
+    so a crash inside that window leaves the partition hidden, not
+    mixed.  Every call first rolls back any leftover `.old` dirs whose
+    partition is missing (crash before move-in) and clears those whose
+    swap completed — so a retry of a crashed merge always starts from a
+    consistent wholly-old/wholly-new state and converges
+    (tests/test_monitor_scd2.py crash test).
     """
     import shutil
     from pathlib import Path
+
+    for tmp_old in Path(path).glob(f".{SCD2_BUCKET_COL}=*.old"):
+        dst = tmp_old.parent / tmp_old.name[1:-len(".old")]
+        if dst.exists():
+            shutil.rmtree(tmp_old)  # swap completed; old copy is garbage
+        else:
+            tmp_old.rename(dst)  # crashed mid-swap; roll back to old
 
     upd_buckets = updates.select(
         scd2_bucket(F.col(business_key), n_buckets).alias("b")

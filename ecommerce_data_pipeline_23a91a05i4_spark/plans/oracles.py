@@ -713,6 +713,101 @@ def _pii_oracle() -> str:
 LLMDATA_ORACLES["t32_pii_redaction"] = _pii_oracle()
 
 
+def _curation_v2_oracle() -> str:
+    """DuckDB twin of llmdata.t38_curation_v2: replays the composed
+    chain — repetition filter (t33 CTEs), decontamination screen (t34
+    CTEs), exact-dup survivors (t4's min-id rule), PII redaction chain
+    (t32's regexes, identical order), chunk-count arithmetic (t35), and
+    the portable shard hash (t28) — over the non-benchmark candidates,
+    rolled up per shard."""
+    from ..operators.curation import PII_PATTERNS, REDACT_ORDER, REDACT_TOKEN
+
+    red = "c.text"
+    for kind in REDACT_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '{REDACT_TOKEN}', 'g')"
+    norm_c = NORM.replace("(text)", "(c.text)") if "(text)" in NORM else NORM
+    return f"""
+        WITH cand AS (SELECT * FROM documents WHERE source <> 'src0'),
+        rt AS (
+            SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM cand
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM rt GROUP BY 1, 2),
+        ws AS (
+            SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count
+            FROM wc GROUP BY doc_id
+        ),
+        gr AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= 2
+                        THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                        ELSE [] END AS g
+            FROM (SELECT doc_id, string_split({NORM}, ' ') AS l FROM cand)
+        ),
+        gs AS (
+            SELECT doc_id, len(g) AS n_bigrams, len(list_distinct(g)) AS n_db
+            FROM gr
+        ),
+        keeprep AS (
+            SELECT ws.doc_id
+            FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+            WHERE CAST(top_word_count AS DOUBLE) / n_words <= 0.2
+              AND (CASE WHEN n_bigrams > 0
+                        THEN 1.0 - CAST(n_db AS DOUBLE) / n_bigrams
+                        ELSE 0.0 END) <= 0.6
+        ),
+        g5 AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(l) >= 5
+                        THEN list_transform(range(1, len(l) - 3),
+                                            i -> array_to_string(l[i:i+4], ' '))
+                        ELSE [array_to_string(l, ' ')] END AS g
+            FROM (SELECT doc_id, source, string_split({NORM}, ' ') AS l
+                  FROM documents)
+        ),
+        sh5 AS (SELECT DISTINCT doc_id, source, unnest(g) AS shingle FROM g5),
+        benchsh AS (SELECT DISTINCT shingle FROM sh5 WHERE source = 'src0'),
+        candsh AS (SELECT doc_id, shingle FROM sh5 WHERE source <> 'src0'),
+        csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM candsh GROUP BY doc_id),
+        chits AS (
+            SELECT doc_id, COUNT(*) AS n_ov
+            FROM candsh WHERE shingle IN (SELECT shingle FROM benchsh)
+            GROUP BY doc_id
+        ),
+        clean AS (
+            SELECT s.doc_id
+            FROM csizes s LEFT JOIN chits h ON s.doc_id = h.doc_id
+            WHERE CAST(COALESCE(h.n_ov, 0) AS DOUBLE) / s.n_sh < 0.1
+        ),
+        surv AS (
+            SELECT MIN(doc_id) AS doc_id FROM cand GROUP BY md5({NORM})
+        ),
+        kept AS (
+            SELECT c.doc_id,
+                   ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 16 AS shard_id,
+                   CAST(CASE WHEN len(string_split({norm_c}, ' ')) <= 64 THEN 1
+                             ELSE 1 + (len(string_split({norm_c}, ' ')) - 64 + 47) // 48
+                        END AS BIGINT) AS n_chunks,
+                   CAST(length({red}) AS BIGINT) AS n_chars_redacted
+            FROM cand c
+            WHERE c.doc_id IN (SELECT doc_id FROM keeprep)
+              AND c.doc_id IN (SELECT doc_id FROM clean)
+              AND c.doc_id IN (SELECT doc_id FROM surv)
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+               CAST(SUM(n_chars_redacted) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id
+        FROM kept
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """
+
+
+LLMDATA_ORACLES["t38_curation_v2"] = _curation_v2_oracle()
+
+
 LLMDATA_ORACLES["t33_repetition_filters"] = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM documents

@@ -177,6 +177,75 @@ def test_scd2_partitioned_merge_touches_only_affected_partitions(spark, tmp_path
     assert got == want
 
 
+def test_scd2_partitioned_merge_crash_mid_swap_leaves_whole_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """Crash discipline of the stage-then-swap publish: if the process
+    dies between partition swaps, every partition directory is either
+    fully old or fully new — never a mix of old and new files — so a
+    retry (idempotent re-merge) converges."""
+    import datetime as dt
+    import shutil as _shutil
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import scd2 as s2
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _dim(
+        spark, [(f"C{i}", f"city{i}", d0, None, True) for i in range(40)]
+    )
+    path = str(tmp_path / "dim_crash")
+    n_buckets = 8
+    s2.write_dim_partitioned(dim, path, "customer_id", n_buckets)
+
+    # updates that hit at least two distinct buckets
+    upd_rows = [("C1", "X1"), ("C2", "X2"), ("C3", "X3"), ("C4", "X4")]
+    updates = spark.createDataFrame(upd_rows, "customer_id string, city string")
+
+    calls = {"n": 0}
+    real_move = _shutil.move
+
+    def exploding_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die after the first partition published
+            raise OSError("simulated crash mid-swap")
+        return real_move(src, dst)
+
+    # scd2_merge_partitioned imports shutil inside the function body, so
+    # patch the shared module object itself
+    monkeypatch.setattr(_shutil, "move", exploding_move)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        s2.scd2_merge_partitioned(
+            spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+        )
+    monkeypatch.undo()
+
+    # every partition dir must be internally consistent: reading the
+    # table succeeds and each business key has EXACTLY one current row —
+    # i.e. a partition is wholly old or wholly new, never mixed
+    got = spark.read.parquet(path)
+    per_key = (
+        got.filter("is_current").groupBy("customer_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_key)
+    # retry converges to the full merge result
+    s2.scd2_merge_partitioned(
+        spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+    )
+    final = {
+        (r.customer_id, r.city, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.customer_id, r.city, r.is_current)
+        for r in scd2_merge(
+            dim, updates, "customer_id", ["city"], "2024-02-01"
+        ).collect()
+    }
+    assert final == want
+
+
 def test_scd2_merge_dedupes_update_batch(spark):
     import datetime as dt
 
