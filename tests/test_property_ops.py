@@ -129,3 +129,44 @@ def test_connected_components_matches_union_find(spark, edges):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(edf).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st_.lists(
+        st_.text(
+            alphabet="ab cd",  # tiny alphabet with spaces: forces shingle
+            min_size=0,        # collisions, empty docs, repeated tokens
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rowwise_bands_equal_grouped_bands(spark, texts):
+    """The stateless per-row MinHash banding (streaming path, s3) must
+    produce EXACTLY the grouped signatures' band keys for any text —
+    the equivalence the stream-static index join relies on."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    grouped = {
+        (r.id, r.band, r.bkey)
+        for r in dd.md5_band_table(
+            dd.minhash_md5_signatures(dd.shingle_table(df, "doc_id", "text", n=2))
+        ).collect()
+    }
+    rowwise = {
+        (r.doc_id, r.bk.band, r.bk.bkey)
+        for r in df.select(
+            "doc_id",
+            F.explode(
+                dd.rowwise_md5_bands(dd.shingle_array(F.col("text")))
+            ).alias("bk"),
+        ).collect()
+    }
+    assert rowwise == grouped
