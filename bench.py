@@ -178,11 +178,24 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    ref10 = set(headline_names(queries))
+    fam = {"q1_q10": 0.0, "q_other": 0.0, "t_llmdata": 0.0, "s_streaming": 0.0}
+    for name, sec in timings.items():
+        if name in ref10:
+            fam["q1_q10"] += sec
+        elif name.startswith("s"):
+            fam["s_streaming"] += sec
+        elif name.startswith("t"):
+            fam["t_llmdata"] += sec
+        else:
+            fam["q_other"] += sec
+
     out = {
         "metric": "ref_analytics10_total_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "family_totals_sec": {k: round(v, 4) for k, v in fam.items()},
         "all_queries_total_sec": round(sum(timings.values()), 4),
         "pipeline_sf_ref_steps_sec": steps,
         "pipeline_sf_ref_ok": pipeline_ok,
