@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,
         "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -128,9 +129,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
         "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) double-green tail, rotated out this round ---------------
+        "q4_category_performance": analytics.q4_category_performance,
         "q5_payment_distribution": analytics.q5_payment_distribution,
         "q6_geo_revenue": analytics.q6_geo_revenue,
         "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,

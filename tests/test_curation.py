@@ -86,3 +86,22 @@ def test_contamination_flags_copied_ngrams_only(spark):
     assert out[2].n_overlap == 0 and out[2].contamination_ratio == 0.0
     # every candidate appears exactly once, hit or not
     assert set(out) == {1, 2}
+
+
+def test_unigram_fluency_ranks_garbage_below_common(spark):
+    """A doc of corpus-frequent words must out-score a doc of hapax
+    garbage tokens, and micro-probabilities must be integer-exact
+    (count·10⁶ DIV total)."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran to the mat"),
+        (3, "zxqv wploe brrrk jjjx"),  # all hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in cu.unigram_fluency_stats(df, "doc_id", "text").collect()}
+    assert out[3].mean_microp < out[1].mean_microp
+    assert out[3].mean_microp < out[2].mean_microp
+    # 16 total tokens; 'the' appears 4x -> microp = 4_000_000 // 16
+    assert out[1].min_microp == 1_000_000 // 16  # hapax in doc 1 ('sat'...)
+    the_microp = 4 * 1_000_000 // 16
+    assert out[1].mean_microp <= the_microp
