@@ -228,8 +228,10 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scale-probe" in sys.argv:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        extra = [a for a in sys.argv[1:] if a.isdigit()]
-        factors = tuple(int(a) for a in extra) or (8, 32)
+        # factors < 2 are meaningless (1x is always measured as the base)
+        # and duplicates would collide on the materialized path
+        extra = sorted({int(a) for a in sys.argv[1:] if a.isdigit()} - {0, 1})
+        factors = tuple(extra) or (8, 32)
         print(
             json.dumps(
                 {

@@ -42,7 +42,35 @@ REDACT_ORDER = ("email", "ipv4", "phone")
 
 
 def pii_count(col: Column, kind: str) -> Column:
+    """Raw match count of one pattern.  NOTE: the patterns are not
+    mutually exclusive on raw text (the phone shape NNN[-.]NNNN matches
+    the first two octets of an IPv4) — use pii_counts for span-exclusive
+    per-kind counts that mirror the redaction semantics."""
     return regex_count(col, PII_PATTERNS[kind])
+
+
+def _partially_redacted(col: Column, kind: str, token: str) -> Column:
+    """Text with every kind EARLIER than ``kind`` in REDACT_ORDER
+    already redacted — the input on which ``kind``'s matches are counted
+    and replaced, so each character span is attributed to exactly one
+    kind."""
+    out = col
+    for k in REDACT_ORDER:
+        if k == kind:
+            break
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return out
+
+
+def pii_counts(col: Column, token: str = REDACT_TOKEN) -> dict[str, Column]:
+    """Span-exclusive per-kind PII counts: each kind is counted on the
+    text with all earlier kinds redacted (exactly what redact_pii
+    replaces), so one span is never double-counted — e.g. an IPv4's
+    octets can no longer also count as a phone number."""
+    return {
+        kind: regex_count(_partially_redacted(col, kind, token), PII_PATTERNS[kind])
+        for kind in REDACT_ORDER
+    }
 
 
 def redact_pii(col: Column, token: str = REDACT_TOKEN) -> Column:

@@ -390,7 +390,7 @@ def rowwise_md5_bands(
 def minhash_incremental_pairs(
     corpus_bands: DataFrame,
     delta_shingled: DataFrame,
-    all_shingled: DataFrame,
+    corpus_shingled: DataFrame,
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.35,
@@ -398,27 +398,31 @@ def minhash_incremental_pairs(
     """Cross-run incremental near-dedup: pair a NEW batch (delta) against
     an EXISTING corpus without ever re-pairing the corpus with itself.
 
-    ``corpus_bands`` is the persisted LSH index of prior runs — the
-    (id, band, bkey) relation from md5_band_table, ideally stored as a
-    parquet table bucketed by bkey (sources.registry.write_bucketed) so
-    reading it back plans no Exchange on the corpus side of the candidate
-    join.  ``delta_shingled`` covers only the new documents;
-    ``all_shingled`` covers corpus ∪ delta and is consulted ONLY for the
-    exact-Jaccard verification of candidate pairs (semi-joined to
-    candidate ids first, so verification work is O(candidates) whatever
-    the corpus size).
+    ``corpus_bands`` and ``corpus_shingled`` are the PERSISTED state of
+    prior runs: the (id, band, bkey) index from md5_band_table and the
+    exploded (id, shingle) relation, ideally stored bucketed (by bkey
+    and id respectively, sources.registry.write_bucketed) so reading
+    them back plans no Exchange on the corpus side of either join.
+    Persisting the shingle relation matters for the cost claim: the
+    candidate-id semi join cannot push below shingle_table's
+    explode+distinct, so recomputing it from raw text would re-tokenize
+    the whole corpus each batch — reading the stored relation back makes
+    the verification a scan+join with zero re-hashing (the gate-scale
+    t31 recomputes both in-process as a stand-in; the bucketed
+    round-trip is tests/test_dedup.py's production shape).
+    ``delta_shingled`` covers only the new documents.
 
     The candidate join is delta_bands ⋈ (corpus_bands ∪ delta_bands):
     every emitted pair contains ≥1 delta document by construction —
     corpus×corpus pairs are structurally impossible, which is the whole
-    point (a 100 TB corpus is never re-hashed, re-banded, or re-paired;
-    per-batch cost is O(|delta| + candidates)).  Because signatures and
-    band keys are pure per-document functions, the result equals the
-    full-corpus minhash_md5_pairs output restricted to pairs touching the
-    delta — an equivalence the t31 oracle checks cross-engine.
+    point (per-batch compute is O(|delta| + candidates)).  Because
+    signatures and band keys are pure per-document functions, the result
+    equals the full-corpus minhash_md5_pairs output restricted to pairs
+    touching the delta — an equivalence the t31 oracle checks
+    cross-engine.
 
-    After a run, append the delta's band rows to the persisted index to
-    absorb the batch into the corpus for the next run.
+    After a run, append the delta's band AND shingle rows to the
+    persisted stores to absorb the batch into the corpus.
     """
     delta_bands = md5_band_table(
         minhash_md5_signatures(delta_shingled, num_perm), num_perm, bands
@@ -441,7 +445,11 @@ def minhash_incremental_pairs(
         .distinct()
     )
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    verify_shingles = all_shingled.join(cand_ids, "id", "left_semi")
+    verify_shingles = (
+        corpus_shingled.select("id", "shingle")
+        .unionAll(delta_shingled.select("id", "shingle"))
+        .join(cand_ids, "id", "left_semi")
+    )
     return _verify_jaccard(cands, verify_shingles, threshold)
 
 

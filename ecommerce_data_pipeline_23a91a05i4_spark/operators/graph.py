@@ -52,9 +52,21 @@ def connected_components(
     truncated lineage cannot be replayed.  On a real cluster pass an
     HDFS/S3 path: the loop then uses reliable checkpoint(), whose files
     survive executor loss and let Spark recompute from the last round.
+
+    Lifecycle: setCheckpointDir is SparkContext-global, so the prior
+    value is restored before returning (the operator's setting never
+    leaks into other checkpoint() callers that run afterwards).  Each
+    round's checkpoint files stay under checkpoint_dir until the context
+    is cleaned (spark.cleaner.referenceTracking.cleanCheckpoints=true)
+    or the caller deletes the directory after consuming the result —
+    point it at a job-scoped temp path, the standard discipline for
+    iterative Spark algorithms.
     """
     spark = edges.sparkSession
+    prior_dir = None
     if checkpoint_dir is not None:
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prior_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def snap(df: DataFrame) -> DataFrame:
@@ -113,4 +125,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if checkpoint_dir is not None and prior_dir is not None:
+        spark.sparkContext.setCheckpointDir(prior_dir)
     return labels

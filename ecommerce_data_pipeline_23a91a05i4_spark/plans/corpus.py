@@ -240,6 +240,19 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
+def chunk_count_expr(nt):
+    """Number of sliding chunks for a doc of ``nt`` tokens — the single
+    definition shared by t35's fan-out, t38's manifest arithmetic, and
+    the plan-quality test (the three must stay bit-identical for the
+    oracles to mean what they claim)."""
+    return F.when(nt <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (nt - CHUNK_TOKENS + CHUNK_STRIDE - 1) / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+    )
+
+
 def t35_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the context-window fan-out
     every pretraining/RAG pipeline runs: each document becomes chunks of
@@ -255,13 +268,7 @@ def t35_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tx.tokens(F.col("text"))
     nt = F.size(toks)
-    n_chunks = F.when(nt <= CHUNK_TOKENS, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.floor(
-            (nt - CHUNK_TOKENS + CHUNK_STRIDE - 1)
-            / F.lit(float(CHUNK_STRIDE))
-        ).cast("int")
-    )
+    n_chunks = chunk_count_expr(nt)
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(

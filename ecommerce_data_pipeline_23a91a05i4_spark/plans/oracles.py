@@ -680,12 +680,14 @@ def _pii_oracle() -> str:
     from ..operators.curation import PII_PATTERNS, REDACT_ORDER, REDACT_TOKEN
 
     red = "t"
+    counts = {}
     for kind in REDACT_ORDER:
+        # span-exclusive counting mirrors curation.pii_counts: each kind
+        # is counted on the text with all earlier kinds already redacted
+        counts[kind] = (
+            f"CAST(len(regexp_extract_all({red}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
+        )
         red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '{REDACT_TOKEN}', 'g')"
-    counts = {
-        k: f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT)"
-        for k in ("email", "phone", "ipv4")
-    }
     return f"""
         WITH aug AS (
             SELECT doc_id,
@@ -721,6 +723,7 @@ def _curation_v2_oracle() -> str:
     the portable shard hash (t28) — over the non-benchmark candidates,
     rolled up per shard."""
     from ..operators.curation import PII_PATTERNS, REDACT_ORDER, REDACT_TOKEN
+    from .corpus import N_SHARDS
 
     red = "c.text"
     for kind in REDACT_ORDER:
@@ -784,7 +787,7 @@ def _curation_v2_oracle() -> str:
         kept AS (
             SELECT c.doc_id,
                    ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                       % 16 AS shard_id,
+                       % {N_SHARDS} AS shard_id,
                    CAST(CASE WHEN len(string_split({norm_c}, ' ')) <= 64 THEN 1
                              ELSE 1 + (len(string_split({norm_c}, ' ')) - 64 + 47) // 48
                         END AS BIGINT) AS n_chunks,

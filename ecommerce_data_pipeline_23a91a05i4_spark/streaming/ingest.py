@@ -47,19 +47,23 @@ EVENTS_RAW_SCHEMA = StructType([
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (ts normalized to
-    microsecond timestamps exactly like the batch catalog).
-
-    File streams need a *directory*; a single-file path is handled by
-    streaming its parent with a pathGlobFilter on the file name."""
+def _stream_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """File-source stream over a parquet path.  File streams need a
+    *directory*; a single-file path is handled by streaming its parent
+    with a pathGlobFilter on the file name."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(schema)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    raw = reader.parquet(path)
+    return reader.parquet(path)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (ts normalized to
+    microsecond timestamps exactly like the batch catalog)."""
+    raw = _stream_parquet(spark, path, EVENTS_RAW_SCHEMA)
     # tz-naive micros -> session-TZ TIMESTAMP (instant-preserving under the
     # UTC session), matching the batch catalog's events normalization.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -255,15 +259,8 @@ DOCS_RAW_SCHEMA = StructType([
 
 
 def stream_documents(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the documents parquet (same single-file
-    handling as stream_events)."""
-    import os
-
-    reader = spark.readStream.schema(DOCS_RAW_SCHEMA)
-    if path.endswith(".parquet") and os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    return reader.parquet(path)
+    """File-source stream over the documents parquet."""
+    return _stream_parquet(spark, path, DOCS_RAW_SCHEMA)
 
 
 def neardup_stream(
@@ -316,11 +313,13 @@ def neardup_stream(
         ),
         ["band", "bkey"],
     ).filter(F.col("d_id") != F.col("c_id"))
+    # no broadcast hint: corpus_shingles is corpus-sized — at gate scale
+    # AQE broadcasts it anyway, at 100 TB a bucketed-by-id layout joins
+    # the per-batch candidates without shuffling the corpus side, and a
+    # forced broadcast would hit Spark's 8 GB table limit / driver OOM
     verified = cand.join(
-        F.broadcast(
-            corpus_shingles.select(
-                F.col("id").alias("c_id"), F.col("shingles").alias("c_shingles")
-            )
+        corpus_shingles.select(
+            F.col("id").alias("c_id"), F.col("shingles").alias("c_shingles")
         ),
         "c_id",
     )

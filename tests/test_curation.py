@@ -12,10 +12,11 @@ from ecommerce_data_pipeline_23a91a05i4_spark.operators import curation as cu
 
 def _one(spark, text):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    counts = cu.pii_counts(F.col("text"))
     return df.select(
-        cu.pii_count(F.col("text"), "email").alias("e"),
-        cu.pii_count(F.col("text"), "phone").alias("p"),
-        cu.pii_count(F.col("text"), "ipv4").alias("i"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
         cu.redact_pii(F.col("text")).alias("red"),
     ).collect()[0]
 
@@ -36,12 +37,15 @@ def test_pii_clean_text_untouched(spark):
     assert r.red == "no personal data in this perfectly ordinary sentence"
 
 
-def test_pii_ip_redacts_as_single_token(spark):
-    """ipv4 is redacted before the phone pattern, so an IP can never be
-    half-eaten by the phone regex's NNN[-.]NNNN shape."""
+def test_pii_ip_redacts_as_single_token_and_counts_once(spark):
+    """ipv4 is handled before the phone pattern, so an IP is neither
+    half-eaten by the phone regex's NNN[-.]NNNN shape at redaction time
+    nor double-counted as a phone (span-exclusive counting: '192.168'
+    matches the phone pattern on raw text, but counts are taken on the
+    ip-redacted text)."""
     r = _one(spark, "server 192.168.1.1 responded")
     assert r.red == "server [PII] responded"
-    assert r.i == 1
+    assert (r.e, r.p, r.i) == (0, 0, 1)
 
 
 def test_repetition_stats_hand_computed(spark):

@@ -148,7 +148,7 @@ def test_incremental_excludes_corpus_corpus_pairs(docs):
     pairs = dd.minhash_incremental_pairs(
         corpus_bands,
         dd.shingle_table(delta, "doc_id", "text"),
-        dd.shingle_table(docs, "doc_id", "text"),
+        dd.shingle_table(corpus, "doc_id", "text"),
         threshold=0.5,
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
@@ -176,7 +176,7 @@ def test_incremental_equals_full_recompute_restricted_to_delta(docs):
         for r in dd.minhash_incremental_pairs(
             corpus_bands,
             dd.shingle_table(delta, "doc_id", "text"),
-            shingled_all,
+            dd.shingle_table(corpus, "doc_id", "text"),
             threshold=0.5,
         ).collect()
     }
@@ -215,17 +215,17 @@ def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
         assert "Bucketed: true" in plan and "Exchange" not in plan
 
         delta_sh = dd.shingle_table(delta, "doc_id", "text")
-        all_sh = dd.shingle_table(docs, "doc_id", "text")
+        corpus_sh = dd.shingle_table(corpus, "doc_id", "text")
         from_store = {
             tuple(r)
             for r in dd.minhash_incremental_pairs(
-                stored, delta_sh, all_sh, threshold=0.5
+                stored, delta_sh, corpus_sh, threshold=0.5
             ).collect()
         }
         in_memory = {
             tuple(r)
             for r in dd.minhash_incremental_pairs(
-                corpus_bands, delta_sh, all_sh, threshold=0.5
+                corpus_bands, delta_sh, corpus_sh, threshold=0.5
             ).collect()
         }
         assert from_store == in_memory and from_store
@@ -237,7 +237,7 @@ def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
             mode="append",
         )
         n_all = dd.md5_band_table(
-            dd.minhash_md5_signatures(all_sh)
+            dd.minhash_md5_signatures(dd.shingle_table(docs, "doc_id", "text"))
         ).count()
         assert spark.table("lsh_corpus_bands").count() == n_all
     finally:

@@ -192,14 +192,7 @@ def test_sliding_chunks_plan_is_shuffle_free(spark):
     # unordered computation itself plans zero Exchange
     docs = table(spark, SF, "documents")
     toks = tx.tokens(F.col("text"))
-    nt = F.size(toks)
-    n_chunks = F.when(nt <= cp.CHUNK_TOKENS, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.floor(
-            (nt - cp.CHUNK_TOKENS + cp.CHUNK_STRIDE - 1)
-            / F.lit(float(cp.CHUNK_STRIDE))
-        ).cast("int")
-    )
+    n_chunks = cp.chunk_count_expr(F.size(toks))
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(

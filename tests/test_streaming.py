@@ -292,7 +292,7 @@ def test_neardup_stream_matches_batch_incremental(spark, tmp_path):
         for r in dd.minhash_incremental_pairs(
             corpus_bands,
             dd.shingle_table(docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", n=2),
-            dd.shingle_table(docs, "doc_id", "text", n=2),
+            dd.shingle_table(corpus, "doc_id", "text", n=2),
             threshold=0.35,
         ).collect()
         if (r.id_a % 5 == 0) != (r.id_b % 5 == 0)
