@@ -216,10 +216,16 @@ def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
 
         delta_sh = dd.shingle_table(delta, "doc_id", "text")
         corpus_sh = dd.shingle_table(corpus, "doc_id", "text")
+        # the verification side is ALSO a persisted store (bucketed by
+        # id) — the shape that honors the no-corpus-recompute cost claim
+        write_bucketed(
+            corpus_sh, "lsh_corpus_shingles", str(base / "shingles"), "id", 4
+        )
         from_store = {
             tuple(r)
             for r in dd.minhash_incremental_pairs(
-                stored, delta_sh, corpus_sh, threshold=0.5
+                stored, delta_sh, spark.table("lsh_corpus_shingles"),
+                threshold=0.5,
             ).collect()
         }
         in_memory = {
@@ -242,3 +248,4 @@ def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
         assert spark.table("lsh_corpus_bands").count() == n_all
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_corpus_bands")
+        spark.sql("DROP TABLE IF EXISTS lsh_corpus_shingles")
