@@ -53,23 +53,40 @@ def headline_total(
 
 
 def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> dict:
-    """Reproducible scale probe: materialize lineitem at 1x and each
-    ``factors``x with IDENTICAL parallel file layout (the raw testdata is
-    a single file = a single scan split, which would unfairly handicap
-    the base measurement), then time the q1-shaped scan+aggregate on
-    every copy END TO END (I/O included).  Returns per-factor slowdown
-    ratios and rows/s; a ratio well under the factor means fixed
-    overhead, not data volume, dominates at test scale — each extra
-    factor is another point on the overhead-vs-volume curve backing the
-    100x extrapolation."""
+    """Reproducible scale probe: materialize lineitem AND orders at 1x
+    and each ``factors``x with IDENTICAL parallel file layout (the raw
+    testdata is a single file = a single scan split, which would unfairly
+    handicap the base measurement), then time two shapes END TO END (I/O
+    included) on every copy:
+
+    - q1-shaped scan+aggregate over lineitem (the codegen/scan path)
+    - q2-shaped lineitem⋈orders join+aggregate — the engine's one
+      fact-fact shuffle, the join that would dominate at 100 TB
+
+    Replicas get their orderkeys remapped (key + replica·(max_key+1)) so
+    the join multiplicity per key is PRESERVED — naive row duplication
+    would inflate join output by factor² and measure a different
+    workload.  Ratios well under the factor mean fixed overhead, not
+    data volume, dominates at test scale — each extra factor is another
+    point on the overhead-vs-volume curve backing the 100x claims."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li_raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ord_raw = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    key_span = ord_raw.agg(F.max("o_orderkey")).collect()[0][0] + 1
     tmp = tempfile.mkdtemp(prefix="bench_scale_probe_")
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def replicate(df, key_col: str, fac: int):
+        rep = df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+        )
+        return rep.withColumn(
+            key_col, F.col(key_col) + F.col("_r").cast("long") * key_span
+        ).drop("_r")
 
     def q1_shaped(df):
         return (
@@ -86,31 +103,54 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
             .limit(10)
         )
 
+    def q2_shaped(li, orders):
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("m")
+        )
+
+    def best_of(q, n: int = 3) -> float:
+        q.collect()  # warm
+        return min(
+            (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(n)
+        )
+
     try:
         points: dict[str, dict] = {}
-        base_rows = base_sec = None
+        base_rows = base_sec = base_join = None
         for fac in (1, *factors):
-            path = os.path.join(tmp, f"lineitem_{fac}x.parquet")
-            raw.withColumn(
-                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-            ).drop("_r").repartition(n_files).write.parquet(path)
-            df = spark.read.parquet(path)
-            q = q1_shaped(df)
-            q.collect()  # warm
-            best = min(
-                (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
-                    time.perf_counter()
-                )
-                for _ in range(3)
-            )
+            li_path = os.path.join(tmp, f"lineitem_{fac}x.parquet")
+            ord_path = os.path.join(tmp, f"orders_{fac}x.parquet")
+            replicate(li_raw, "l_orderkey", fac).repartition(n_files).write.parquet(li_path)
+            replicate(ord_raw, "o_orderkey", fac).repartition(n_files).write.parquet(ord_path)
+            li = spark.read.parquet(li_path)
+            orders = spark.read.parquet(ord_path)
+            best = best_of(q1_shaped(li))
+            join_best = best_of(q2_shaped(li, orders))
             if fac == 1:
-                base_rows, base_sec = df.count(), best
+                base_rows, base_sec, base_join = li.count(), best, join_best
             rows = base_rows * fac
             points[f"{fac}x"] = {
                 "sec": round(best, 4),
                 "rows": rows,
                 "slowdown_vs_1x": round(best / max(base_sec, 1e-9), 2),
                 "rows_per_sec": round(rows / best),
+                "join_sec": round(join_best, 4),
+                "join_slowdown_vs_1x": round(
+                    join_best / max(base_join, 1e-9), 2
+                ),
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
