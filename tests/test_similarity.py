@@ -130,3 +130,51 @@ def test_incremental_embedding_neardup_equals_full_restricted(spark):
     }
     assert inc == full
     assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
+
+
+def test_incremental_embedding_bucketed_index_roundtrip(spark, tmp_path_factory):
+    """Production shape for t37: the corpus SRP band index persisted
+    bucketed by key and read back — results identical to the in-memory
+    run, and the stored index scans bucketed (no re-projection of old
+    vectors)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.registry import (
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("srp_index")
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_delta = F.col("vec_id") % 5 == 0
+    corpus_bands = sim.srp_band_table(emb.filter(~is_delta))
+    write_bucketed(
+        corpus_bands, "srp_corpus_bands", str(base / "bands"), "key", 4
+    )
+    try:
+        stored = spark.table("srp_corpus_bands")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            stored.groupBy("key").count().explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan and "Exchange" not in plan
+
+        delta = emb.filter(is_delta)
+        from_store = {
+            tuple(r)
+            for r in sim.embedding_neardup_incremental(
+                stored, delta, emb, 0.35
+            ).collect()
+        }
+        in_memory = {
+            tuple(r)
+            for r in sim.embedding_neardup_incremental(
+                corpus_bands, delta, emb, 0.35
+            ).collect()
+        }
+        assert from_store == in_memory and from_store
+    finally:
+        spark.sql("DROP TABLE IF EXISTS srp_corpus_bands")
