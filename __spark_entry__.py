@@ -85,6 +85,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,
         "t38_curation_v2": llmdata.t38_curation_v2,
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -128,9 +129,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         #    queries + RI/rollup stay pinned inside the window ----------
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) double-green tail, rotated out this round ---------------
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
         "q4_category_performance": analytics.q4_category_performance,
         "q5_payment_distribution": analytics.q5_payment_distribution,
         "q6_geo_revenue": analytics.q6_geo_revenue,

@@ -112,6 +112,51 @@ def t21_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t40_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance — the last piece of the cross-run
+    dedup story (t31/t37 produce incremental PAIRS; a curation pipeline
+    must fold them into the EXISTING cluster assignment): the prior
+    state is the corpus's (node → component) star, and the merge runs
+    connected components over star-edges ∪ new delta-touching pairs.
+    Star edges preserve the prior connectivity exactly, so the merged
+    result provably equals a from-scratch closure over all pairs — which
+    is what the oracle computes (t21's recursive CTE, shared verbatim) —
+    while the incremental input is O(|prior nodes| + |new pairs|), never
+    the historical pairwise evidence.
+
+    The delta is doc_id % 5 == 0, as in t31; pairs are t5's Jaccard
+    chain split into corpus-internal (prior rounds) vs delta-touching
+    (this batch)."""
+    docs = table(spark, sf_dir, "documents")
+    shingled = dd.shingle_table(docs, "doc_id", "text", n=2)
+    pairs = dd.jaccard_pairs(
+        shingled, threshold=JACCARD_THRESHOLD, max_doc_freq=JACCARD_MAX_DOC_FREQ
+    )
+    is_delta_a = F.col("id_a") % 5 == 0
+    is_delta_b = F.col("id_b") % 5 == 0
+    corpus_pairs = pairs.filter(~is_delta_a & ~is_delta_b)
+    delta_pairs = pairs.filter(is_delta_a | is_delta_b)
+
+    # prior state, as a real pipeline would have persisted it: the
+    # (node, component) star from previous rounds' closure
+    prior = connected_components(corpus_pairs, "id_a", "id_b")
+    star_edges = prior.select(
+        F.col("node").alias("id_a"), F.col("component").alias("id_b")
+    )
+    merged = connected_components(
+        star_edges.unionAll(delta_pairs.select("id_a", "id_b")), "id_a", "id_b"
+    )
+    w = Window.partitionBy("component")
+    return (
+        merged.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def t22_balanced_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced stratified corpus sample: keep ~SAMPLE_TARGET docs per
     language regardless of how skewed the language mix is — the

@@ -1689,6 +1689,14 @@ CORPUS_ORACLES["t21_neardup_clusters"] = f"""
     ORDER BY doc_id
 """
 
+# t40 merges delta pairs into the prior corpus star; star edges preserve
+# connectivity exactly, so the merged closure equals t21's from-scratch
+# closure over all pairs — the oracle is shared verbatim, and equality
+# proves the incremental formulation.
+CORPUS_ORACLES["t40_incremental_clusters"] = CORPUS_ORACLES[
+    "t21_neardup_clusters"
+]
+
 CORPUS_ORACLES["t22_balanced_language_sample"] = f"""
     WITH sizes AS (
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS stratum_size
