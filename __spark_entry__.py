@@ -69,68 +69,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Buckets (by green driver rows as of
-# round 2): (a) never green, (b) green in r1 only (evicted from r2's
-# window), (c) green in r2 only, (d) green in both r1+r2 — bucket (d)
-# tail rotates back into the window in later rounds.
+# driver evidence must come first.  Round-4 ordering (by green driver
+# rows and recency as of round 3): (a) the 29 gates last driver-green in
+# round 2 (two rounds stale — VERDICT r3 "Next round" #1), (b) gates new
+# this round (zero rows), (c) single-green round-3 gates, newest designs
+# first per the verdict, until the 50-slot window is full, (d) tail:
+# single-green r3 gates that wait for round 5, then multi-green gates.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) never driver-green (t31-t34 are new in round 3) --------
-        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
-        "t32_pii_redaction": llmdata.t32_pii_redaction,
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
-        "t34_decontamination": llmdata.t34_decontamination,
-        "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        "t36_temperature_mix": corpus.t36_temperature_mix,
-        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
-        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
-        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
-        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
-        "t21_neardup_clusters": corpus.t21_neardup_clusters,
-        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
-        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
-        "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
-        # -- (b) green in round 1 only ---------------------------------
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
-        "q27_order_date_spine": relational.q27_order_date_spine,
-        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
-        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
-        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        # -- (c) green in round 2 only ---------------------------------
-        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
-        "q13_freshness": monitoring.q13_freshness,
-        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
-        "q15_hourly_events": monitoring.q15_hourly_events,
-        "q16_user_sessions": monitoring.q16_user_sessions,
-        "q18_salted_event_stats": extras.q18_salted_event_stats,
-        "q19_props_json_stats": extras.q19_props_json_stats,
-        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
-        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
-        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
-        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
-        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
-        "t9_simhash": llmdata.t9_simhash,
-        "t12_event_asof_order": extras.t12_event_asof_order,
-        "t14_event_session_ranges": extras.t14_event_session_ranges,
-        "t15_winnow_dedup": extras.t15_winnow_dedup,
-        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
-        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
-        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
-        # -- (d) green in both rounds: the reference's 10 analytical
-        #    queries + RI/rollup stay pinned inside the window ----------
-        "q1_top_products": analytics.q1_top_products,
-        "q2_monthly_trend": analytics.q2_monthly_trend,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (d) double-green tail, rotated out this round ---------------
+        # -- (a) last driver-green in round 2 — refresh first -----------
         "q3_customer_segmentation": analytics.q3_customer_segmentation,
         "q4_category_performance": analytics.q4_category_performance,
         "q5_payment_distribution": analytics.q5_payment_distribution,
@@ -160,6 +106,64 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,
+        # -- (b) new in round 4 — zero driver rows ----------------------
+        # (s2b_session_window and friends are inserted here as they land)
+        # -- (c) single-green (round 3 only), newest designs first ------
+        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
+        "t32_pii_redaction": llmdata.t32_pii_redaction,
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
+        "t36_temperature_mix": corpus.t36_temperature_mix,
+        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
+        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
+        "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
+        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (d) single-green r3 tail — rotate back in round 5 ----------
+        "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
+        # -- green r1+r3 ------------------------------------------------
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        # -- green r2+r3 ------------------------------------------------
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
+        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
+        # -- green all three rounds -------------------------------------
+        "q1_top_products": analytics.q1_top_products,
+        "q2_monthly_trend": analytics.q2_monthly_trend,
 }
 
 
