@@ -139,7 +139,12 @@ def word_repetition_stats(
 
 
 def unigram_fluency_stats(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_cap: int | None = None,
+    min_count: int | None = None,
+    floor_microp: int = 0,
 ) -> DataFrame:
     """Corpus-unigram fluency scoring — the integer-exact surrogate for
     LM-perplexity filtering (CCNet-style: documents whose tokens are
@@ -151,32 +156,55 @@ def unigram_fluency_stats(
     division is exact everywhere; the token ordering induced is identical
     to the probability (hence log-probability) ordering.
 
+    On a web-scale corpus the raw vocabulary (URLs, typos, numbers) is
+    10⁸–10⁹ distinct tokens — far too large to broadcast, which is why
+    the unigram table is NOT hinted: Spark's stats/AQE pick broadcast
+    when it is small and shuffle-hash when it is not.  Two knobs bound
+    it explicitly, exactly as production perplexity filters do (CCNet
+    keeps a fixed LM vocabulary and lumps the tail):
+
+    - ``vocab_cap``: keep only the top-K tokens by (count DESC, token
+      ASC — deterministic tie-break); implemented as a TakeOrdered
+      top-K, so the kept table is ≤K rows by construction.
+    - ``min_count``: keep tokens seen at least this often — a pure
+      filter with no global sort, the cheapest 100 TB path.
+
+    Tokens outside the kept vocabulary score ``floor_microp`` (default
+    0), the tail-lump probability.  Micro-probabilities always use the
+    FULL corpus token total, so capping never inflates in-vocabulary
+    scores.  Both knobs and the floor are plain relational constructs, so
+    a SQL oracle replays them exactly.
+
     Returns (id, n_tokens, mean_microp, min_microp): low mean == rare/
     garbage vocabulary, min flags single out-of-distribution tokens.
-    Distributed shape: token explode → corpus-count join (the unigram
-    table is vocabulary-sized → broadcast) → one per-doc aggregate; the
-    sums are integer-exact, so results are partition-order-independent.
+    Distributed shape: token explode → corpus-count left join (hint-free;
+    bounded by cap/min_count when set) → one per-doc aggregate; the sums
+    are integer-exact, so results are partition-order-independent.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
     )
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n_total"))
+    kept = freq
+    if min_count is not None:
+        kept = kept.filter(F.col("c") >= F.lit(min_count))
+    if vocab_cap is not None:
+        kept = kept.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_cap)
     # integer DIV, not floor(double/) — a quotient landing within half an
     # ulp of the next integer would floor differently across engines
-    microp = freq.crossJoin(F.broadcast(total)).selectExpr(
+    microp = kept.crossJoin(F.broadcast(total)).selectExpr(
         "w", "(c * 1000000L) DIV n_total AS microp"
     )
-    return (
-        toks.join(F.broadcast(microp), "w")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum("microp").cast("double") / F.count(F.lit(1))).alias(
-                "mean_microp"
-            ),
-            F.min("microp").cast("long").alias("min_microp"),
-        )
+    scored = toks.join(microp, "w", "left").withColumn(
+        "microp", F.coalesce(F.col("microp"), F.lit(int(floor_microp)))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum("microp").cast("double") / F.count(F.lit(1))).alias(
+            "mean_microp"
+        ),
+        F.min("microp").cast("long").alias("min_microp"),
     )
 
 

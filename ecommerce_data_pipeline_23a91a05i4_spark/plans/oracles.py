@@ -817,15 +817,17 @@ LLMDATA_ORACLES["t39_unigram_fluency"] = f"""
     ),
     freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
     tot AS (SELECT SUM(c) AS n_total FROM freq),
+    kept AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT 24),
     microp AS (
-        SELECT w, (c * 1000000) // n_total AS microp FROM freq CROSS JOIN tot
+        SELECT w, (c * 1000000) // n_total AS microp FROM kept CROSS JOIN tot
     ),
     per_doc AS (
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               CAST(SUM(m.microp) AS DOUBLE) / COUNT(*) AS mean_microp,
-               CAST(MIN(m.microp) AS BIGINT) AS min_microp
-        FROM toks t JOIN microp m ON t.w = m.w
+               CAST(SUM(COALESCE(m.microp, 0)) AS DOUBLE) / COUNT(*)
+                   AS mean_microp,
+               CAST(MIN(COALESCE(m.microp, 0)) AS BIGINT) AS min_microp
+        FROM toks t LEFT JOIN microp m ON t.w = m.w
         GROUP BY t.doc_id
     )
     SELECT doc_id, n_tokens,

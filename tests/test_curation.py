@@ -109,3 +109,83 @@ def test_unigram_fluency_ranks_garbage_below_common(spark):
     assert out[1].min_microp == 1_000_000 // 16  # hapax in doc 1 ('sat'...)
     the_microp = 4 * 1_000_000 // 16
     assert out[1].mean_microp <= the_microp
+
+
+def test_unigram_fluency_vocab_cap_lumps_tail_at_floor(spark):
+    """With vocab_cap binding, out-of-vocabulary tokens score the floor
+    while in-vocabulary micro-probabilities keep the FULL-corpus total
+    (capping must not inflate in-vocab scores), and ties at the cap
+    boundary break by token ascending."""
+    rows = [
+        (1, "aa aa aa bb bb cc"),  # corpus counts: aa=3, bb=2, cc=2,
+        (2, "dd zz cc"),           #                dd=1, zz=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3 keeps aa(3) and the count-2 tie {bb, cc} (bb < cc, both fit);
+    # dd and zz (count 1) fall out to the floor
+    out = {
+        r.id: r
+        for r in cu.unigram_fluency_stats(
+            df, "doc_id", "text", vocab_cap=3, floor_microp=7
+        ).collect()
+    }
+    total = 9
+    aa, bb, cc = 3_000_000 // total, 2_000_000 // total, 2_000_000 // total
+    assert out[1].mean_microp == (3 * aa + 2 * bb + cc) / 6
+    assert out[1].min_microp == cc
+    # doc 2: dd and zz are out-of-vocab -> floor 7; cc kept
+    assert out[2].mean_microp == (7 + 7 + cc) / 3
+    assert out[2].min_microp == 7
+
+
+def test_unigram_fluency_min_count_filter_matches_cap_semantics(spark):
+    """min_count is the sort-free 100 TB knob: tokens below the count
+    threshold drop to the floor, identical in effect to an equivalent
+    cap when no ties straddle the boundary."""
+    rows = [(1, "aa aa aa bb bb cc"), (2, "dd zz cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_count = {
+        r.id: r
+        for r in cu.unigram_fluency_stats(
+            df, "doc_id", "text", min_count=2
+        ).collect()
+    }
+    total = 9
+    aa, bb, cc = 3_000_000 // total, 2_000_000 // total, 2_000_000 // total
+    assert by_count[1].mean_microp == (3 * aa + 2 * bb + cc) / 6
+    assert by_count[1].min_microp == cc
+    # doc 2: dd and zz (count 1) fall below the cutoff -> floor 0
+    assert by_count[2].mean_microp == (0 + 0 + cc) / 3
+    assert by_count[2].min_microp == 0
+
+
+def test_unigram_fluency_uncapped_unchanged_and_join_tolerates_shuffle(spark):
+    """No cap -> identical to the original semantics; and with broadcast
+    disabled the token-vocabulary join must fall back to a shuffled join
+    (no forced broadcast hint on the vocabulary side), which is what a
+    10^9-token web vocabulary needs."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = [(i, f"tok{i} tok{i % 7} common") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = cu.unigram_fluency_stats(df, "doc_id", "text")
+    capped = cu.unigram_fluency_stats(df, "doc_id", "text", vocab_cap=10_000)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_df = cu.unigram_fluency_stats(df, "doc_id", "text", vocab_cap=10)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        # the 1-row corpus total stays an explicit broadcast (nested-loop);
+        # the vocabulary join itself must not be a BroadcastHashJoin
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert plan_df.count() == 50  # and it still runs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
