@@ -142,6 +142,7 @@ def scd2_merge_partitioned(
     tracked: list[str],
     run_date: str,
     n_buckets: int,
+    fs=None,
 ) -> list[int]:
     """MERGE-shaped SCD2 over plain parquet: rewrite ONLY the partitions
     whose bucket contains a key from the update batch; every other
@@ -163,6 +164,14 @@ def scd2_merge_partitioned(
     writer for a transactional format changes step 4 only.  Returns the
     affected bucket ids (observability + test hook).
 
+    Filesystem: step 4 runs through the ``fs`` verbs (sources/fs.py) —
+    POSIX for bare local paths, the JVM Hadoop ``FileSystem`` for any
+    scheme'd URI (hdfs://, s3a://, …), auto-picked from the path when
+    ``fs`` is None.  HDFS renames are atomic like POSIX; object-store
+    renames are copy+delete, where the protocol degrades from crash-ATOMIC
+    to crash-CONVERGENT (see below) — a transactional table format is the
+    upgrade path if that window matters.
+
     Crash recovery: the swap renames the old partition to a dot-prefixed
     `.bucket.old` dir (invisible to Spark) before moving the new one in,
     so a crash inside that window leaves the partition hidden, not
@@ -170,17 +179,22 @@ def scd2_merge_partitioned(
     partition is missing (crash before move-in) and clears those whose
     swap completed — so a retry of a crashed merge always starts from a
     consistent wholly-old/wholly-new state and converges
-    (tests/test_monitor_scd2.py crash test).
+    (tests/test_monitor_scd2.py crash test, run under both filesystems).
     """
-    import shutil
-    from pathlib import Path
+    import posixpath
 
-    for tmp_old in Path(path).glob(f".{SCD2_BUCKET_COL}=*.old"):
-        dst = tmp_old.parent / tmp_old.name[1:-len(".old")]
-        if dst.exists():
-            shutil.rmtree(tmp_old)  # swap completed; old copy is garbage
+    from ..sources.fs import filesystem_for
+
+    if fs is None:
+        fs = filesystem_for(spark, path)
+
+    for tmp_old in fs.glob(path, f".{SCD2_BUCKET_COL}=*.old"):
+        name = posixpath.basename(tmp_old)
+        dst = posixpath.join(path, name[1:-len(".old")])
+        if fs.exists(dst):
+            fs.delete(tmp_old)  # swap completed; old copy is garbage
         else:
-            tmp_old.rename(dst)  # crashed mid-swap; roll back to old
+            fs.rename(tmp_old, dst)  # crashed mid-swap; roll back to old
 
     upd_buckets = updates.select(
         scd2_bucket(F.col(business_key), n_buckets).alias("b")
@@ -200,15 +214,23 @@ def scd2_merge_partitioned(
     merged.write.mode("overwrite").partitionBy(SCD2_BUCKET_COL).parquet(staging)
     try:
         for b in affected:
-            src = Path(staging) / f"{SCD2_BUCKET_COL}={b}"
-            dst = Path(path) / f"{SCD2_BUCKET_COL}={b}"
-            tmp_old = Path(path) / f".{SCD2_BUCKET_COL}={b}.old"
-            if dst.exists():
-                dst.rename(tmp_old)
-            if src.exists():  # a bucket can become empty only if src has it
-                shutil.move(str(src), str(dst))
-            if tmp_old.exists():
-                shutil.rmtree(tmp_old)
+            src = posixpath.join(staging, f"{SCD2_BUCKET_COL}={b}")
+            dst = posixpath.join(path, f"{SCD2_BUCKET_COL}={b}")
+            tmp_old = posixpath.join(path, f".{SCD2_BUCKET_COL}={b}.old")
+            # an affected bucket holds >=1 update key, and scd2_merge
+            # never drops rows, so its staged output MUST exist — verify
+            # BEFORE setting the live partition aside (a missing stage
+            # dir here would otherwise silently delete the partition)
+            if not fs.exists(src):
+                raise RuntimeError(
+                    f"scd2 swap: staged output missing for bucket {b} "
+                    f"({src}); live partition left untouched"
+                )
+            if fs.exists(dst):
+                fs.rename(dst, tmp_old)
+            fs.rename(src, dst)
+            if fs.exists(tmp_old):
+                fs.delete(tmp_old)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(staging)
     return affected

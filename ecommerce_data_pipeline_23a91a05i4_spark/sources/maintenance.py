@@ -22,11 +22,13 @@ lakehouse accumulates at scale:
 
 from __future__ import annotations
 
-import shutil
+import posixpath
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fs import filesystem_for
 
 
 def parquet_data_files(path: str | Path) -> list[Path]:
@@ -41,6 +43,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    fs=None,
 ) -> dict:
     """Rewrite a parquet directory into ~target_file_bytes files.
 
@@ -49,23 +52,27 @@ def compact_parquet(
     coalesce) is used so the rewrite also rebalances skewed input files.
     The swap is write-aside + rename — readers see either the old layout
     or the new one, never a mix; the directory is replaced only after
-    the new write fully commits (Spark's _SUCCESS protocol).
+    the new write fully commits (Spark's _SUCCESS protocol).  All file
+    verbs go through ``fs`` (sources/fs.py: POSIX or Hadoop FileSystem),
+    so the same compaction runs on hdfs:// and s3a:// tables.
 
     Returns {files_before, files_after, bytes}."""
-    src = Path(path)
-    files = parquet_data_files(src)
-    total = sum(f.stat().st_size for f in files)
+    if fs is None:
+        fs = filesystem_for(spark, path)
+    parent = posixpath.dirname(str(path).rstrip("/"))
+    files_before, total = fs.parquet_stats(path)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(str(src))
-    tmp = src.parent / f".compact-{uuid.uuid4().hex}"
-    df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
-    old = src.parent / f".old-{uuid.uuid4().hex}"
-    src.rename(old)
-    tmp.rename(src)
-    shutil.rmtree(old)
+    df = spark.read.parquet(str(path))
+    tmp = posixpath.join(parent, f".compact-{uuid.uuid4().hex}")
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = posixpath.join(parent, f".old-{uuid.uuid4().hex}")
+    fs.rename(str(path), old)
+    fs.rename(tmp, str(path))
+    fs.delete(old)
+    files_after, _ = fs.parquet_stats(path)
     return {
-        "files_before": len(files),
-        "files_after": len(parquet_data_files(src)),
+        "files_before": files_before,
+        "files_after": files_after,
         "bytes": total,
     }
 
@@ -76,7 +83,7 @@ CURRENT_POINTER = "_CURRENT"
 
 
 def publish_tables(
-    tables: dict[str, DataFrame], root: str | Path
+    tables: dict[str, DataFrame], root: str | Path, fs=None
 ) -> str:
     """Cross-table atomic publish: stage-then-pointer-swap.
 
@@ -101,60 +108,80 @@ def publish_tables(
     Old versions stay readable for in-flight queries (snapshot
     isolation); `cleanup_old_files`-style retention prunes them later.
 
-    Returns the published version id."""
-    rootp = Path(root)
-    rootp.mkdir(parents=True, exist_ok=True)
+    Returns the published version id.  The commit rename runs through the
+    ``fs`` verbs, so the same protocol publishes to hdfs:// (atomic
+    rename) and s3a:// (last-writer-wins pointer PUT) tables; when ``fs``
+    is None it is picked from the root path's scheme."""
+    if fs is None:
+        first = next(iter(tables.values()), None)
+        spark = first.sparkSession if first is not None else None
+        fs = filesystem_for(spark, str(root))
+    root = str(root)
+    fs.mkdirs(root)
     version = f"v-{uuid.uuid4().hex}"
-    vdir = rootp / version
     for name, df in tables.items():
-        df.write.mode("errorifexists").parquet(str(vdir / name))
-    commit_version(rootp, version, sorted(tables))
+        df.write.mode("errorifexists").parquet(
+            posixpath.join(root, version, name)
+        )
+    commit_version(root, version, sorted(tables), fs=fs)
     return version
 
 
 def commit_version(
-    root: str | Path, version: str, table_names: list[str]
+    root: str | Path, version: str, table_names: list[str], fs=None
 ) -> None:
     """The commit point of the stage-then-publish protocol: write the
     manifest into the (fully staged) version directory, then atomically
-    rename a temp pointer file onto ``_CURRENT``.  Callers that stage
-    their own writes (e.g. the pipeline's gold build, which needs its
-    materialize-then-derive fact checkpoint mid-stage) call this
-    directly; :func:`publish_tables` is the one-shot convenience."""
+    rename a temp pointer file onto ``_CURRENT`` (the overwrite-rename
+    verb — POSIX/HDFS atomic; object stores degrade to last-writer-wins,
+    which is exactly the guarantee their own pointer-style committers
+    give).  Callers that stage their own writes (e.g. the pipeline's
+    gold build, which needs its materialize-then-derive fact checkpoint
+    mid-stage) call this directly; :func:`publish_tables` is the
+    one-shot convenience."""
     import json as _json
 
-    rootp = Path(root)
-    with open(rootp / version / "_manifest.json", "w") as fh:
-        _json.dump({"version": version, "tables": list(table_names)}, fh)
-    tmp_ptr = rootp / f".ptr-{uuid.uuid4().hex}"
-    tmp_ptr.write_text(version)
-    tmp_ptr.rename(rootp / CURRENT_POINTER)  # the atomic commit point
+    if fs is None:
+        fs = filesystem_for(None, str(root))
+    root = str(root)
+    fs.write_text(
+        posixpath.join(root, version, "_manifest.json"),
+        _json.dumps({"version": version, "tables": list(table_names)}),
+    )
+    tmp_ptr = posixpath.join(root, f".ptr-{uuid.uuid4().hex}")
+    fs.write_text(tmp_ptr, version)
+    # the atomic commit point
+    fs.replace_file(tmp_ptr, posixpath.join(root, CURRENT_POINTER))
 
 
-def resolve_table_path(root: str | Path, name: str) -> str:
+def resolve_table_path(root: str | Path, name: str, fs=None) -> str:
     """Reader-side resolution: honor the ``_CURRENT`` snapshot pointer
     when present, else fall back to the flat legacy layout — so readers
     work identically against published and unpublished directories."""
-    rootp = Path(root)
-    ptr = rootp / CURRENT_POINTER
-    if ptr.exists():
-        return str(rootp / ptr.read_text().strip() / name)
-    return str(rootp / name)
+    if fs is None:
+        fs = filesystem_for(None, str(root))
+    root = str(root)
+    ptr = posixpath.join(root, CURRENT_POINTER)
+    if fs.exists(ptr):
+        return posixpath.join(root, fs.read_text(ptr).strip(), name)
+    return posixpath.join(root, name)
 
 
 def read_published(
-    spark: SparkSession, root: str | Path, name: str
+    spark: SparkSession, root: str | Path, name: str, fs=None
 ) -> DataFrame:
     """Read table ``name`` from the currently-published snapshot (resolves
     the ``_CURRENT`` pointer written by :func:`publish_tables`)."""
-    return spark.read.parquet(resolve_table_path(root, name))
+    if fs is None:
+        fs = filesystem_for(spark, str(root))
+    return spark.read.parquet(resolve_table_path(root, name, fs=fs))
 
 
-def published_versions(root: str | Path) -> list[str]:
+def published_versions(root: str | Path, fs=None) -> list[str]:
     """All version directories under ``root`` (current + historical)."""
-    return sorted(
-        p.name for p in Path(root).iterdir() if p.is_dir() and p.name.startswith("v-")
-    )
+    if fs is None:
+        fs = filesystem_for(None, str(root))
+    return sorted(posixpath.basename(p) for p in fs.glob(str(root), "v-*"))
 
 
 def overwrite_dynamic_partitions(

@@ -116,3 +116,34 @@ def test_publish_tables_cross_table_atomic(spark, tmp_path):
     # historical snapshot still readable (snapshot isolation for in-flight readers)
     assert spark.read.parquet(str(root / v1 / "ta")).count() == 5
     assert set(mt.published_versions(root)) >= {v1, v2}
+
+
+def test_publish_and_compact_through_hadoop_filesystem(spark, tmp_path):
+    """The publish pointer swap and the compaction swap must run
+    unchanged through the JVM Hadoop FileSystem verbs — the path a
+    deployment on hdfs:// or s3a:// takes.  Same local directory
+    underneath, so results must be identical to the POSIX run,
+    including the overwrite-rename of an existing _CURRENT pointer."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import maintenance as mt
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.fs import HadoopFS
+
+    hfs = HadoopFS(spark)
+    root = str(tmp_path / "pub_hadoop")
+    v1 = mt.publish_tables(
+        {"ta": spark.range(5).withColumnRenamed("id", "a")}, root, fs=hfs
+    )
+    assert mt.read_published(spark, root, "ta", fs=hfs).count() == 5
+    # second publish must overwrite-rename the existing pointer
+    v2 = mt.publish_tables(
+        {"ta": spark.range(11).withColumnRenamed("id", "a")}, root, fs=hfs
+    )
+    assert v2 != v1
+    assert mt.read_published(spark, root, "ta", fs=hfs).count() == 11
+    assert set(mt.published_versions(root, fs=hfs)) == {v1, v2}
+
+    # compaction: many tiny files -> few, content preserved, via HadoopFS
+    tbl = str(tmp_path / "many_hadoop")
+    spark.range(1000).repartition(20).write.parquet(tbl)
+    stats = mt.compact_parquet(spark, tbl, target_file_bytes=1 << 30, fs=hfs)
+    assert stats["files_before"] == 20 and stats["files_after"] == 1
+    assert spark.read.parquet(tbl).count() == 1000

@@ -99,7 +99,27 @@ def test_scd2_merge_is_idempotent(spark):
     assert r.is_current and str(r.effective_date) == "2024-01-01"
 
 
-def test_scd2_partitioned_merge_touches_only_affected_partitions(spark, tmp_path):
+def _make_fs(spark, kind):
+    """The swap suite runs under BOTH filesystem implementations: the
+    POSIX one (bare local paths) and the JVM Hadoop FileSystem that a
+    real deployment uses for hdfs:// and s3a:// tables — same local
+    directory underneath, so crash/byte-untouched assertions apply
+    identically."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.fs import (
+        HadoopFS,
+        PosixFS,
+    )
+
+    return PosixFS() if kind == "posix" else HadoopFS(spark)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_scd2_partitioned_merge_touches_only_affected_partitions(
+    spark, tmp_path, fs_kind
+):
     """The partition-pruned merge: a 2-key CDC batch against a 60-key
     dimension must (a) produce exactly the full scd2_merge answer,
     (b) report only the buckets holding updated keys, and (c) leave every
@@ -138,7 +158,8 @@ def test_scd2_partitioned_merge_touches_only_affected_partitions(spark, tmp_path
         "customer_id string, city string",
     )
     affected = scd2_merge_partitioned(
-        spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+        spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets,
+        fs=_make_fs(spark, fs_kind),
     )
 
     expect_buckets = sorted(
@@ -177,15 +198,45 @@ def test_scd2_partitioned_merge_touches_only_affected_partitions(spark, tmp_path
     assert got == want
 
 
+class _ExplodingFS:
+    """Delegating fs wrapper that raises on the Nth rename — simulates a
+    crash at a chosen point inside the swap loop.  The rollback pass at
+    the start of a retry uses a fresh (non-exploding) fs."""
+
+    def __init__(self, inner, die_on: int) -> None:
+        self.inner = inner
+        self.die_on = die_on
+        self.n = 0
+
+    def rename(self, src, dst):
+        self.n += 1
+        if self.n == self.die_on:
+            raise OSError("simulated crash mid-swap")
+        self.inner.rename(src, dst)
+
+    def exists(self, p):
+        return self.inner.exists(p)
+
+    def delete(self, p):
+        self.inner.delete(p)
+
+    def glob(self, d, pat):
+        return self.inner.glob(d, pat)
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+@pytest.mark.parametrize("die_on", [2, 3])
 def test_scd2_partitioned_merge_crash_mid_swap_leaves_whole_partitions(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, fs_kind, die_on
 ):
-    """Crash discipline of the stage-then-swap publish: if the process
-    dies between partition swaps, every partition directory is either
-    fully old or fully new — never a mix of old and new files — so a
-    retry (idempotent re-merge) converges."""
+    """Crash discipline of the stage-then-swap publish: wherever the
+    process dies inside the swap loop (die_on=2: mid-bucket, after the
+    live partition was set aside but before the new one moved in;
+    die_on=3: between buckets, first published and second still old),
+    every partition directory is either fully old, fully new, or hidden
+    behind its `.old` marker — never a mix of old and new files — and a
+    retry (idempotent re-merge) rolls back the marker and converges."""
     import datetime as dt
-    import shutil as _shutil
 
     from ecommerce_data_pipeline_23a91a05i4_spark.operators import scd2 as s2
 
@@ -201,29 +252,15 @@ def test_scd2_partitioned_merge_crash_mid_swap_leaves_whole_partitions(
     upd_rows = [("C1", "X1"), ("C2", "X2"), ("C3", "X3"), ("C4", "X4")]
     updates = spark.createDataFrame(upd_rows, "customer_id string, city string")
 
-    calls = {"n": 0}
-    real_move = _shutil.move
-
-    def exploding_move(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:  # die after the first partition published
-            raise OSError("simulated crash mid-swap")
-        return real_move(src, dst)
-
-    # scd2_merge_partitioned imports shutil inside the function body, so
-    # patch the shared module object itself
-    monkeypatch.setattr(_shutil, "move", exploding_move)
-    import pytest as _pytest
-
-    with _pytest.raises(OSError, match="simulated crash"):
+    with pytest.raises(OSError, match="simulated crash"):
         s2.scd2_merge_partitioned(
-            spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+            spark, path, updates, "customer_id", ["city"], "2024-02-01",
+            n_buckets, fs=_ExplodingFS(_make_fs(spark, fs_kind), die_on),
         )
-    monkeypatch.undo()
 
     # every partition dir must be internally consistent: reading the
     # table succeeds and each business key has EXACTLY one current row —
-    # i.e. a partition is wholly old or wholly new, never mixed
+    # i.e. a partition is wholly old, wholly new, or wholly hidden
     got = spark.read.parquet(path)
     per_key = (
         got.filter("is_current").groupBy("customer_id").count().collect()
@@ -231,7 +268,8 @@ def test_scd2_partitioned_merge_crash_mid_swap_leaves_whole_partitions(
     assert all(r["count"] == 1 for r in per_key)
     # retry converges to the full merge result
     s2.scd2_merge_partitioned(
-        spark, path, updates, "customer_id", ["city"], "2024-02-01", n_buckets
+        spark, path, updates, "customer_id", ["city"], "2024-02-01",
+        n_buckets, fs=_make_fs(spark, fs_kind),
     )
     final = {
         (r.customer_id, r.city, r.is_current)
@@ -244,6 +282,51 @@ def test_scd2_partitioned_merge_crash_mid_swap_leaves_whole_partitions(
         ).collect()
     }
     assert final == want
+
+
+def test_scd2_swap_refuses_to_drop_partition_when_stage_missing(
+    spark, tmp_path
+):
+    """The swap must verify the staged bucket output exists BEFORE
+    setting the live partition aside: a missing stage dir aborts with
+    the live data untouched (it would otherwise be silent data loss)."""
+    import datetime as dt
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import scd2 as s2
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.fs import PosixFS
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _dim(
+        spark, [(f"C{i}", f"city{i}", d0, None, True) for i in range(40)]
+    )
+    path = str(tmp_path / "dim_guard")
+    n_buckets = 8
+    s2.write_dim_partitioned(dim, path, "customer_id", n_buckets)
+    before = {
+        (r.customer_id, r.city, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+
+    class VanishingStageFS(PosixFS):
+        # claim every staged bucket is missing
+        def exists(self, p):
+            if "__scd2_stage" in str(p):
+                return False
+            return super().exists(p)
+
+    updates = spark.createDataFrame(
+        [("C1", "X1")], "customer_id string, city string"
+    )
+    with pytest.raises(RuntimeError, match="staged output missing"):
+        s2.scd2_merge_partitioned(
+            spark, path, updates, "customer_id", ["city"], "2024-02-01",
+            n_buckets, fs=VanishingStageFS(),
+        )
+    after = {
+        (r.customer_id, r.city, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before  # live table untouched
 
 
 def test_scd2_merge_dedupes_update_batch(spark):
