@@ -107,7 +107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,
         # -- (b) new in round 4 — zero driver rows ----------------------
-        # (s2b_session_window and friends are inserted here as they land)
+        "s2b_session_window": monitoring.s2b_session_window,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
@@ -129,9 +129,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t21_neardup_clusters": corpus.t21_neardup_clusters,
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) single-green r3 tail — rotate back in round 5 ----------
+        "t24_multimodal_features": corpus.t24_multimodal_features,
         "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,
         "t28_shard_assignment": corpus.t28_shard_assignment,

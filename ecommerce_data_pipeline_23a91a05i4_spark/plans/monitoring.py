@@ -233,6 +233,53 @@ def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s2b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native streaming sessionization parity gate: the built-in
+    ``session_window`` aggregation (streaming/ingest.sessionize_native)
+    drained complete-mode with availableNow, rolled up to the same
+    per-user shape as q16 — and sharing q16's FULL oracle including
+    longest_session_us, which the Python-stateful s2 twin cannot produce.
+
+    Unlike s2's applyInPandasWithState fold (arrival-order across
+    batches, documented limitation), the native operator's state store
+    merges sessions across micro-batches, so out-of-order batch arrival
+    yields the same sessions (tests/test_streaming.py feeds
+    new-then-old batches).  Complete mode is the finite-replay drain;
+    production uses watermark + append for bounded state."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    ev = st.stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    sess = st.sessionize_native(ev)
+    name = "s2b_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    result = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max(
+                F.unix_micros(F.col("session_end"))
+                - F.unix_micros(F.col("session_start"))
+            ).alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )
+    result = result.localCheckpoint(eager=True)  # materialize before drop
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def s3_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dedup parity gate: new documents (doc_id % 5 == 0)
     arrive as a file stream and are screened IN-FLIGHT against the static

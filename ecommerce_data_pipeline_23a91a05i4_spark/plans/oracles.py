@@ -186,6 +186,14 @@ MONITORING_ORACLES["s2_streaming_sessionization"] = f"""
     ORDER BY user_id
 """
 
+# The native session_window gate shares q16's FULL oracle (including
+# longest_session_us): boundary semantics proven identical — the native
+# operator merges an exactly-gap-length interval, q16 splits only on
+# strictly-greater gaps.
+MONITORING_ORACLES["s2b_session_window"] = MONITORING_ORACLES[
+    "q16_user_sessions"
+]
+
 ANALYTICS_ORACLES: dict[str, str] = {
     "q1_top_products": f"""
         SELECT p_name AS product_name,

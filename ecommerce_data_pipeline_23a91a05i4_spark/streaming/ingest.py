@@ -173,6 +173,50 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session rows via Spark's BUILT-IN ``session_window``
+    aggregation — the engine-native twin of :func:`sessionize_stream`.
+
+    Semantics match q16_user_sessions exactly at the boundary: the native
+    operator merges two events whose gap is <= the gap duration (verified
+    empirically — an exactly-30-minute gap merges), which is the same
+    partition as q16's "new session when gap > 30 min".
+
+    Where this beats the applyInPandasWithState sessionizer: session
+    merging is handled by the state store across micro-batches, so an
+    event arriving in a LATER batch with an older timestamp (cross-batch
+    late data, the documented blind spot of ``_session_fn``'s
+    arrival-order fold) still lands in — or bridges — the right
+    session(s), as long as it beats the watermark.  State is evicted by
+    the watermark; pass ``watermark=None`` only for availableNow /
+    complete-mode replays of finite data, where sessions must all emit
+    without waiting for watermark closure (append-mode emission only
+    fires for sessions older than the watermark, which never happens for
+    the tail of a drained stream).
+
+    Returns (user_id, session_start, session_end, n_events) where
+    session_end is the LAST EVENT's timestamp (the native window end
+    minus the gap padding), matching q16's per-session min/max(ts).
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    sess = src.groupBy(
+        "user_id", F.session_window("ts", gap).alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        # native end = last event + gap; subtract to recover last event
+        (F.col("sw.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+        "n_events",
+    )
+
+
 def dedup_stream(
     events: DataFrame, key: str = "event_id", watermark: str = "1 hour"
 ) -> DataFrame:

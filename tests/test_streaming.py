@@ -311,3 +311,94 @@ def test_neardup_stream_matches_batch_incremental(spark, tmp_path):
         for r in out.select("id_a", "id_b", "jaccard").distinct().collect()
     }
     assert got == batch and got
+
+
+def test_native_session_window_merges_across_out_of_order_batches(
+    spark, tmp_path
+):
+    """The built-in session_window sessionizer must stay correct when a
+    LATER micro-batch delivers OLDER events — the documented blind spot
+    of the applyInPandasWithState fold (arrival-order across batches).
+    The hard case: batch 1 carries 10:00 and 10:40 for one user (gap
+    40 min -> two open sessions); batch 2 delivers 10:20, which must
+    BRIDGE them into a single 3-event session.  Complete-mode drain,
+    files forced into separate micro-batches via maxFilesPerTrigger +
+    mtime order."""
+    import os
+
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    def naive(s: str):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    mk = lambda eid, uid, t: Row(  # noqa: E731
+        event_id=eid, ts=naive(t), user_id=uid,
+        event_type="a", value=1.0, props="{}",
+    )
+    src = tmp_path / "ooo_events"
+    ckpt = str(tmp_path / "ooo_ckpt")
+    files = [
+        # batch 1: the NEWER data
+        ("f1.parquet", [
+            mk(1, 3, "2024-06-01 10:00:00"),
+            mk(2, 3, "2024-06-01 10:40:00"),   # 2 sessions so far
+            mk(3, 1, "2024-06-01 12:00:00"),
+        ], 1000),
+        # batch 2: OLDER data arriving late
+        ("f2.parquet", [
+            mk(4, 3, "2024-06-01 10:20:00"),   # bridges user 3's sessions
+            mk(5, 1, "2024-06-01 10:00:00"),
+            mk(6, 1, "2024-06-01 10:10:00"),   # user 1: earlier session
+        ], 2000),
+    ]
+    for name, rows, mtime in files:
+        spark.createDataFrame(rows, schema=st.EVENTS_RAW_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+        for root, _, fs in os.walk(str(src / name)):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    raw = (
+        spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = st.sessionize_native(events)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("ooo_t")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M")):
+            (r.n_events, r.session_end.strftime("%H:%M"))
+        for r in spark.table("ooo_t").collect()
+    }
+    assert got == {
+        (3, "10:00"): (3, "10:40"),  # bridged into ONE session
+        (1, "10:00"): (2, "10:10"),
+        (1, "12:00"): (1, "12:00"),
+    }
+    spark.catalog.dropTempView("ooo_t")
+
+
+def test_s2b_gate_matches_q16_rollup(spark):
+    """The s2b driver gate (native session_window, complete-mode drain)
+    must equal q16's per-user rollup including longest_session_us —
+    the column the Python-stateful s2 twin cannot produce."""
+    got = {
+        r.user_id: (r.n_sessions, r.n_events, r.longest_session_us)
+        for r in monitoring.s2b_session_window(spark, SF).collect()
+    }
+    want = {
+        r.user_id: (r.n_sessions, r.n_events, r.longest_session_us)
+        for r in monitoring.q16_user_sessions(spark, SF).collect()
+    }
+    assert got == want
