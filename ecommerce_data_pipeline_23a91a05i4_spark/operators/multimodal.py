@@ -52,43 +52,60 @@ def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha", F.sha2(F.col(content_col), 256))
 
 
-try:  # real codec, used only when explicitly requested (fake=False)
+try:  # preferred codec, used only when explicitly requested (fake=False)
     from PIL import Image as _PILImage  # noqa: N814
-except ImportError:  # the test container has no Pillow; the stub rules
+except ImportError:  # Pillow absent: the vendored PNG codec takes over
     _PILImage = None
+
+from . import png as _png
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Image decode behind a gated import.
+    """Image decode behind a codec seam.
 
     fake=True (the gate/oracle path) returns a deterministic pseudo-decode
     (dimensions and a pixel checksum derived from the content hash) —
     engine-independent, so t24's static oracle stays pinned to it.
 
-    fake=False uses Pillow when importable and returns the SAME contract
-    (width/height/channels/pixel_checksum over the decoded RGB bytes);
-    without Pillow it raises NotImplementedError so a misconfigured
-    deployment fails loudly instead of producing stub numbers.
+    fake=False decodes for real: Pillow when importable (any format),
+    else the vendored pure-Python PNG codec (operators/png.py — RGB
+    conversion contract matches PIL.convert("RGB"), so both paths yield
+    the same pixel_checksum for the same PNG).  Non-PNG bytes without
+    Pillow raise NotImplementedError, malformed PNGs raise ValueError —
+    a misconfigured deployment fails loudly instead of producing stub
+    numbers.
     """
     if not fake:
-        if _PILImage is None:
-            raise NotImplementedError(
-                "image codec (Pillow) not available in this environment; "
-                "pass fake=True for the deterministic test double"
-            )
-        import io
+        if _PILImage is not None:
+            import io
 
-        with _PILImage.open(io.BytesIO(content or b"")) as im:
-            rgb = im.convert("RGB")
-            pixels = rgb.tobytes()
-            return {
-                "width": rgb.width,
-                "height": rgb.height,
-                "channels": 3,
-                "pixel_checksum": int.from_bytes(
-                    hashlib.sha256(pixels).digest()[:8], "big", signed=True
-                ),
-            }
+            with _PILImage.open(io.BytesIO(content or b"")) as im:
+                rgb = im.convert("RGB")
+                return {
+                    "width": rgb.width,
+                    "height": rgb.height,
+                    "channels": 3,
+                    "pixel_checksum": int.from_bytes(
+                        hashlib.sha256(rgb.tobytes()).digest()[:8],
+                        "big",
+                        signed=True,
+                    ),
+                }
+        if not _png.is_png(content or b""):
+            raise NotImplementedError(
+                "no codec for this format: Pillow is not installed and "
+                "the vendored decoder handles PNG only; pass fake=True "
+                "for the deterministic test double"
+            )
+        width, height, pixels = _png.decode_png(content)
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixel_checksum": int.from_bytes(
+                hashlib.sha256(pixels).digest()[:8], "big", signed=True
+            ),
+        }
     h = hashlib.sha256(content or b"").digest()
     return {
         "width": 64 + h[0] % 192,
@@ -190,26 +207,47 @@ def resize_images(
     shape a real thumbnailing stage has at 100 TB (embarrassingly
     parallel, no shuffle, memory bounded by the Arrow batch size).
 
-    The pixel work is the stub (needs PIL): fake=True emits a
-    deterministic content-hash-derived payload whose length follows
-    32 + (width*height*3) // 4096 — a documented formula so output
-    size is verifiable engine-independently; fake=False raises from
-    the codec stub by design."""
+    fake=True emits a deterministic content-hash-derived payload whose
+    length follows 32 + (width*height*3) // 4096 — a documented formula
+    so output size is verifiable engine-independently.  fake=False runs
+    the REAL kernel: decode (Pillow, else the vendored PNG codec) →
+    nearest-neighbor resample → PNG re-encode; undecodable inputs raise
+    through the codec seam by design."""
     out_len = 32 + (width * height * 3) // 4096
+
+    def _real_resize(content: bytes) -> bytes:
+        if _PILImage is not None:
+            import io
+
+            with _PILImage.open(io.BytesIO(content or b"")) as im:
+                rgb = im.convert("RGB")
+                src = _png.resize_rgb_nearest(
+                    rgb.width, rgb.height, rgb.tobytes(), width, height
+                )
+        else:
+            if not _png.is_png(content or b""):
+                raise NotImplementedError(
+                    "no codec for this format: Pillow is not installed "
+                    "and the vendored decoder handles PNG only; pass "
+                    "fake=True for the deterministic payload double"
+                )
+            src_w, src_h, pixels = _png.decode_png(content or b"")
+            src = _png.resize_rgb_nearest(src_w, src_h, pixels, width, height)
+        return _png.encode_png(width, height, src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real resize kernel not implemented; pass fake=True "
-                    "for the deterministic payload double"
-                )
             payloads = []
             for c in pdf["content"]:
-                digest = hashlib.sha256(
-                    (c or b"") + width.to_bytes(4, "big") + height.to_bytes(4, "big")
-                ).digest()
-                payloads.append((digest * (out_len // 32 + 1))[:out_len])
+                if fake:
+                    digest = hashlib.sha256(
+                        (c or b"")
+                        + width.to_bytes(4, "big")
+                        + height.to_bytes(4, "big")
+                    ).digest()
+                    payloads.append((digest * (out_len // 32 + 1))[:out_len])
+                else:
+                    payloads.append(_real_resize(c))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

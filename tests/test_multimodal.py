@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
 from ecommerce_data_pipeline_23a91a05i4_spark.operators import multimodal as mm
+from ecommerce_data_pipeline_23a91a05i4_spark.operators import png as pngmod
 
 SF = "/root/testdata/sf0.001"
 
@@ -42,41 +43,143 @@ def test_extract_features_fake_mode(spark):
 
 
 def test_decode_real_mode_fails_loudly_on_bad_input(spark):
-    """fake=False must never silently fall back to stub numbers: without
-    Pillow it raises NotImplementedError; with Pillow, garbage bytes
-    raise the decoder's error."""
+    """fake=False must never silently fall back to stub numbers: a
+    format no codec handles raises (NotImplementedError without Pillow),
+    and a PNG with a valid signature but corrupt body raises ValueError
+    from the vendored decoder."""
     if mm._PILImage is None:
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG...")
+            mm.decode_image(b"\x89PNG...")  # bad signature -> no codec
+        with pytest.raises(ValueError):
+            # valid signature, truncated body
+            mm.decode_image(pngmod.PNG_SIGNATURE + b"\x00\x00\x00\x0dIHDR")
         err = "NotImplementedError|codec"
     else:
         with pytest.raises(Exception):
             mm.decode_image(b"\x89PNG...")  # truncated, undecodable
         err = "cannot identify|Unidentified|image"
     # and the error propagates through the real mapInPandas path
+    # (document text bytes are not a decodable image in any codec)
     with pytest.raises(Exception, match=err):
         mm.extract_features(_assets(spark), fake=False).limit(1).collect()
 
 
+def _solid_png(width=20, height=10, color=(255, 0, 0)):
+    rgb = bytes(color) * (width * height)
+    return pngmod.encode_png(width, height, rgb), rgb
+
+
 def test_decode_image_real_codec_contract():
-    """With Pillow importable, fake=False decodes a real PNG and returns
-    the SAME contract as the stub (width/height/channels/pixel_checksum),
-    with true dimensions and a checksum stable across calls.  Skipped
-    where Pillow is absent (this container)."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+    """fake=False decodes a real PNG through the codec seam (Pillow when
+    present, else the vendored decoder) and returns the SAME contract as
+    the stub (width/height/channels/pixel_checksum), with true dimensions
+    and the checksum equal to sha256 over the raw RGB bytes — pinned so
+    the Pillow and vendored paths are interchangeable."""
+    import hashlib
 
-    im = PIL_Image.new("RGB", (20, 10), (255, 0, 0))
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    png = buf.getvalue()
-
+    png, rgb = _solid_png(20, 10, (255, 0, 0))
     out = mm.decode_image(png, fake=False)
     assert set(out) == {"width", "height", "channels", "pixel_checksum"}
     assert (out["width"], out["height"], out["channels"]) == (20, 10, 3)
+    assert out["pixel_checksum"] == int.from_bytes(
+        hashlib.sha256(rgb).digest()[:8], "big", signed=True
+    )
     assert out == mm.decode_image(png, fake=False)
     # and it is NOT the stub's hash-derived pseudo-decode
     assert out != mm.decode_image(png, fake=True)
+
+
+def _filter_line(ftype, line, prev, bpp):
+    """Forward-apply a PNG scanline filter (the encoder side of what the
+    vendored decoder must invert)."""
+    out = bytearray()
+    for i in range(len(line)):
+        left = line[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        ul = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = line[i]
+        elif ftype == 1:
+            v = line[i] - left
+        elif ftype == 2:
+            v = line[i] - up
+        elif ftype == 3:
+            v = line[i] - ((left + up) >> 1)
+        else:
+            v = line[i] - pngmod._paeth(left, up, ul)
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def test_vendored_png_decodes_all_filters_and_color_types():
+    """Round-trip through the encoder, plus hand-built streams covering
+    every scanline filter (0-4) and the non-RGB color types (gray,
+    gray+alpha, RGBA, palette) with their PIL-compatible RGB mapping
+    (alpha discarded, gray replicated, palette mapped)."""
+    import struct
+    import zlib
+
+    # encoder round-trip on a deterministic gradient
+    w, h = 7, 5
+    rgb = bytes((x * 37 + y * 11 + c * 5) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert pngmod.decode_png(pngmod.encode_png(w, h, rgb)) == (w, h, rgb)
+
+    # every filter type over the same 4x3 RGB image
+    w, h, bpp = 4, 3, 3
+    rgb = bytes((x * 53 + y * 29 + c * 17) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    stride = w * bpp
+    for ftype in range(5):
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            line = rgb[y * stride:(y + 1) * stride]
+            raw.append(ftype)
+            raw.extend(_filter_line(ftype, line, prev, bpp))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (pngmod.PNG_SIGNATURE
+                + pngmod._chunk(b"IHDR", ihdr)
+                + pngmod._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + pngmod._chunk(b"IEND", b""))
+        assert pngmod.decode_png(data) == (w, h, rgb), f"filter {ftype}"
+
+    def build(color_type, channels, pixels, plte=b""):
+        stride = 2 * channels
+        raw = bytearray()
+        for y in range(2):
+            raw.append(0)
+            raw.extend(pixels[y * stride:(y + 1) * stride])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, color_type, 0, 0, 0)
+        chunks = pngmod._chunk(b"IHDR", ihdr)
+        if plte:
+            chunks += pngmod._chunk(b"PLTE", plte)
+        chunks += pngmod._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        chunks += pngmod._chunk(b"IEND", b"")
+        return pngmod.PNG_SIGNATURE + chunks
+
+    # grayscale replicates
+    gray = bytes([10, 20, 30, 40])
+    assert pngmod.decode_png(build(0, 1, gray))[2] == bytes(
+        b for v in gray for b in (v, v, v)
+    )
+    # gray+alpha: alpha discarded
+    ga = bytes([10, 255, 20, 0, 30, 128, 40, 7])
+    assert pngmod.decode_png(build(4, 2, ga))[2] == bytes(
+        b for v in (10, 20, 30, 40) for b in (v, v, v)
+    )
+    # RGBA: alpha discarded
+    rgba = bytes([1, 2, 3, 255, 4, 5, 6, 0, 7, 8, 9, 128, 10, 11, 12, 7])
+    assert pngmod.decode_png(build(6, 4, rgba))[2] == bytes(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    )
+    # palette maps through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 0])
+    assert pngmod.decode_png(build(3, 1, idx, plte))[2] == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]
+    )
 
 
 def test_frame_sampling_plan():
@@ -125,7 +228,24 @@ def test_audio_decode_stub_gating():
     assert d1 == d2 and d1["sample_rate"] in (8000, 16000, 44100, 48000)
 
 
-def test_resize_without_fake_raises(spark):
+def test_resize_real_mode_raises_on_undecodable_input(spark):
+    # document text bytes are not a PNG; the codec seam fails loudly
     a = _assets(spark).limit(1)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NotImplementedError|codec|identify"):
         mm.resize_images(a, 32, 32, fake=False).collect()
+
+
+def test_resize_real_kernel_resamples_png(spark):
+    """fake=False is a REAL kernel now: decode -> nearest-neighbor ->
+    PNG re-encode, end-to-end through mapInPandas.  A solid-color source
+    must stay solid at the new dimensions; the output parses as PNG."""
+    png, _ = _solid_png(16, 8, (0, 128, 255))
+    a = spark.createDataFrame(
+        [(1, "image", bytearray(png), {})], schema=mm.MULTIMODAL_SCHEMA
+    )
+    rows = mm.resize_images(a, 4, 6, fake=False).collect()
+    assert len(rows) == 1
+    w, h, rgb = pngmod.decode_png(bytes(rows[0].content))
+    assert (w, h) == (4, 6) == (rows[0].width, rows[0].height)
+    assert rgb == bytes([0, 128, 255]) * (4 * 6)
+    assert rows[0].n_bytes == len(rows[0].content)
