@@ -76,7 +76,13 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
 
     li_raw = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     ord_raw = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    key_span = ord_raw.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_key = ord_raw.agg(F.max("o_orderkey")).collect()[0][0]
+    if max_key is None:
+        raise RuntimeError(
+            f"scale probe: orders table at {sf_dir} is empty — cannot "
+            "derive a replica key span"
+        )
+    key_span = max_key + 1
     tmp = tempfile.mkdtemp(prefix="bench_scale_probe_")
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

@@ -49,6 +49,22 @@ def pii_count(col: Column, kind: str) -> Column:
     return regex_count(col, PII_PATTERNS[kind])
 
 
+def _check_token(token: str) -> str:
+    """Reject replacement tokens that themselves match a PII pattern —
+    a token containing e.g. a digit run would be re-matched by a LATER
+    pattern in REDACT_ORDER, silently breaking pii_counts' span
+    exclusivity and making counts diverge from redaction output."""
+    import re
+
+    for kind in REDACT_ORDER:
+        if re.search(PII_PATTERNS[kind], token):
+            raise ValueError(
+                f"replacement token {token!r} matches the {kind!r} PII "
+                "pattern; pick a token with no digits or @-domain shape"
+            )
+    return token
+
+
 def _partially_redacted(col: Column, kind: str, token: str) -> Column:
     """Text with every kind EARLIER than ``kind`` in REDACT_ORDER
     already redacted — the input on which ``kind``'s matches are counted
@@ -66,7 +82,10 @@ def pii_counts(col: Column, token: str = REDACT_TOKEN) -> dict[str, Column]:
     """Span-exclusive per-kind PII counts: each kind is counted on the
     text with all earlier kinds redacted (exactly what redact_pii
     replaces), so one span is never double-counted — e.g. an IPv4's
-    octets can no longer also count as a phone number."""
+    octets can no longer also count as a phone number.  Counts and
+    redact_pii must share the same token; _check_token rejects tokens
+    that would break the exclusivity guarantee."""
+    _check_token(token)
     return {
         kind: regex_count(_partially_redacted(col, kind, token), PII_PATTERNS[kind])
         for kind in REDACT_ORDER
@@ -75,6 +94,7 @@ def pii_counts(col: Column, token: str = REDACT_TOKEN) -> dict[str, Column]:
 
 def redact_pii(col: Column, token: str = REDACT_TOKEN) -> Column:
     """Replace every PII match with ``token``, all kinds, fixed order."""
+    _check_token(token)
     out = col
     for kind in REDACT_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], token)

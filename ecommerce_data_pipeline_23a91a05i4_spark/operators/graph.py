@@ -53,14 +53,17 @@ def connected_components(
     HDFS/S3 path: the loop then uses reliable checkpoint(), whose files
     survive executor loss and let Spark recompute from the last round.
 
-    Lifecycle: setCheckpointDir is SparkContext-global, so the prior
-    value is restored before returning (the operator's setting never
-    leaks into other checkpoint() callers that run afterwards).  Each
-    round's checkpoint files stay under checkpoint_dir until the context
-    is cleaned (spark.cleaner.referenceTracking.cleanCheckpoints=true)
-    or the caller deletes the directory after consuming the result —
-    point it at a job-scoped temp path, the standard discipline for
-    iterative Spark algorithms.
+    Lifecycle: setCheckpointDir is SparkContext-global, so a prior
+    value is restored before returning — also when an iteration raises
+    (try/finally).  One caveat Spark imposes: there is no unset API, so
+    if no checkpoint dir existed before the call, ours remains set after
+    it; later checkpoint() callers then write under our (job-scoped)
+    path instead of crashing, which is the least-surprising leftover.
+    Each round's checkpoint files stay under checkpoint_dir until the
+    context is cleaned (spark.cleaner.referenceTracking.cleanCheckpoints
+    =true) or the caller deletes the directory after consuming the
+    result — point it at a job-scoped temp path, the standard discipline
+    for iterative Spark algorithms.
     """
     spark = edges.sparkSession
     prior_dir = None
@@ -74,57 +77,62 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = snap(sym)
+    def iterate() -> DataFrame:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = snap(sym)
 
-    labels = snap(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
+        labels = snap(
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("component"))
+        )
 
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        stepped = labels.join(
-            nbr_min, labels["node"] == nbr_min["a"], "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("component"),
-        )
-        # Pointer jump: follow my label to ITS label.  A label is always
-        # a node id, so the self-join resolves; this is what turns long
-        # chains from O(diameter) into O(log n) rounds.
-        parent = stepped.select(
-            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
-        )
-        new_labels = (
-            stepped.join(parent, stepped["component"] == parent["pnode"], "left")
-            .select(
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            stepped = labels.join(
+                nbr_min, labels["node"] == nbr_min["a"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("pcomp"), F.col("component")),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-        )
-        new_labels = snap(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if checkpoint_dir is not None and prior_dir is not None:
-        spark.sparkContext.setCheckpointDir(prior_dir)
-    return labels
+            # Pointer jump: follow my label to ITS label.  A label is
+            # always a node id, so the self-join resolves; this is what
+            # turns long chains from O(diameter) into O(log n) rounds.
+            parent = stepped.select(
+                F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+            )
+            new_labels = (
+                stepped.join(parent, stepped["component"] == parent["pnode"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("pcomp"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            new_labels = snap(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    try:
+        return iterate()
+    finally:
+        if checkpoint_dir is not None and prior_dir is not None:
+            spark.sparkContext.setCheckpointDir(prior_dir)

@@ -195,7 +195,13 @@ def s1_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("window_start", "event_type")
+    result = (
+        spark.table(name)
+        .orderBy("window_start", "event_type")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +228,7 @@ def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
+    result = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -230,7 +236,10 @@ def s2_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("n_events"),
         )
         .orderBy("user_id")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
     )
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def s2b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,12 +332,15 @@ def s3_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
+    result = (
         spark.table(name)
         .select("id_a", "id_b", quant(F.col("jaccard"), 6).alias("jaccard"))
         .distinct()
         .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
     )
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,3 +189,19 @@ def test_unigram_fluency_uncapped_unchanged_and_join_tolerates_shuffle(spark):
         assert plan_df.count() == 50  # and it still runs
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pii_token_that_matches_a_pattern_is_rejected(spark):
+    """A replacement token containing a digit run would itself be
+    re-matched by the phone/ipv4 patterns, breaking span exclusivity —
+    both entry points must refuse it loudly."""
+    import pytest
+
+    for bad in ("x 555-1234 y", "1.2.3.4", "a@b.co"):
+        with pytest.raises(ValueError, match="PII"):
+            cu.pii_counts(F.col("text"), token=bad)
+        with pytest.raises(ValueError, match="PII"):
+            cu.redact_pii(F.col("text"), token=bad)
+    # the default and other safe tokens still pass
+    cu.pii_counts(F.col("text"))
+    cu.redact_pii(F.col("text"), token="<redacted>")

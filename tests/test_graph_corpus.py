@@ -83,6 +83,21 @@ def test_cc_reliable_checkpoint_converges(spark, tmp_path):
     assert any(pathlib.Path(ckpt).rglob("*")), "no reliable checkpoint files written"
 
 
+def test_cc_checkpoint_dir_restored_even_on_error(spark, tmp_path):
+    """setCheckpointDir is SparkContext-global; the operator must restore
+    the prior dir via try/finally even when the iteration raises (here:
+    the edge frame lacks the named src column)."""
+    import pytest
+
+    prior = str(tmp_path / "prior_ckpt")
+    spark.sparkContext.setCheckpointDir(prior)
+    bad = spark.createDataFrame([(1, 2)], "x long, dst long")
+    with pytest.raises(Exception):
+        connected_components(bad, checkpoint_dir=str(tmp_path / "job_ckpt"))
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isDefined() and prior in opt.get()
+
+
 def test_cc_edge_direction_irrelevant(spark):
     g1, _ = _components(spark, [(5, 1), (1, 9)])
     g2, _ = _components(spark, [(1, 5), (9, 1)])

@@ -402,3 +402,19 @@ def test_s2b_gate_matches_q16_rollup(spark):
         for r in monitoring.q16_user_sessions(spark, SF).collect()
     }
     assert got == want
+
+
+def test_gate_drains_drop_their_memory_sink_views(spark):
+    """The streaming gates register a uuid-named memory-sink temp view
+    per invocation; each must drop it after materializing the result, or
+    repeated runs in one session accumulate full result sets in memory."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import monitoring as mon
+
+    out = mon.s1_streaming_hourly_events(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0  # result survives the view drop
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("s1_hourly_", "s2_sessions_", "s2b_sessions_", "s3_neardup_"))
+    ]
+    assert leftovers == []
