@@ -163,6 +163,106 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
     return {"sf_dir": sf_dir, "points": points}
 
 
+def run_llm_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> dict:
+    """Incremental-dedup scale probe (the t31 shape): a NEW batch of
+    documents is banded and joined against a PERSISTED corpus LSH index.
+    The claim under test is per-batch cost O(|delta| + candidates),
+    independent of corpus history — so the corpus index is built and
+    written ONCE, and only the delta is replicated 8x/32x.
+
+    Replicated delta docs get remapped ids (id + replica·(max_id+1)) and
+    replica-SALTED shingles (replica 0 keeps the real text): identical
+    replicas would be mutual near-dups and inflate band candidates
+    quadratically with the factor, measuring a different workload.
+    Salting keeps per-replica banding cost identical to 1x while
+    intra-replica delta_delta candidates replicate linearly and replica
+    0 preserves the real delta×corpus candidate structure.  A slowdown
+    near the factor = linear in |delta| (the claim); super-linear growth
+    would mean the index join degrades with batch size."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        raise RuntimeError(
+            f"llm scale probe: documents table at {sf_dir} is empty"
+        )
+    span = max_id + 1
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="bench_llm_probe_")
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def best_of(action, n: int = 3) -> float:
+        action()  # warm
+        return min(
+            (lambda t0: (action(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(n)
+        )
+
+    try:
+        # Persist the corpus state once — the fixed index every batch
+        # joins against (production: bucketed tables maintained by t31).
+        cs_path = os.path.join(tmp, "corpus_shingles.parquet")
+        cb_path = os.path.join(tmp, "corpus_bands.parquet")
+        corpus_sh = dd.shingle_table(corpus, "doc_id", "text", n=2)
+        corpus_sh.repartition(n_files).write.parquet(cs_path)
+        dd.md5_band_table(
+            dd.minhash_md5_signatures(corpus_sh, num_perm=32), num_perm=32, bands=8
+        ).repartition(n_files).write.parquet(cb_path)
+        corpus_shingles = spark.read.parquet(cs_path)
+        corpus_bands = spark.read.parquet(cb_path)
+
+        delta_sh = dd.shingle_table(delta, "doc_id", "text", n=2)
+        base_delta_docs = delta.count()
+        points: dict[str, dict] = {}
+        base_sec = None
+        for fac in (1, *factors):
+            d_path = os.path.join(tmp, f"delta_{fac}x.parquet")
+            rep = delta_sh.withColumn(
+                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+            ).select(
+                (F.col("id") + F.col("_r").cast("long") * span).alias("id"),
+                F.when(F.col("_r") == 0, F.col("shingle"))
+                .otherwise(F.concat_ws("#", F.col("shingle"), F.col("_r")))
+                .alias("shingle"),
+            )
+            rep.repartition(n_files).write.parquet(d_path)
+            delta_fac = spark.read.parquet(d_path)
+
+            def run():
+                return dd.minhash_incremental_pairs(
+                    corpus_bands,
+                    delta_fac,
+                    corpus_shingles,
+                    num_perm=32,
+                    bands=8,
+                    threshold=0.35,
+                ).count()
+
+            pairs = run()
+            best = best_of(run)
+            if fac == 1:
+                base_sec = best
+            points[f"{fac}x"] = {
+                "sec": round(best, 4),
+                "delta_docs": base_delta_docs * fac,
+                "pairs": pairs,
+                "slowdown_vs_1x": round(best / max(base_sec, 1e-9), 2),
+                "docs_per_sec": round(base_delta_docs * fac / best),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -223,6 +323,10 @@ def main() -> None:
         probe = run_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["llm"] = run_llm_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__llm_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
 
     ref10 = set(headline_names(queries))
     fam = {"q1_q10": 0.0, "q_other": 0.0, "t_llmdata": 0.0, "s_streaming": 0.0}
@@ -236,11 +340,17 @@ def main() -> None:
         else:
             fam["q_other"] += sec
 
+    # The curation capstone (t38) composes most round-3 operators in one
+    # chain; surface its wall time by name so a regression in the
+    # COMPOSED path is visible round-over-round, not just per-gate.
+    capstone_sec = timings.get("t38_curation_v2")
+
     out = {
         "metric": "ref_analytics10_total_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "capstone_sec": capstone_sec,
         "family_totals_sec": {k: round(v, 4) for k, v in fam.items()},
         "all_queries_total_sec": round(sum(timings.values()), 4),
         "pipeline_sf_ref_steps_sec": steps,
@@ -268,6 +378,10 @@ def main() -> None:
     for k, v in probe_points.items():
         if k != "1x":
             tail[f"scale_probe_{k}_slowdown"] = v["slowdown_vs_1x"]
+    for k, v in probe.get("llm", {}).get("points", {}).items():
+        if k != "1x":
+            tail[f"scale_probe_llm_{k}_slowdown"] = v["slowdown_vs_1x"]
+    tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 
 
