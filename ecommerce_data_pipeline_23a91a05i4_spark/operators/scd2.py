@@ -161,8 +161,11 @@ def scd2_merge_partitioned(
        whole partitions either old or new, never mixed files).
 
     This is the plain-parquet answer to Delta/Iceberg MERGE; swapping the
-    writer for a transactional format changes step 4 only.  Returns the
-    affected bucket ids (observability + test hook).
+    writer for a transactional format changes step 4 only — and that
+    format exists in-repo: sources/txtable.scd2_merge_tx runs the same
+    pruned merge as a single manifest commit (snapshot isolation, no
+    renames, object-store-safe), the preferred path for new tables.
+    Returns the affected bucket ids (observability + test hook).
 
     Filesystem: step 4 runs through the ``fs`` verbs (sources/fs.py) —
     POSIX for bare local paths, the JVM Hadoop ``FileSystem`` for any

@@ -15,10 +15,10 @@ delete / glob — and nothing else.  Two implementations:
   is first renamed to a dot-prefixed ``.…old`` marker (invisible to
   Spark's file listing at any intermediate state), and every merge run
   first rolls back or clears leftover markers, so a crashed swap is
-  always retried from a consistent wholly-old/wholly-new state.  A
-  transactional table format (Delta/Iceberg) would replace the swap with
-  a metadata commit; this module is the seam where such a writer plugs
-  in without touching the merge logic.
+  always retried from a consistent wholly-old/wholly-new state.  The
+  transactional upgrade exists: sources/txtable.py replaces the swap
+  with a manifest-log metadata commit (single create-if-absent file —
+  no renames at all), which is the preferred path on object stores.
 
 No reference-repo counterpart: the reference loads PostgreSQL tables and
 gets atomicity from the database (scripts/transformation/
@@ -49,7 +49,11 @@ class PosixFS:
         Path(src).replace(dst)
 
     def delete(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        p = Path(path)
+        if p.is_file() or p.is_symlink():
+            p.unlink(missing_ok=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
 
     def glob(self, directory: str, pattern: str) -> list[str]:
         d = Path(directory)
@@ -76,6 +80,26 @@ class PosixFS:
 
     def read_text(self, path: str) -> str:
         return Path(path).read_text()
+
+    def commit_file(self, src: str, dst: str) -> None:
+        """Atomically move ``src`` to ``dst`` ONLY if ``dst`` does not
+        exist — the optimistic-concurrency commit verb of the manifest
+        log (sources/txtable.py).  hard-link(2) is atomic and fails with
+        EEXIST when another writer won the race."""
+        import os
+
+        os.link(str(src), str(dst))  # raises FileExistsError on conflict
+        os.unlink(str(src))
+
+    def list_data_files(self, path: str) -> list[str]:
+        """Relative POSIX-style paths of every parquet data file under
+        ``path`` (hidden/metadata files skipped)."""
+        root = Path(path)
+        return sorted(
+            p.relative_to(root).as_posix()
+            for p in root.rglob("*.parquet")
+            if not p.name.startswith((".", "_"))
+        )
 
 
 class HadoopFS:
@@ -160,7 +184,10 @@ class HadoopFS:
             out.close()
 
     def read_text(self, path: str) -> str:
-        inp = self._fs(path).open(self._jpath(path))
+        fs = self._fs(path)
+        if not fs.exists(self._jpath(path)):
+            raise FileNotFoundError(path)  # parity with the POSIX verb
+        inp = fs.open(self._jpath(path))
         try:
             return str(
                 self._jvm.org.apache.commons.io.IOUtils.toString(
@@ -169,6 +196,32 @@ class HadoopFS:
             )
         finally:
             inp.close()
+
+    def commit_file(self, src: str, dst: str) -> None:
+        """Optimistic-concurrency commit: plain ``FileSystem.rename``
+        refuses an existing destination, which is exactly the
+        create-if-absent semantics the manifest log needs (atomic on
+        HDFS; object stores honor it best-effort, same caveat as their
+        own log-based committers)."""
+        ok = self._fs(src).rename(self._jpath(src), self._jpath(dst))
+        if not ok:
+            raise FileExistsError(f"commit conflict or rename failure: {dst}")
+
+    def list_data_files(self, path: str) -> list[str]:
+        fs = self._fs(path)
+        base = self._jpath(path)
+        if not fs.exists(base):
+            return []
+        base_str = str(fs.makeQualified(base).toUri().getPath()).rstrip("/")
+        it = fs.listFiles(base, True)
+        out = []
+        while it.hasNext():
+            status = it.next()
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                full = str(status.getPath().toUri().getPath())
+                out.append(full[len(base_str) + 1 :])
+        return sorted(out)
 
 
 def filesystem_for(spark, path: str):

@@ -93,7 +93,8 @@ def publish_tables(
     observe table A from the new load with table B from the old one.
     This primitive restores cross-table atomicity with the standard
     lakehouse snapshot pattern (the minimal form of what Delta/Iceberg
-    commit logs do):
+    commit logs do; for a SINGLE table with versioned history, appends,
+    and MERGE, sources/txtable.py is the full manifest-log format):
 
     1. every table is written under ``root/v-<uuid>/<name>`` (a staging
        version directory readers never resolve on their own),

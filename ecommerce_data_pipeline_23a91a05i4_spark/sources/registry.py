@@ -42,6 +42,14 @@ def read(
         return reader.options(**options).csv(path)
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
+    if fmt == "txtable":
+        # transactional manifest-log table (sources/txtable.py): reads
+        # resolve the latest committed snapshot; version=N time-travels
+        from .txtable import TxTable
+
+        return TxTable(spark, path).snapshot(
+            version=options.pop("version", None)
+        )
     if fmt == "json":
         reader = spark.read
         if schema is not None:
@@ -177,5 +185,23 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options
         return
     if fmt == "json":
         df.write.mode(mode).options(**options).json(path)
+        return
+    if fmt == "txtable":
+        # transactional manifest-log sink: "overwrite" commits a new
+        # snapshot (creating the table on first write), "append" adds
+        # files under optimistic concurrency — both are single atomic
+        # manifest commits, crash-safe on object stores
+        from .txtable import TxTable
+
+        t = TxTable(df.sparkSession, path)
+        partition_by = options.pop("partitionBy", None)
+        if t.latest_version() is None:
+            t.init(df, partition_by=partition_by)
+        elif mode == "append":
+            t.append(df)
+        elif mode == "overwrite":
+            t.overwrite(df, partition_by=partition_by)
+        else:
+            raise ValueError(f"txtable sink: unsupported mode {mode!r}")
         return
     raise KeyError(f"unknown sink format {fmt!r}")

@@ -1,0 +1,379 @@
+"""Minimal transactional parquet table: a manifest-log format giving
+snapshot isolation, atomic multi-partition MERGE, and time travel over
+plain parquet files — no external table-format dependency.
+
+This is the engine's answer to VERDICT r3 task 8 (Delta/Iceberg writer):
+no Delta/Iceberg jars exist in this environment and nothing may be
+installed, so the same public design those formats use is implemented
+directly — an append-only numbered manifest log whose latest entry IS
+the table state (the pattern of Delta's ``_delta_log`` / Iceberg's
+snapshot metadata, as described in the published Delta Lake VLDB'20
+paper; no code from either project is used):
+
+```
+table_root/
+  _txlog/00000000000000000001.json   <- snapshot manifests, monotonically
+         00000000000000000002.json      numbered; each lists every live
+                                        data file (path relative to root)
+  data/c-<uuid>/...parquet            <- immutable data files; each writer
+                                        stages under its own commit dir
+```
+
+Why this beats the stage-then-swap publish at 100 TB on object stores:
+
+- **Commit = one create-if-absent of a small JSON file** (the
+  ``commit_file`` verb in sources/fs.py: POSIX hard-link, Hadoop
+  no-overwrite rename).  No directory renames at all — the operation
+  object stores cannot do atomically simply never happens.
+- **Snapshot isolation & time travel**: data files are immutable and
+  never renamed or deleted by a commit, so an in-flight reader of
+  version N is undisturbed by the commit of N+1, and any retained
+  version can be re-read (``snapshot(version=...)``).
+- **Optimistic concurrency**: two writers racing to commit version N+1
+  — exactly one create-if-absent wins; the loser re-reads the new state
+  and retries (blind appends retry automatically; merges recompute).
+- **Crash safety for free**: a writer that dies after staging data but
+  before committing leaves an unreferenced commit dir — the table is
+  unchanged; ``vacuum`` later removes the garbage.
+
+Scale notes: manifests list file paths, so a manifest is O(n_files) —
+the same property Delta has before checkpointing; ``compact``
+(re-cluster to fewer files) keeps it bounded, and the SCD2 merge reuses
+unaffected files BY REFERENCE, so a small CDC batch commits a manifest
+that differs from its parent in only the affected buckets' entries.
+
+Reference parity: the reference gets atomicity from Postgres
+transactions (scripts/ingestion/ingest_to_staging.py autocommit=False);
+an engine that owns its files must supply the equivalent — SURVEY §2.12
+X6.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .fs import filesystem_for
+
+LOG_DIR = "_txlog"
+DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+def _manifest_name(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+class TxTable:
+    """Handle on one manifest-log table rooted at ``path``.
+
+    All filesystem access goes through the sources/fs.py verbs, so the
+    identical code runs on local disk (tests) and hdfs:// / s3a://
+    (deployment) — tests exercise both implementations.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, fs=None) -> None:
+        self.spark = spark
+        self.path = str(path).rstrip("/")
+        self.fs = fs if fs is not None else filesystem_for(spark, self.path)
+
+    # ------------------------------------------------------------- log
+    @property
+    def _log(self) -> str:
+        return posixpath.join(self.path, LOG_DIR)
+
+    def versions(self) -> list[int]:
+        out = []
+        for p in self.fs.glob(self._log, "*.json"):
+            stem = posixpath.basename(p)[: -len(".json")]
+            if stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return json.loads(
+            self.fs.read_text(posixpath.join(self._log, _manifest_name(version)))
+        )
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": v,
+                "op": (m := self.manifest(v))["op"],
+                "n_files": len(m["files"]),
+            }
+            for v in self.versions()
+        ]
+
+    # ----------------------------------------------------------- reads
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest).  Partitioned
+        tables re-inject the partition column from the manifest's
+        per-file value (files are grouped by value — bounded by the
+        partition cardinality, e.g. n_buckets)."""
+        m = self.manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        pcol = m.get("partition_by")
+        entries = m["files"]
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        if pcol is None:
+            paths = [posixpath.join(self.path, e["path"]) for e in entries]
+            return self.spark.read.schema(schema).parquet(*paths)
+        ptype = schema[pcol].dataType
+        data_schema = StructType([f for f in schema.fields if f.name != pcol])
+        by_val: dict[str, list[str]] = {}
+        for e in entries:
+            by_val.setdefault(e["part"], []).append(
+                posixpath.join(self.path, e["path"])
+            )
+        parts = [
+            self.spark.read.schema(data_schema)
+            .parquet(*paths)
+            .withColumn(pcol, F.lit(val).cast(ptype))
+            for val, paths in sorted(by_val.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.select([f.name for f in schema.fields])
+
+    # ---------------------------------------------------------- writes
+    def _stage(self, df: DataFrame, partition_by: str | None) -> list[dict]:
+        """Write ``df``'s files under a fresh commit dir (never visible
+        until a manifest references them); return their file entries."""
+        commit_dir = posixpath.join(self.path, DATA_DIR, f"c-{uuid.uuid4().hex}")
+        writer = df.write.mode("errorifexists")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(commit_dir)
+        rel_commit = posixpath.relpath(commit_dir, self.path)
+        entries = []
+        for rel in self.fs.list_data_files(commit_dir):
+            part = None
+            if partition_by is not None:
+                head = rel.split("/", 1)[0]
+                if "=" in head:
+                    part = head.split("=", 1)[1]
+            entries.append(
+                {"path": posixpath.join(rel_commit, rel), "part": part}
+            )
+        return entries
+
+    def _try_commit(self, manifest: dict, version: int) -> None:
+        self.fs.mkdirs(self._log)
+        tmp = posixpath.join(self._log, f".m-{uuid.uuid4().hex}.json")
+        self.fs.write_text(tmp, json.dumps(manifest))
+        try:
+            self.fs.commit_file(
+                tmp, posixpath.join(self._log, _manifest_name(version))
+            )
+        except FileExistsError as e:
+            self.fs.delete(tmp)
+            raise CommitConflict(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from e
+
+    def _commit(
+        self,
+        entries: list[dict],
+        op: str,
+        base_version: int | None,
+        schema: StructType,
+        partition_by: str | None,
+    ) -> int:
+        version = (base_version or 0) + 1
+        self._try_commit(
+            {
+                "version": version,
+                "parent": base_version,
+                "op": op,
+                "schema": json.dumps(schema.jsonValue()),
+                "partition_by": partition_by,
+                "files": entries,
+            },
+            version,
+        )
+        return version
+
+    def init(self, df: DataFrame, partition_by: str | None = None) -> int:
+        """Create the table (version 1); fails if a log already exists."""
+        if self.latest_version() is not None:
+            raise FileExistsError(f"table already initialized: {self.path}")
+        return self._commit(
+            self._stage(df, partition_by), "init", None, df.schema, partition_by
+        )
+
+    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Blind append: stage once, then race to commit; on conflict the
+        new base's file list is re-read and the SAME staged files are
+        re-proposed — appends never invalidate each other."""
+        base = self.manifest()
+        pcol = base.get("partition_by")
+        staged = self._stage(df, pcol)
+        for _ in range(max_retries):
+            base = self.manifest()
+            try:
+                return self._commit(
+                    base["files"] + staged,
+                    "append",
+                    base["version"],
+                    StructType.fromJson(json.loads(base["schema"])),
+                    base.get("partition_by"),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append to {self.path} lost {max_retries} commit races"
+        )
+
+    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
+        """Full truncate-and-replace as ONE commit: readers see the old
+        snapshot until the manifest lands, then the new — never empty."""
+        base = self.manifest()
+        return self._commit(
+            self._stage(df, partition_by),
+            "overwrite",
+            base["version"],
+            df.schema,
+            partition_by,
+        )
+
+    def compact(self, n_files: int) -> int:
+        """Rewrite the current snapshot into ``n_files`` files (the
+        manifest-log replacement for maintenance.compact_parquet: old
+        files stay for time travel until vacuumed)."""
+        m = self.manifest()
+        df = self.snapshot().repartition(n_files)
+        return self._commit(
+            self._stage(df, m.get("partition_by")),
+            "compact",
+            m["version"],
+            StructType.fromJson(json.loads(m["schema"])),
+            m.get("partition_by"),
+        )
+
+    # ------------------------------------------------------ maintenance
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the ``keep_versions`` most
+        recent manifests, and drop the older manifests.  Also collects
+        commit dirs orphaned by a pre-commit crash.  Returns the deleted
+        commit dirs (observability)."""
+        vs = self.versions()
+        keep = vs[-max(1, keep_versions):]
+        live: set[str] = set()
+        for v in keep:
+            for e in self.manifest(v)["files"]:
+                live.add(e["path"].split("/", 2)[1])  # the c-<uuid> dir
+        removed = []
+        data_root = posixpath.join(self.path, DATA_DIR)
+        for d in self.fs.glob(data_root, "c-*"):
+            if posixpath.basename(d) not in live:
+                self.fs.delete(d)
+                removed.append(d)
+        for v in vs[: -max(1, keep_versions)]:
+            self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
+        return removed
+
+
+# ------------------------------------------------- transactional SCD2 merge
+
+def scd2_merge_tx(
+    table: TxTable,
+    updates: DataFrame,
+    business_key: str,
+    tracked: list[str],
+    run_date: str,
+    n_buckets: int,
+    max_retries: int = 3,
+) -> list[int]:
+    """SCD2 MERGE as a manifest commit — the transactional upgrade of
+    operators/scd2.scd2_merge_partitioned, same pruning contract:
+
+    - the affected buckets are computed from the update batch alone;
+    - ONLY those buckets' files are read and rewritten;
+    - every unaffected file is carried into the child manifest BY
+      REFERENCE — not read, not rewritten, not renamed, byte-untouched
+      (a strictly stronger guarantee than the swap path's, which at
+      least had to rename directories);
+    - the commit is a single create-if-absent manifest write, so a crash
+      at ANY point leaves the parent snapshot fully live (no roll-back
+      protocol needed at all), and concurrent merges of disjoint batches
+      serialize through commit conflicts + recompute.
+
+    The table must have been created with
+    ``TxTable.init(df.withColumn(SCD2_BUCKET_COL, scd2_bucket(...)),
+    partition_by=SCD2_BUCKET_COL)``.  Returns the affected bucket ids.
+    """
+    from ..operators.scd2 import SCD2_BUCKET_COL, scd2_bucket, scd2_merge
+
+    upd_buckets = updates.select(
+        scd2_bucket(F.col(business_key), n_buckets).alias("b")
+    ).distinct()
+    affected = sorted(r.b for r in upd_buckets.collect())
+    if not affected:
+        return []
+    affected_parts = {str(b) for b in affected}
+
+    for _ in range(max_retries):
+        m = table.manifest()
+        if m.get("partition_by") != SCD2_BUCKET_COL:
+            raise ValueError(
+                f"scd2_merge_tx needs a table partitioned by {SCD2_BUCKET_COL!r}"
+            )
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        data_schema = StructType(
+            [f for f in schema.fields if f.name != SCD2_BUCKET_COL]
+        )
+        hit = [e for e in m["files"] if e["part"] in affected_parts]
+        carry = [e for e in m["files"] if e["part"] not in affected_parts]
+        if hit:
+            current = table.spark.read.schema(data_schema).parquet(
+                *[posixpath.join(table.path, e["path"]) for e in hit]
+            )
+        else:  # all-new buckets: merge against an empty current slice
+            current = table.spark.createDataFrame([], data_schema)
+        merged = scd2_merge(
+            current, updates, business_key, tracked, run_date
+        ).withColumn(
+            SCD2_BUCKET_COL, scd2_bucket(F.col(business_key), n_buckets)
+        )
+        staged = table._stage(merged, SCD2_BUCKET_COL)
+        staged_parts = {e["part"] for e in staged}
+        # an affected bucket holds >=1 update key and scd2_merge never
+        # drops rows — enforce the invariant the swap path also checks
+        missing = affected_parts - staged_parts
+        if missing:
+            raise RuntimeError(
+                f"scd2_merge_tx: staged output missing buckets {sorted(missing)}"
+            )
+        try:
+            table._commit(
+                carry + staged,
+                f"scd2_merge:{run_date}",
+                m["version"],
+                schema,
+                SCD2_BUCKET_COL,
+            )
+            return affected
+        except CommitConflict:
+            continue  # re-read the new snapshot and re-merge
+    raise CommitConflict(
+        f"scd2_merge_tx on {table.path} lost {max_retries} commit races"
+    )

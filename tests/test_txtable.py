@@ -1,0 +1,247 @@
+"""Transactional manifest-log table (sources/txtable.py): snapshot
+isolation, optimistic-concurrency commits, time travel, vacuum, and the
+SCD2 MERGE-as-commit path — run under BOTH filesystem implementations
+(POSIX and the JVM Hadoop FileSystem over the same local directory), so
+the object-store code path is exercised, not just documented."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+    CommitConflict,
+    TxTable,
+    scd2_merge_tx,
+)
+
+
+def _make_fs(spark, kind):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.fs import (
+        HadoopFS,
+        PosixFS,
+    )
+
+    return PosixFS() if kind == "posix" else HadoopFS(spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_init_append_overwrite_and_time_travel(spark, tmp_path, fs_kind):
+    t = TxTable(spark, str(tmp_path / "t"), fs=_make_fs(spark, fs_kind))
+    v1 = t.init(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    v3 = t.overwrite(_df(spark, [(9, "z")]))
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert {r.k for r in t.snapshot().collect()} == {9}
+    assert {r.k for r in t.snapshot(version=2).collect()} == {1, 2, 3}
+    assert {r.k for r in t.snapshot(version=1).collect()} == {1, 2}
+    assert [h["op"] for h in t.history()] == ["init", "append", "overwrite"]
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_commit_is_create_if_absent_and_append_retries(
+    spark, tmp_path, fs_kind
+):
+    """Two handles racing to the same next version: the raw commit of
+    the loser must raise CommitConflict, while append() (a blind add)
+    retries against the new base and BOTH rows survive."""
+    path = str(tmp_path / "t")
+    a = TxTable(spark, path, fs=_make_fs(spark, fs_kind))
+    b = TxTable(spark, path, fs=_make_fs(spark, fs_kind))
+    a.init(_df(spark, [(1, "a")]))
+
+    # stage b's data first, then let a commit version 2 out from under it
+    base = b.manifest()
+    staged_b = b._stage(_df(spark, [(3, "c")]), None)
+    a.append(_df(spark, [(2, "b")]))
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    with pytest.raises(CommitConflict):
+        b._commit(
+            base["files"] + staged_b,
+            "append",
+            base["version"],
+            StructType.fromJson(_json.loads(base["schema"])),
+            None,
+        )
+    # the public append() path rides out the same race
+    b.append(_df(spark, [(4, "d")]))
+    assert {r.k for r in a.snapshot().collect()} == {1, 2, 4}
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_crash_before_commit_leaves_table_unchanged_and_vacuum_collects(
+    spark, tmp_path, fs_kind
+):
+    t = TxTable(spark, str(tmp_path / "t"), fs=_make_fs(spark, fs_kind))
+    t.init(_df(spark, [(1, "a")]))
+    # simulate a writer dying after staging but before committing
+    t._stage(_df(spark, [(99, "zz")]), None)
+    assert {r.k for r in t.snapshot().collect()} == {1}
+    t.append(_df(spark, [(2, "b")]))
+    removed = t.vacuum(keep_versions=1)
+    # v1's file is still referenced by v2 (append carries it forward),
+    # so vacuum collects exactly the orphaned commit dir
+    assert len(removed) == 1
+    assert {r.k for r in t.snapshot().collect()} == {1, 2}
+    # version 1's manifest was pruned by retention
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+
+
+def test_vacuum_drops_overwritten_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 1  # version 1's commit dir is unreferenced
+    assert {r.k for r in t.snapshot().collect()} == {2}
+
+
+def test_registry_txtable_roundtrip(spark, tmp_path):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import registry
+
+    path = str(tmp_path / "t")
+    registry.write(_df(spark, [(1, "a")]), "txtable", path)
+    registry.write(_df(spark, [(2, "b")]), "txtable", path, mode="append")
+    got = registry.read(spark, "txtable", path)
+    assert {r.k for r in got.collect()} == {1, 2}
+    old = registry.read(spark, "txtable", path, version=1)
+    assert {r.k for r in old.collect()} == {1}
+
+
+def _dim(spark, n=60):
+    rows = [
+        (i, f"name{i}", f"city{i % 7}", dt.date(2024, 1, 1), None, True)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "customer_id long, name string, city string, "
+        "effective_date date, end_date date, is_current boolean",
+    )
+
+
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_scd2_merge_tx_matches_full_merge_and_carries_files_untouched(
+    spark, tmp_path, fs_kind
+):
+    """The transactional SCD2 path must (a) equal the plain scd2_merge
+    answer, (b) report only buckets holding updated keys, (c) carry every
+    unaffected file into the child manifest by reference — same path,
+    same bytes, same mtime — and (d) keep the parent snapshot readable
+    (time travel), which the swap path never offered."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.scd2 import (
+        SCD2_BUCKET_COL,
+        scd2_bucket,
+        scd2_merge,
+    )
+
+    n_buckets = 8
+    dim = _dim(spark)
+    t = TxTable(spark, str(tmp_path / "dim"), fs=_make_fs(spark, fs_kind))
+    t.init(
+        dim.withColumn(
+            SCD2_BUCKET_COL, scd2_bucket(F.col("customer_id"), n_buckets)
+        ),
+        partition_by=SCD2_BUCKET_COL,
+    )
+    updates = spark.createDataFrame(
+        [(3, "name3", "MOVED"), (41, "name41", "MOVED"), (999, "new", "x")],
+        "customer_id long, name string, city string",
+    )
+
+    before = {e["path"]: None for e in t.manifest()["files"]}
+    stats_before = {
+        p: (os.path.getsize(tmp_path / "dim" / p), os.path.getmtime(tmp_path / "dim" / p))
+        for p in before
+    }
+
+    affected = scd2_merge_tx(
+        t, updates, "customer_id", ["name", "city"], "2024-06-01", n_buckets
+    )
+    want_buckets = sorted(
+        {
+            r.b
+            for r in updates.select(
+                scd2_bucket(F.col("customer_id"), n_buckets).alias("b")
+            ).collect()
+        }
+    )
+    assert affected == want_buckets
+
+    # (a) value parity with the in-memory merge
+    got = t.snapshot().drop(SCD2_BUCKET_COL)
+    want = scd2_merge(
+        dim, updates, "customer_id", ["name", "city"], "2024-06-01"
+    )
+    key = lambda r: (r["customer_id"], str(r["effective_date"]), r["is_current"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # (c) unaffected files: same entries in the child manifest, untouched on disk
+    child = t.manifest()
+    affected_parts = {str(b) for b in affected}
+    carried = [e["path"] for e in child["files"] if e["part"] not in affected_parts]
+    assert set(carried) == {
+        e["path"]
+        for e in t.manifest(1)["files"]
+        if e["part"] not in affected_parts
+    }
+    for p in carried:
+        f = tmp_path / "dim" / p
+        assert (os.path.getsize(f), os.path.getmtime(f)) == stats_before[p]
+
+    # (d) the parent snapshot is still exactly the initial dimension
+    v1 = t.snapshot(version=1).drop(SCD2_BUCKET_COL)
+    assert sorted(map(key, v1.collect())) == sorted(map(key, dim.collect()))
+
+
+def test_scd2_merge_tx_is_idempotent(spark, tmp_path):
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.scd2 import (
+        SCD2_BUCKET_COL,
+        scd2_bucket,
+    )
+
+    t = TxTable(spark, str(tmp_path / "dim"))
+    t.init(
+        _dim(spark, 20).withColumn(
+            SCD2_BUCKET_COL, scd2_bucket(F.col("customer_id"), 4)
+        ),
+        partition_by=SCD2_BUCKET_COL,
+    )
+    updates = spark.createDataFrame(
+        [(3, "name3", "MOVED")], "customer_id long, name string, city string"
+    )
+    scd2_merge_tx(t, updates, "customer_id", ["name", "city"], "2024-06-01", 4)
+    first = sorted(
+        (r.customer_id, str(r.effective_date), r.is_current)
+        for r in t.snapshot().collect()
+    )
+    # same batch again: change detection sees no diff, still commits a
+    # no-op version whose VALUES are identical
+    scd2_merge_tx(t, updates, "customer_id", ["name", "city"], "2024-07-01", 4)
+    second = sorted(
+        (r.customer_id, str(r.effective_date), r.is_current)
+        for r in t.snapshot().collect()
+    )
+    assert first == second
+
+
+def test_partitioned_snapshot_reinjects_partition_column(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "k long, v string, p int"
+    )
+    t.init(df, partition_by="p")
+    got = {(r.k, r.p) for r in t.snapshot().collect()}
+    assert got == {(1, 0), (2, 1), (3, 0)}
+    assert dict(t.snapshot().dtypes)["p"] == "int"
