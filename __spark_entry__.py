@@ -108,6 +108,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t19_winnow_portable": extras.t19_winnow_portable,
         # -- (b) new in round 4 — zero driver rows ----------------------
         "s2b_session_window": monitoring.s2b_session_window,
+        "t41_segment_dedup": llmdata.t41_segment_dedup,
+        "t42_quality_classifier": llmdata.t42_quality_classifier,
+        "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,

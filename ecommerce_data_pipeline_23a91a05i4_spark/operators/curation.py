@@ -271,3 +271,60 @@ def contamination_stats(
             / F.col("n_shingles")
         ).alias("contamination_ratio"),
     )
+
+
+# ------------------------------------- hashed-feature quality classifier
+
+CLS_BUCKETS = 1024       # feature-hashing dimensionality
+CLS_WEIGHT_SPAN = 1000   # integer weights in [-span, +span]
+
+
+def hashed_bucket(token: Column) -> Column:
+    """Feature-hashing trick: token -> bucket id via the engine-portable
+    md5-prefix hash (operators/dedup.md5_hash32) mod CLS_BUCKETS."""
+    from .dedup import md5_hash32
+
+    return md5_hash32(token) % F.lit(CLS_BUCKETS)
+
+
+def bucket_weight(bucket: Column) -> Column:
+    """Deterministic integer weight for one feature bucket, derived by
+    hashing the bucket id — a STAND-IN weight table with the exact
+    runtime shape of a trained linear model (fastText-style quality
+    classifiers as used in public CCNet/GPT-3 data recipes): real
+    deployments swap this expression for a broadcast (bucket, weight)
+    table learned offline; every plan property measured here (pure
+    column arithmetic, no shuffle, no Python) is unchanged by that swap.
+    Integer weights keep the score exact cross-engine."""
+    from .dedup import md5_hash32
+
+    return (
+        md5_hash32(F.concat(F.lit("w:"), bucket.cast("string")))
+        % F.lit(2 * CLS_WEIGHT_SPAN + 1)
+    ) - F.lit(CLS_WEIGHT_SPAN)
+
+
+def classifier_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Linear text classifier over hashed unigram features:
+    (id, n_tokens, score, keep) with score = sum of bucket weights and
+    keep = score > 0 (the sign of the margin — thresholding mirrors the
+    perplexity/quality cutoffs of production filters).
+
+    The whole scorer is ONE higher-order fold over the token array —
+    per-row compute inside whole-stage codegen, zero shuffles, zero
+    Python; at 100 TB this runs at scan speed, which is exactly why the
+    hashing trick (not a vocabulary join) is the right scorer shape."""
+    toks = tokens(F.col(text_col))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + bucket_weight(hashed_bucket(t)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

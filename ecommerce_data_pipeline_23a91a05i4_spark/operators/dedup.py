@@ -689,3 +689,155 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+# ----------------------------------------- segment-level cross-doc dedup
+
+SEGMENT_TOKENS = 16
+
+
+def segment_table(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = SEGMENT_TOKENS
+) -> DataFrame:
+    """(id, seg_id, segment): non-overlapping ``seg_tokens``-token
+    segments per document — the unit of RefinedWeb/CCNet-style partial
+    dedup, where boilerplate REGIONS repeated across documents are
+    removed while the unique remainder survives.  (Real web corpora
+    segment on newlines; the synthetic corpus has none, so fixed token
+    windows play the role of lines — the relational shape downstream is
+    identical.)  Pure per-row plan arithmetic: higher-order slice +
+    posexplode, no shuffle, no Python."""
+    toks = tokens(F.col(text_col))
+    ns = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_id", "segment")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = SEGMENT_TOKENS,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level segment dedup: a segment whose exact hash occurs in
+    more than ``max_docs`` DISTINCT documents is boilerplate — drop it
+    from every document and reassemble the remainder.
+
+    Returns (id, n_segments, n_dropped, clean_md5) where clean_md5
+    hashes the surviving segments re-joined in order (empty string when
+    every segment was boilerplate), so one wrongly kept/dropped segment
+    fails the gate hash.
+
+    Scale: one shuffle keyed on the segment digest for the document-
+    frequency count, a join of segments against the (small — only
+    repeated segments survive the HAVING) boilerplate set that AQE can
+    broadcast, then one shuffle on id for the reassembly — never a
+    pairwise document compare.  At 100 TB the boilerplate table is the
+    interesting knob: its size is bounded by the number of DISTINCT
+    repeated segments, orders of magnitude below corpus segments.
+    """
+    segs = segment_table(df, id_col, text_col, seg_tokens)
+    hashed = segs.withColumn("seg_md5", F.md5(F.col("segment")))
+    boiler = (
+        hashed.groupBy("seg_md5")
+        .agg(F.count_distinct("id").alias("df_docs"))
+        .filter(F.col("df_docs") > max_docs)
+        .select("seg_md5")
+    )
+    marked = hashed.join(
+        boiler.withColumn("_drop", F.lit(True)), "seg_md5", "left"
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_drop").isNull(),
+                                    F.struct("seg_id", "segment"),
+                                )
+                            )
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .withColumn("n_segments", F.col("n_segments").cast("long"))
+    )
+
+
+# -------------------------------------------------- Bloom membership filter
+
+BLOOM_BITS = 1 << 18  # m: filter size in bits (config constant)
+BLOOM_HASHES = 4      # k: probes per key
+
+
+def bloom_bits(fingerprint: Column) -> Column:
+    """The ``BLOOM_HASHES`` bit positions of one content fingerprint:
+    independent 32-bit slices of its md5, each mod m — the standard
+    partitioned-Bloom construction, engine-portable (DuckDB replays the
+    same substring/conv arithmetic)."""
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(fingerprint), 1 + 8 * j, 8), 16, 10)
+            .cast("long")
+            % F.lit(BLOOM_BITS)
+            for j in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_bit_table(df: DataFrame, text_col: str) -> DataFrame:
+    """The corpus's Bloom filter as a relation: the DISTINCT set bits
+    over every document's normalized-content fingerprint.  At most m
+    rows by construction — bounded by the CONFIGURED filter size, never
+    by corpus size, so it broadcasts no matter how many documents set
+    the bits (the relational twin of a 32 KiB bitmap at these
+    constants).  Persist it (parquet/txtable) and a later ingest batch
+    screens against it without touching corpus data."""
+    return (
+        df.select(F.explode(bloom_bits(norm_text(F.col(text_col)))).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_screen(
+    delta: DataFrame, id_col: str, text_col: str, bits: DataFrame
+) -> DataFrame:
+    """Membership-screen a new batch against a corpus Bloom relation:
+    (id, n_hits, maybe_dup) — maybe_dup iff ALL k probed bits are set
+    (the Bloom 'possibly present' verdict; false positives possible at
+    the configured m/k/n rate, false negatives impossible, the property
+    the t43 gate proves against exact membership).
+
+    Scale: per-delta cost is k probes joined against the broadcast bit
+    relation — the cheap first stage in front of exact/MinHash dedup,
+    filtering the (typical) mostly-novel batch down to probable dups
+    before any heavy comparison."""
+    probes = delta.select(
+        F.col(id_col).alias("id"),
+        F.explode(bloom_bits(norm_text(F.col(text_col)))).alias("bit"),
+    )
+    hits = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(True))), "bit", "left"
+    )
+    return (
+        hits.groupBy("id")
+        .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).cast("long").alias("n_hits"))
+        .withColumn("maybe_dup", F.col("n_hits") == F.lit(BLOOM_HASHES))
+    )

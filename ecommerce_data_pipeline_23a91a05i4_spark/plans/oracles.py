@@ -929,6 +929,102 @@ LLMDATA_ORACLES["t34_decontamination"] = f"""
 """
 
 
+LLMDATA_ORACLES["t41_segment_dedup"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, (len(l) + 15) // 16),
+                      i -> {{'sid': i,
+                            'seg': array_to_string(l[i*16+1 : i*16+16], ' ')}}))
+                   AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id, CAST(s.sid AS BIGINT) AS sid, s.seg AS seg,
+               md5(s.seg) AS m
+        FROM segs
+    ),
+    boiler AS (
+        SELECT m FROM h GROUP BY m HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN m IN (SELECT m FROM boiler)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(array_to_string(
+               list(seg ORDER BY sid)
+                   FILTER (WHERE m NOT IN (SELECT m FROM boiler)),
+               ' '), '')) AS clean_md5
+    FROM h
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+# md5-prefix 32-bit hash (operators/dedup.md5_hash32) in DuckDB syntax
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+LLMDATA_ORACLES["t42_quality_classifier"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    t AS (
+        SELECT doc_id, len(l) AS n_tokens, unnest(l) AS w FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               ANY_VALUE(n_tokens) AS n_tokens,
+               SUM((('0x' || substr(md5('w:' || CAST(
+                        {_H32.format(x='w')} % 1024 AS VARCHAR)), 1, 8))::BIGINT
+                    % 2001) - 1000) AS score
+        FROM t GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score AS BIGINT) AS score,
+           score > 0 AS keep
+    FROM scored
+    ORDER BY doc_id
+"""
+
+LLMDATA_ORACLES["t43_bloom_prefilter"] = f"""
+    WITH cf AS (
+        SELECT md5({NORM}) AS h FROM documents WHERE doc_id % 5 != 0
+    ),
+    bits AS (
+        SELECT DISTINCT
+               unnest(list_transform(range(0, 4),
+                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % 262144))
+                   AS bit
+        FROM cf
+    ),
+    dp AS (
+        SELECT doc_id, md5({NORM}) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    probes AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % 262144))
+                   AS bit
+        FROM dp
+    ),
+    hits AS (
+        SELECT p.doc_id,
+               CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+        FROM probes p LEFT JOIN bits b USING (bit)
+        GROUP BY p.doc_id
+    )
+    SELECT h.doc_id,
+           h.n_hits,
+           h.n_hits = 4 AS maybe_dup,
+           d.h IN (SELECT DISTINCT h FROM cf) AS exact_dup
+    FROM hits h JOIN dp d USING (doc_id)
+    ORDER BY h.doc_id
+"""
+
+
 # ------------------------------------------------------------ extra oracles
 
 EXTRAS_ORACLES: dict[str, str] = {

@@ -205,3 +205,25 @@ def test_pii_token_that_matches_a_pattern_is_rejected(spark):
     # the default and other safe tokens still pass
     cu.pii_counts(F.col("text"))
     cu.redact_pii(F.col("text"), token="<redacted>")
+
+
+def test_classifier_score_matches_reference_arithmetic(spark):
+    """The hashed-feature linear score recomputed with hashlib: bucket =
+    md5-prefix-32(token) % 1024, weight = (md5-prefix-32('w:'+bucket) %
+    2001) - 1000, score = sum — the Spark fold must agree exactly."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    text = "the quick brown fox jumps over the lazy dog"
+    want = sum(
+        (h32(f"w:{h32(w) % cu.CLS_BUCKETS}") % (2 * cu.CLS_WEIGHT_SPAN + 1))
+        - cu.CLS_WEIGHT_SPAN
+        for w in text.split()
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = cu.classifier_scores(df, "doc_id", "text").collect()[0]
+    assert row.score == want
+    assert row.n_tokens == 9
+    assert row.keep == (want > 0)

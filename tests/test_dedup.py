@@ -249,3 +249,90 @@ def test_incremental_bucketed_corpus_roundtrip(spark, docs, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_corpus_bands")
         spark.sql("DROP TABLE IF EXISTS lsh_corpus_shingles")
+
+
+# ------------------------------------------------- segment-level dedup
+
+
+def test_segment_dedup_drops_shared_boilerplate_keeps_unique(spark):
+    """Three docs share one exact 16-token block (boilerplate); each has
+    a unique 16-token remainder.  The shared block must be dropped from
+    every doc, the unique block kept, and the cleaned text hash must
+    equal md5 of exactly the surviving segments rejoined."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = {d: " ".join(f"u{d}x{i}" for i in range(16)) for d in (1, 2, 3)}
+    rows = [(d, boiler + " " + uniq[d]) for d in (1, 2, 3)]
+    # doc 4 is ONLY boilerplate: everything dropped, clean hash = md5('')
+    rows.append((4, boiler))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: r
+        for r in dd.segment_dedup(df, "doc_id", "text", seg_tokens=16).collect()
+    }
+    for d in (1, 2, 3):
+        assert (out[d].n_segments, out[d].n_dropped) == (2, 1)
+        assert out[d].clean_md5 == hashlib.md5(uniq[d].encode()).hexdigest()
+    assert (out[4].n_segments, out[4].n_dropped) == (1, 1)
+    assert out[4].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_max_docs_threshold(spark):
+    """max_docs=2 tolerates a segment in two docs; only 3+ is dropped."""
+    seg = " ".join(f"s{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, seg), (2, seg), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.n_dropped
+        for r in dd.segment_dedup(
+            df, "doc_id", "text", seg_tokens=16, max_docs=2
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+# ------------------------------------------------- Bloom membership filter
+
+
+def test_bloom_screen_has_no_false_negatives_and_rare_fps(spark):
+    """The Bloom contract: an exact duplicate of a corpus doc must probe
+    all 4 bits set (maybe_dup); novel docs are (at these m/k/n constants,
+    fp ~ 1e-9) reported novel."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} words") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, "corpus document number 7 words"),  # exact dup of doc 7
+            (101, "a brand new never seen text"),
+            (102, "another novel document entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bits = dd.bloom_bit_table(corpus, "text")
+    out = {r.id: r for r in dd.bloom_screen(delta, "doc_id", "text", bits).collect()}
+    assert out[100].maybe_dup and out[100].n_hits == dd.BLOOM_HASHES
+    assert not out[101].maybe_dup
+    assert not out[102].maybe_dup
+
+
+def test_bloom_bits_match_reference_md5_arithmetic(spark):
+    """The probed bit positions are the 4 independent 32-bit md5 slices
+    mod m — recomputed here with hashlib so the Spark expression can
+    never drift from the documented (and oracle-replayed) construction."""
+    import hashlib
+
+    text = "some normalized text"
+    h = hashlib.md5(text.encode()).hexdigest()
+    want = [int(h[8 * j : 8 * j + 8], 16) % dd.BLOOM_BITS for j in range(4)]
+    got = (
+        spark.createDataFrame([(text,)], ["t"])
+        .select(dd.bloom_bits(F.col("t")).alias("b"))
+        .collect()[0]
+        .b
+    )
+    assert got == want

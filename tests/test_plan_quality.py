@@ -237,3 +237,35 @@ def test_windowed_percentiles_avoid_group_buffering(spark):
     assert "ObjectHashAggregate" not in plan
     assert "Window" in plan
     assert plan.count("hashpartitioning(o_orderpriority") <= 1
+
+
+def test_classifier_plan_is_shuffle_free_scan_speed(spark):
+    """t42's hashed-feature scorer is one higher-order fold per row — the
+    whole point of the hashing trick over a vocabulary join is that the
+    plan has NO Exchange and no Python, so it runs at scan speed."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import curation as cu
+
+    docs = table(spark, SF, "documents")
+    q = cu.classifier_scores(docs, "doc_id", "text")  # unordered core
+    plan = explain_str(q)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_and_bloom_plans_have_no_cartesian(spark):
+    """t41 joins segments against the (small) boilerplate set and t43
+    probes a broadcast bit relation — key joins both, never a cartesian
+    product, and no Python anywhere."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import dedup as dd
+
+    docs = table(spark, SF, "documents")
+    seg = dd.segment_dedup(docs, "doc_id", "text")
+    bloom = dd.bloom_screen(
+        docs, "doc_id", "text", dd.bloom_bit_table(docs, "text")
+    )
+    for q in (seg, bloom):
+        plan = explain_str(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bit relation is explicitly broadcast into the probe join
+    assert "BroadcastHashJoin" in explain_str(bloom)
