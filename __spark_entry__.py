@@ -111,6 +111,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t41_segment_dedup": llmdata.t41_segment_dedup,
         "t42_quality_classifier": llmdata.t42_quality_classifier,
         "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
+        "t44_semdedup": llmdata.t44_semdedup,
+        "t45_epoch_plan": corpus.t45_epoch_plan,
+        "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
@@ -126,14 +129,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (d) single-green r3 tail — rotate back in round 5 ----------
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
         "t21_neardup_clusters": corpus.t21_neardup_clusters,
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (d) single-green r3 tail — rotate back in round 5 ----------
         "t24_multimodal_features": corpus.t24_multimodal_features,
         "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,

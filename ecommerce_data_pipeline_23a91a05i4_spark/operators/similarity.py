@@ -470,3 +470,70 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# ------------------------------------------------ SemDeDup cluster pruning
+
+SEMDEDUP_K = 8
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = SEMDEDUP_K,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    embedding space, then prune near-identical pairs WITHIN clusters
+    only): returns (id, cluster_id, dropped) for every vector.
+
+    Clustering here assigns each vector to the most-cosine-similar of k
+    SEED vectors (the k lowest ids) instead of k-means iterations — a
+    deterministic, engine-replayable stand-in with the identical
+    downstream shape; production swaps in trained centroids and nothing
+    else changes.  Ties (equal cosine to two centroids) break to the
+    lower centroid id, so assignment is total and deterministic.
+
+    Within a cluster a vector is dropped when some LOWER-id member is
+    cosine-similar above ``threshold`` — the standard greedy keep-first
+    rule, which never drops an entire dup group (its minimum survives
+    by construction).
+
+    Scale: assignment is a k-row broadcast cross join (k·dim literals of
+    state); the pairwise stage shuffles once on cluster_id and is
+    quadratic only WITHIN a cluster — the whole point of SemDeDup's
+    cluster-then-compare design, with k sizing the worst-case cluster.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = v.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("cid").alias("cluster_id"), "vec")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+    )

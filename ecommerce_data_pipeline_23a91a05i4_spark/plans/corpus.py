@@ -483,3 +483,67 @@ def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BUDGET_FACTOR = 2   # token budget = factor x total corpus tokens
+MAX_EPOCHS = 4      # data-constrained repeat ceiling per source
+
+
+def t45_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner — the repetition schedule a
+    data-constrained pretraining run derives from its mixture weights
+    (the public recipe shape of Muennighoff et al. 2023: when the budget
+    exceeds a source's unique tokens, repeat it up to a diminishing-
+    returns epoch cap and reallocate nothing beyond it):
+
+    - per-source unique token counts (one shuffle on source),
+    - mixture weight ∝ sqrt(tokens) (t36's alpha=0.5 discipline:
+      floored integer micro-weights, so the cross-source sum is exact),
+    - alloc = budget·w/Σw by integer floor division,
+    - epochs = ceil(alloc/tokens) capped at MAX_EPOCHS,
+    - planned = min(alloc, epochs·tokens) — the tokens actually drawn.
+
+    Everything after the floored sqrt is BIGINT-exact cross-engine (the
+    budget·w6 product stays under 2^63 up to ~10⁹-token gate corpora;
+    a 100 TB deployment lifts the intermediate to DECIMAL(38,0), a
+    type-width change only).  Output is one row per source — a plan
+    artifact, not data movement."""
+    from ..operators import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w6 = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + 0.5).cast(
+        "long"
+    )
+    weighted = per_src.withColumn("w6", w6)
+    totals = weighted.agg(
+        F.sum("w6").alias("sum_w6"),
+        (F.lit(BUDGET_FACTOR) * F.sum("n_tokens")).cast("long").alias("budget"),
+    )
+    # `div` is BIGINT floor division in both engines (DuckDB `//`) —
+    # double-precision `/` would lose exactness past 2^53
+    alloc = F.expr("(budget * w6) div sum_w6")
+    planned = weighted.crossJoin(F.broadcast(totals)).withColumn(
+        "alloc_tokens", alloc
+    )
+    epochs = F.least(
+        F.lit(MAX_EPOCHS).cast("long"),
+        F.expr("(alloc_tokens + n_tokens - 1) div n_tokens"),
+    )
+    return (
+        planned.withColumn("epochs", epochs)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "alloc_tokens",
+            "epochs",
+            F.least(
+                F.col("alloc_tokens"), F.col("epochs") * F.col("n_tokens")
+            ).alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -379,3 +379,47 @@ def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def s4_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents arrive as a file stream and
+    ``dropDuplicates`` on the content fingerprint keeps first-arrival
+    only — the in-flight twin of t4's batch exact dedup.  The drained
+    output projects the fingerprint alone, so the result is exactly the
+    DISTINCT fingerprint set however micro-batches split, which is what
+    the DuckDB oracle independently recomputes (the one streaming-exact-
+    dedup statement that is arrival-order-free and thus hash-checkable).
+
+    State discipline at scale: plain dropDuplicates keys state by
+    fingerprint forever (fine for the finite availableNow replay here);
+    a continuous deployment bounds it with
+    ``withWatermark + dropDuplicatesWithinWatermark``, trading eternal
+    exactness for bounded state — the documented production variant."""
+    import os
+    import uuid
+
+    from ..operators.text import content_fingerprint
+    from ..streaming import ingest as st
+
+    docs = st.stream_documents(spark, os.path.join(sf_dir, "documents.parquet"))
+    deduped = docs.select(
+        content_fingerprint(F.col("text")).alias("fp")
+    ).dropDuplicates(["fp"])
+    name = "s4_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .select("fp")
+        .distinct()
+        .orderBy("fp")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result

@@ -1959,3 +1959,91 @@ CORPUS_ORACLES["t23_multimodal_manifest"] = """
     GROUP BY source
     ORDER BY modality, source
 """
+
+
+# ------------------------------------------------------- round-4 oracles
+
+LLMDATA_ORACLES["t44_semdedup"] = f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < 8
+    ),
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt({_dot('embedding', 'embedding')}) AS n
+        FROM v
+    ),
+    cn AS (
+        SELECT cid, cvec, sqrt({_dot('cvec', 'cvec')}) AS n FROM cents
+    ),
+    scored AS (
+        SELECT a.vec_id, c.cid,
+               {_dot('a.embedding', 'c.cvec')} / (a.n * c.n) AS cos
+        FROM nrm a CROSS JOIN cn c
+    ),
+    asg AS (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT a.vec_id, a.cluster_id, n.embedding, n.n
+        FROM asg a JOIN nrm n USING (vec_id)
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE {_dot('a.embedding', 'b.embedding')} / (a.n * b.n) >= 0.35
+    )
+    SELECT a.vec_id,
+           CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           a.vec_id IN (SELECT vec_id FROM dropped) AS dropped
+    FROM asg a
+    ORDER BY a.vec_id
+"""
+
+CORPUS_ORACLES["t45_epoch_plan"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split({NORM}, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS w6
+        FROM per_src
+    ),
+    tot AS (
+        SELECT SUM(w6) AS sum_w6,
+               CAST(2 * SUM(n_tokens) AS BIGINT) AS budget
+        FROM w
+    ),
+    planned AS (
+        SELECT source, n_docs, n_tokens,
+               CAST((budget * w6) // sum_w6 AS BIGINT) AS alloc_tokens
+        FROM w CROSS JOIN tot
+    ),
+    ep AS (
+        SELECT *,
+               LEAST(CAST(4 AS BIGINT),
+                     CAST((alloc_tokens + n_tokens - 1) // n_tokens AS BIGINT))
+                   AS epochs
+        FROM planned
+    )
+    SELECT source, n_docs, n_tokens, alloc_tokens, epochs,
+           LEAST(alloc_tokens, epochs * n_tokens) AS planned_tokens
+    FROM ep
+    ORDER BY source
+"""
+
+MONITORING_ORACLES["s4_streaming_exact_dedup"] = f"""
+    SELECT DISTINCT md5({NORM}) AS fp FROM documents ORDER BY fp
+"""

@@ -356,3 +356,22 @@ def test_salted_join_equals_plain_join(spark):
         salted.filter("k = 1").select("_salt").distinct().count()
     )
     assert n_buckets >= 4
+
+
+def test_epoch_plan_invariants(spark):
+    """t45's schedule must respect its own contract on any corpus: the
+    integer allocation sums to the budget up to per-source floor loss,
+    epochs stay within [1, MAX_EPOCHS], and planned tokens never exceed
+    either the allocation or epochs x unique tokens."""
+    out = corpus.t45_epoch_plan(spark, SF).collect()
+    assert len(out) > 1
+    total_tokens = sum(r.n_tokens for r in out)
+    budget = corpus.BUDGET_FACTOR * total_tokens
+    alloc_sum = sum(r.alloc_tokens for r in out)
+    assert budget - len(out) < alloc_sum <= budget  # floor-division loss only
+    for r in out:
+        assert 1 <= r.epochs <= corpus.MAX_EPOCHS
+        assert r.planned_tokens <= r.alloc_tokens
+        assert r.planned_tokens <= r.epochs * r.n_tokens
+        # planned is exactly the binding constraint of the two
+        assert r.planned_tokens == min(r.alloc_tokens, r.epochs * r.n_tokens)

@@ -178,3 +178,39 @@ def test_incremental_embedding_bucketed_index_roundtrip(spark, tmp_path_factory)
         assert from_store == in_memory and from_store
     finally:
         spark.sql("DROP TABLE IF EXISTS srp_corpus_bands")
+
+
+def test_semdedup_prunes_within_cluster_keeps_min_id(spark):
+    """Two seed centroids (ids 0,1) on orthogonal axes; ids 10/11 are
+    near-identical near centroid 0 (higher id dropped, lower kept), id
+    12 sits alone near centroid 1 (kept) — and a pair similar ACROSS
+    clusters is untouched, pinning the cluster-LOCAL contract."""
+    rows = [
+        (0, [1.0, 0.0]),      # seed centroid A (a corpus member itself)
+        (1, [0.0, 1.0]),      # seed centroid B
+        (10, [0.8, 0.6]),     # cluster A, cos 0.8 to its seed (kept apart)
+        (11, [0.8001, 0.6]),  # cluster A, ~identical to 10 -> dropped
+        (12, [0.6, 0.8]),     # cluster B, no near-dup in B
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r.id: r for r in sim.semdedup(df, k=2, threshold=0.9999).collect()}
+    assert out[10].cluster_id == 0 and out[11].cluster_id == 0
+    assert out[12].cluster_id == 1
+    assert not out[10].dropped and out[11].dropped
+    assert not out[12].dropped
+    # seeds are ~identical to themselves only; both kept
+    assert not out[0].dropped and not out[1].dropped
+    # cross-cluster check: 12 vs 1 are similar (cos ~0.9) but in-cluster
+    # rule never compares across clusters at threshold 0.9 either
+    out2 = {r.id: r for r in sim.semdedup(df, k=2, threshold=0.9).collect()}
+    assert not out2[12].dropped  # nothing else in cluster B is that close
+
+
+def test_semdedup_dup_group_minimum_always_survives(spark):
+    """Greedy keep-first: in a group of mutual near-dups the minimum id
+    is never dropped, all others are."""
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r.id: r.dropped for r in sim.semdedup(df, k=1, threshold=0.999).collect()}
+    assert out[0] is False
+    assert all(out[i] for i in range(1, 6))

@@ -415,6 +415,27 @@ def test_gate_drains_drop_their_memory_sink_views(spark):
     leftovers = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith(("s1_hourly_", "s2_sessions_", "s2b_sessions_", "s3_neardup_"))
+        if t.name.startswith(
+            ("s1_hourly_", "s2_sessions_", "s2b_sessions_", "s3_neardup_", "s4_dedup_")
+        )
     ]
     assert leftovers == []
+
+
+def test_s4_streaming_dedup_equals_batch_distinct(spark):
+    """The streaming exact-dedup drain must produce exactly the batch
+    DISTINCT fingerprint set, however the file source micro-batches."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        content_fingerprint,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import monitoring as mon
+
+    got = {r.fp for r in mon.s4_streaming_exact_dedup(spark, SF).collect()}
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    want = {
+        r.fp
+        for r in docs.select(
+            content_fingerprint(F.col("text")).alias("fp")
+        ).distinct().collect()
+    }
+    assert got == want
