@@ -113,6 +113,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
         "t44_semdedup": llmdata.t44_semdedup,
         "t45_epoch_plan": corpus.t45_epoch_plan,
+        "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
+        "t47_domain_filter": llmdata.t47_domain_filter,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
@@ -127,10 +129,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "t40_incremental_clusters": corpus.t40_incremental_clusters,
         "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) single-green r3 tail — rotate back in round 5 ----------
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,

@@ -273,16 +273,55 @@ def main() -> None:
 
     # One failing query must never forfeit the suite: every query is
     # individually guarded and the JSON line is always emitted, with
-    # per-query errors recorded instead of timings.
+    # per-query errors recorded instead of timings.  Each query is timed
+    # best-of-3 after a warm run — a single timed run makes a query's
+    # number depend on its POSITION in the suite (early queries pay JVM/
+    # JIT warmup the later ones have amortized; measured: the same q3
+    # was 4x slower first-in-session than last), and the registry order
+    # is a rotation schedule, so position must not leak into timings.
+    # Engine warm pass: JVM/JIT warmup spans QUERIES, not just runs of
+    # one query (measured: q3 best-of-3 is 0.083s when timed first in a
+    # fresh session, 0.029s after the other headline queries have run
+    # once).  Running the cheap headline suite unmeasured first puts
+    # every timed query on the same warmed engine regardless of its
+    # rotation position.
+    for name in headline_names(queries):
+        try:
+            queries[name](spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001 — the timed loop records it
+            pass
+
+    ref10_names = set(headline_names(queries))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Scale probes run FIRST (on the freshly warmed engine, before the
+    # 80+-query suite has accumulated heap/localCheckpoint pressure):
+    # measured, a probe point timed after the full suite can spike ~3x
+    # from GC noise that best-of-3 cannot hide.
+    probe: dict = {}
+    try:
+        probe = run_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["llm"] = run_llm_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__llm_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
             df.collect()  # warm: codegen compile, footer reads, page cache
-            t0 = time.perf_counter()
-            df.collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # headline queries: best-of-3 (the baseline-comparison number
+            # must not carry scheduler noise); the rest: one timed run,
+            # keeping family totals comparable round-over-round without
+            # tripling the suite's wall time
+            best = float("inf")
+            for _ in range(3 if name in ref10_names else 1):
+                t0 = time.perf_counter()
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -315,18 +354,6 @@ def main() -> None:
         errors["__pipeline__"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-
-    # Scale probe (8x/32x lineitem, identical layout) — the overhead-vs-
-    # volume curve behind the 100x claims, published with every run.
-    probe: dict = {}
-    try:
-        probe = run_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["llm"] = run_llm_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__llm_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
 
     ref10 = set(headline_names(queries))
     fam = {"q1_q10": 0.0, "q_other": 0.0, "t_llmdata": 0.0, "s_streaming": 0.0}

@@ -328,3 +328,56 @@ def classifier_scores(
         score.alias("score"),
         (score > 0).alias("keep"),
     )
+
+
+# ------------------------------------------------- URL / domain filtering
+
+# Shared Java-regex / RE2 syntax (same discipline as PII_PATTERNS)
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domain(col: Column) -> Column:
+    """Host of the first URL in the text ('' when none) — the C4/
+    RefinedWeb provenance signal every web-corpus filter keys on.  Pure
+    regexp column expression; DuckDB replays it character-for-character."""
+    return F.regexp_extract(col, URL_HOST_PATTERN, 1)
+
+
+def weight_table(spark) -> DataFrame:
+    """The stand-in weight table MATERIALIZED as (bucket, weight) rows —
+    what a trained classifier actually ships.  Enumerates every bucket
+    with the same hash-derived weights bucket_weight computes inline, so
+    the two scorer variants are provably interchangeable (tested)."""
+    return spark.range(CLS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"),
+        bucket_weight(F.col("id")).alias("weight"),
+    )
+
+
+def classifier_scores_with_table(
+    df: DataFrame, id_col: str, text_col: str, weights: DataFrame
+) -> DataFrame:
+    """The scorer's production form: per-token bucket ids joined against
+    a broadcast LEARNED weight table (any (bucket, weight) rows), summed
+    per document.  Costs one (id, bucket) shuffle that the inline-fold
+    variant avoids — use classifier_scores when weights are expressible,
+    this when they come from offline training.  Missing buckets weigh 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).withColumn("bucket", hashed_bucket(F.col("w")))
+    scored = (
+        toks.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    return scored.select(
+        "id", "n_tokens", "score", (F.col("score") > 0).alias("keep")
+    )

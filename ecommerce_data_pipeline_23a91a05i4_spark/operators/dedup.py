@@ -841,3 +841,81 @@ def bloom_screen(
         .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).cast("long").alias("n_hits"))
         .withColumn("maybe_dup", F.col("n_hits") == F.lit(BLOOM_HASHES))
     )
+
+
+def segment_counts(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = SEGMENT_TOKENS
+) -> DataFrame:
+    """(seg_md5, df_docs): the corpus segment-frequency store — the
+    PERSISTED state of cross-run segment dedup, bounded by distinct
+    segments (store it bucketed by seg_md5 so incremental joins plan no
+    Exchange on the corpus side)."""
+    return (
+        segment_table(df, id_col, text_col, seg_tokens)
+        .select("id", F.md5(F.col("segment")).alias("seg_md5"))
+        .groupBy("seg_md5")
+        .agg(F.count_distinct("id").alias("df_docs"))
+    )
+
+
+def segment_dedup_incremental(
+    corpus_counts: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = SEGMENT_TOKENS,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-run segment dedup: clean a NEW batch against the persisted
+    corpus segment-frequency store without re-reading corpus text — the
+    t41 analog of t31's incremental MinHash contract.
+
+    A delta segment is boilerplate when its corpus document frequency
+    plus its delta document frequency exceeds ``max_docs``; because
+    delta ids are new by construction the sum IS the corpus∪delta
+    distinct-document count, so the result equals the full-corpus
+    recompute restricted to delta documents (the t46 oracle proves this
+    cross-engine).  Per-batch cost is O(|delta segments| + store
+    lookups); corpus text is never touched.  After a run, merge the
+    delta's (seg_md5, df_docs) rows into the store (sum on collision)
+    to absorb the batch."""
+    segs = segment_table(delta, id_col, text_col, seg_tokens).withColumn(
+        "seg_md5", F.md5(F.col("segment"))
+    )
+    delta_counts = segs.groupBy("seg_md5").agg(
+        F.count_distinct("id").alias("delta_docs")
+    )
+    boiler = (
+        delta_counts.join(corpus_counts, "seg_md5", "left")
+        .filter(
+            F.col("delta_docs") + F.coalesce(F.col("df_docs"), F.lit(0))
+            > max_docs
+        )
+        .select("seg_md5")
+    )
+    marked = segs.join(boiler.withColumn("_drop", F.lit(True)), "seg_md5", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_drop").isNull(),
+                                    F.struct("seg_id", "segment"),
+                                )
+                            )
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )

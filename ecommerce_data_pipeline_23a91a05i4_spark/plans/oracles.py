@@ -2047,3 +2047,64 @@ CORPUS_ORACLES["t45_epoch_plan"] = f"""
 MONITORING_ORACLES["s4_streaming_exact_dedup"] = f"""
     SELECT DISTINCT md5({NORM}) AS fp FROM documents ORDER BY fp
 """
+
+
+# t46: the full t41 rule recomputed over corpus∪delta, restricted to the
+# delta batch — equality with the incremental path's output is exactly
+# the cross-run contract (corpus text never re-read engine-side).
+LLMDATA_ORACLES["t46_incremental_segment_dedup"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, (len(l) + 15) // 16),
+                      i -> {{'sid': i,
+                            'seg': array_to_string(l[i*16+1 : i*16+16], ' ')}}))
+                   AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id, CAST(s.sid AS BIGINT) AS sid, s.seg AS seg,
+               md5(s.seg) AS m
+        FROM segs
+    ),
+    boiler AS (
+        SELECT m FROM h GROUP BY m HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN m IN (SELECT m FROM boiler)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(array_to_string(
+               list(seg ORDER BY sid)
+                   FILTER (WHERE m NOT IN (SELECT m FROM boiler)),
+               ' '), '')) AS clean_md5
+    FROM h
+    WHERE doc_id % 5 = 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+LLMDATA_ORACLES["t47_domain_filter"] = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' http://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.com/page' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS t
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id,
+               COALESCE(regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1), '')
+                   AS domain
+        FROM aug
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           domain IN ('site2.example.com', 'site5.example.com') AS blocked
+    FROM tagged
+    GROUP BY domain
+    ORDER BY domain
+"""

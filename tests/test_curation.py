@@ -227,3 +227,41 @@ def test_classifier_score_matches_reference_arithmetic(spark):
     assert row.score == want
     assert row.n_tokens == 9
     assert row.keep == (want > 0)
+
+
+def test_classifier_table_variant_equals_inline_fold(spark):
+    """The production weights-table scorer and the inline hash-fold
+    scorer must agree exactly when the table enumerates the same
+    weights — proving the documented swap is a plan change only."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    inline = {
+        r.id: (r.n_tokens, r.score, r.keep)
+        for r in cu.classifier_scores(df, "doc_id", "text").collect()
+    }
+    table = {
+        r.id: (r.n_tokens, r.score, r.keep)
+        for r in cu.classifier_scores_with_table(
+            df, "doc_id", "text", cu.weight_table(spark)
+        ).collect()
+    }
+    assert inline == table
+
+
+def test_extract_domain_first_url_or_empty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see http://a.example.com/x and https://b.example.org/y"),
+            (2, "no urls at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", cu.extract_domain(F.col("text")).alias("d")
+        ).collect()
+    }
+    assert got == {1: "a.example.com", 2: ""}

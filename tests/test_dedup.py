@@ -336,3 +336,60 @@ def test_bloom_bits_match_reference_md5_arithmetic(spark):
         .b
     )
     assert got == want
+
+
+def test_incremental_segment_dedup_equals_full_restricted(spark):
+    """The cross-run contract: cleaning a delta batch against the
+    persisted corpus segment-frequency store must equal the full
+    corpus∪delta recompute restricted to delta documents."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows = (
+        # corpus docs (ids 1-4): two share the boilerplate already
+        [(1, boiler + " one unique tail here now ok yes no up down left"),
+         (2, boiler + " two other words entirely distinct from one above x"),
+         (3, "clean corpus doc with no shared content at all kept whole"),
+         (4, "another clean one nothing repeated anywhere in this text")]
+        # delta docs (ids 100-101): 100 carries corpus boilerplate,
+        # 101 is novel
+        + [(100, boiler + " delta unique remainder of document hundred z"),
+           (101, "a wholly novel delta document with fresh segments only")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter(F.col("doc_id") < 100)
+    delta = df.filter(F.col("doc_id") >= 100)
+    counts = dd.segment_counts(corpus, "doc_id", "text", seg_tokens=16)
+    inc = {
+        r.id: (r.n_segments, r.n_dropped, r.clean_md5)
+        for r in dd.segment_dedup_incremental(
+            counts, delta, "doc_id", "text", seg_tokens=16
+        ).collect()
+    }
+    full = {
+        r.id: (r.n_segments, r.n_dropped, r.clean_md5)
+        for r in dd.segment_dedup(df, "doc_id", "text", seg_tokens=16).collect()
+        if r.id >= 100
+    }
+    assert inc == full
+    assert inc[100][1] > 0   # the corpus boilerplate was caught
+    assert inc[101][1] == 0  # the novel doc is untouched
+
+
+def test_segment_counts_store_roundtrip(spark, tmp_path):
+    """The frequency store is persistable state: written to parquet and
+    read back, the incremental result is unchanged."""
+    seg = " ".join(f"s{i}" for i in range(16))
+    corpus = spark.createDataFrame(
+        [(1, seg + " aa bb"), (2, seg + " cc dd")], ["doc_id", "text"]
+    )
+    delta = spark.createDataFrame([(100, seg + " ee ff")], ["doc_id", "text"])
+    counts = dd.segment_counts(corpus, "doc_id", "text")
+    p = str(tmp_path / "segstore.parquet")
+    counts.write.parquet(p)
+    direct = dd.segment_dedup_incremental(
+        counts, delta, "doc_id", "text"
+    ).collect()
+    via_store = dd.segment_dedup_incremental(
+        spark.read.parquet(p), delta, "doc_id", "text"
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_store))
+    assert direct[0].n_dropped == 1  # shared segment caught via the store
