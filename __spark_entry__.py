@@ -115,6 +115,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t45_epoch_plan": corpus.t45_epoch_plan,
         "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
         "t47_domain_filter": llmdata.t47_domain_filter,
+        "t48_bpe_merges": llmdata.t48_bpe_merges,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
@@ -128,9 +129,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t38_curation_v2": llmdata.t38_curation_v2,
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) single-green r3 tail — rotate back in round 5 ----------
+        "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,

@@ -2108,3 +2108,58 @@ LLMDATA_ORACLES["t47_domain_filter"] = f"""
     GROUP BY domain
     ORDER BY domain
 """
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unroll ``n`` rounds of the BPE merge loop (operators/bpe.py) as
+    chained CTEs with scalar-subquery merge literals — the SQL twin of
+    the iterative Spark job, exact because every step is list arithmetic
+    or LITERAL replace on \\x1f-delimited text (no regex; see bpe.py's
+    determinism notes)."""
+    ctes = [
+        "c0 AS (SELECT chr(31) || array_to_string(string_split("
+        + NORM
+        + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
+    ]
+    selects = []
+    for r in range(1, n + 1):
+        prev = f"c{r-1}"
+        ctes.append(
+            f"t{r} AS (SELECT string_split(substr(w, 2, length(w) - 2), "
+            f"chr(31)||chr(31)) AS l FROM {prev})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT unnest(list_transform(range(1, len(l)), "
+            f"i -> {{'a': l[i], 'b': l[i+1]}})) AS s FROM t{r} "
+            f"WHERE len(l) >= 2)"
+        )
+        ctes.append(
+            f"g{r} AS (SELECT s.a AS a, s.b AS b, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM p{r} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"top{r} AS (SELECT a, b, c FROM g{r} "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if r < n:
+            ctes.append(
+                f"c{r} AS (SELECT replace(w, "
+                f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
+                f"(SELECT b FROM top{r}) || chr(31), "
+                f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
+                f"(SELECT b FROM top{r}) || chr(31)) AS w FROM {prev})"
+            )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS token_a, "
+            f"b AS token_b, c AS n_occurrences FROM top{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_rank"
+    )
+
+
+LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_oracle(4)

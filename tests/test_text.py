@@ -44,3 +44,39 @@ def test_quality_grades_monotonic(spark):
     qs = tx.quality_score(F.col("t"))
     assert _one(spark, rich, qs) > _one(spark, poor, qs)
     assert _one(spark, poor, tx.quality_grade(qs)) in ("C", "D")
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """Hand-checkable BPE rounds, including the leftmost-first rule on
+    runs ('x x x' yields one merged pair + one leftover x) and merge
+    composition (round 2's winner contains round 1's merged token)."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import bpe
+
+    rows = [
+        (1, "x x x y z"),      # (x,x) twice here (overlapping count)
+        (2, "x x y z q"),      # (x,x) once more -> total 3
+        (3, "y z y z"),        # (y,z) appears a lot overall
+        (4, "y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.learn_bpe_merges(df, "text", n_merges=2)
+    # pair counts round 1: (x,x)=3, (x,y)=2, (y,z)=1+1+2+1=5, (z,y)=1
+    assert merges[0][1:] == ("y", "z", 5)
+    # after merging y+z: doc1 "x x x y§z", doc2 "x x y§z q",
+    # doc3 "y§z y§z", doc4 "y§z" -> (x,x)=3 wins round 2
+    assert merges[1][1:] == ("x", "x", 3)
+
+    # leftmost-first on runs: merging (x,x) in "x x x" must produce
+    # exactly one merged token and one bare x
+    df2 = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
+    m2 = bpe.learn_bpe_merges(df2, "text", n_merges=2)
+    assert m2[0][1:] == ("x", "x", 2)  # overlapping count
+    # round 2 pairs: ('x\x1ex', 'x') once -> that's the only pair left
+    assert m2[1][1:] == ("x" + bpe.JOIN + "x", "x", 1)
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    assert bpe.learn_bpe_merges(df, "text", n_merges=3) == []
