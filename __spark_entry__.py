@@ -116,6 +116,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
         "t47_domain_filter": llmdata.t47_domain_filter,
         "t48_bpe_merges": llmdata.t48_bpe_merges,
+        "t49_bpe_encode": llmdata.t49_bpe_encode,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
@@ -128,8 +129,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,
         "t38_curation_v2": llmdata.t38_curation_v2,
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
         # ---- driver window ends after the 50th entry above ------------
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
         # -- (d) single-green r3 tail — rotate back in round 5 ----------
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,

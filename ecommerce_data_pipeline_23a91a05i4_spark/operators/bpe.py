@@ -96,3 +96,32 @@ def learn_bpe_merges(
             ).alias("w")
         )
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Encode the corpus with a learned merge list: apply every merge in
+    rank order (the BPE encode rule) and return
+    (id, n_tokens_ws, n_tokens_bpe) — whitespace tokens before, merged
+    tokens after.  Pure map-side literal replaces, zero shuffles: at
+    100 TB encoding runs at scan speed, which is why BPE ENCODING is a
+    cheap per-row operator even though training (learn_bpe_merges) needs
+    a per-round corpus aggregate."""
+    toks = tokens(F.col(text_col))
+    w = F.concat(F.lit(SEP), F.array_join(toks, SEP + SEP), F.lit(SEP))
+    for _, a, b, _ in merges:
+        w = F.replace(
+            w,
+            F.lit(SEP + a + SEP + SEP + b + SEP),
+            F.lit(SEP + a + JOIN + b + SEP),
+        )
+    inner = w.substr(F.lit(2), F.length(w) - 2)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens_ws"),
+        F.size(F.split(inner, SEP + SEP)).cast("long").alias("n_tokens_bpe"),
+    )

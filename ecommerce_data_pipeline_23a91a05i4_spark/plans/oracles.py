@@ -2163,3 +2163,59 @@ def _bpe_oracle(n: int) -> str:
 
 
 LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_oracle(4)
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """Train (the same ``n`` unrolled rounds as _bpe_oracle, doc_id
+    threaded through) AND encode: the final corpus state after applying
+    ALL ``n`` merges, reduced to per-document token counts."""
+    ctes = [
+        "c0 AS (SELECT doc_id, chr(31) || array_to_string(string_split("
+        + NORM
+        + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
+    ]
+    for r in range(1, n + 1):
+        prev = f"c{r-1}"
+        ctes.append(
+            f"t{r} AS (SELECT string_split(substr(w, 2, length(w) - 2), "
+            f"chr(31)||chr(31)) AS l FROM {prev})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT unnest(list_transform(range(1, len(l)), "
+            f"i -> {{'a': l[i], 'b': l[i+1]}})) AS s FROM t{r} "
+            f"WHERE len(l) >= 2)"
+        )
+        ctes.append(
+            f"g{r} AS (SELECT s.a AS a, s.b AS b, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM p{r} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"top{r} AS (SELECT a, b, c FROM g{r} "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT doc_id, replace(w, "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
+            f"(SELECT b FROM top{r}) || chr(31), "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
+            f"(SELECT b FROM top{r}) || chr(31)) AS w FROM {prev})"
+        )
+    n_bpe = ("len(string_split(substr(e.w, 2, length(e.w) - 2), "
+             "chr(31)||chr(31)))")
+    n_ws = "len(string_split(" + NORM.replace("text", "d.text") + ", ' '))"
+    ratio = f"CAST({n_bpe} AS DOUBLE) / {n_ws}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT d.doc_id,
+           CAST({n_ws} AS BIGINT) AS n_tokens_ws,
+           CAST({n_bpe} AS BIGINT) AS n_tokens_bpe,
+           {SQL_QUANT(ratio, 6)} AS compression
+    FROM documents d JOIN c{n} e USING (doc_id)
+    ORDER BY d.doc_id
+"""
+    )
+
+
+LLMDATA_ORACLES["t49_bpe_encode"] = _bpe_encode_oracle(4)
