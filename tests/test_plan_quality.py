@@ -269,3 +269,21 @@ def test_segment_and_bloom_plans_have_no_cartesian(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the bit relation is explicitly broadcast into the probe join
     assert "BroadcastHashJoin" in explain_str(bloom)
+
+
+def test_semdedup_cross_join_is_centroid_broadcast_only(spark):
+    """t44's only nested-loop join is the k-row centroid broadcast; the
+    pairwise stage must be a key join on cluster_id (never cartesian)
+    and nothing runs in Python."""
+    q = llmdata.t44_semdedup(spark, SF)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row assignment join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_segment_dedup_plan_is_clean(spark):
+    q = llmdata.t46_incremental_segment_dedup(spark, SF)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
