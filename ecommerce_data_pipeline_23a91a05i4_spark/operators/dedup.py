@@ -718,6 +718,40 @@ def segment_table(
     )
 
 
+def _segment_rollup(marked: DataFrame) -> DataFrame:
+    """Shared per-document reassembly for the full and incremental
+    segment-dedup paths: from (id, seg_id, segment, _drop NULL|true)
+    rows, the segment/drop counts and the md5 of the surviving segments
+    rejoined in order (md5('') when everything was boilerplate).  One
+    helper on purpose — the t41/t46 oracles pin the two paths EQUAL, so
+    the reassembly must not be able to drift between them."""
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_drop").isNull(),
+                                    F.struct("seg_id", "segment"),
+                                )
+                            )
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str,
@@ -753,32 +787,7 @@ def segment_dedup(
     marked = hashed.join(
         boiler.withColumn("_drop", F.lit(True)), "seg_md5", "left"
     )
-    return (
-        marked.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_drop").isNull(),
-                                    F.struct("seg_id", "segment"),
-                                )
-                            )
-                        ),
-                        lambda s: s["segment"],
-                    ),
-                )
-            ).alias("clean_md5"),
-        )
-        .withColumn("n_segments", F.col("n_segments").cast("long"))
-    )
+    return _segment_rollup(marked)
 
 
 # -------------------------------------------------- Bloom membership filter
@@ -894,28 +903,4 @@ def segment_dedup_incremental(
         .select("seg_md5")
     )
     marked = segs.join(boiler.withColumn("_drop", F.lit(True)), "seg_md5", "left")
-    return (
-        marked.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_segments"),
-            F.sum(F.when(F.col("_drop"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_drop").isNull(),
-                                    F.struct("seg_id", "segment"),
-                                )
-                            )
-                        ),
-                        lambda s: s["segment"],
-                    ),
-                )
-            ).alias("clean_md5"),
-        )
-    )
+    return _segment_rollup(marked)

@@ -60,6 +60,27 @@ except ImportError:  # Pillow absent: the vendored PNG codec takes over
 from . import png as _png
 
 
+def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """THE codec seam: (width, height, rgb_bytes) via Pillow when
+    importable (any format), else the vendored pure-Python PNG codec.
+    decode_image and resize_images both dispatch through here so the
+    two operators can never disagree on which inputs are decodable or
+    on the RGB conversion convention."""
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(content or b"")) as im:
+            rgb = im.convert("RGB")
+            return rgb.width, rgb.height, rgb.tobytes()
+    if not _png.is_png(content or b""):
+        raise NotImplementedError(
+            "no codec for this format: Pillow is not installed and "
+            "the vendored decoder handles PNG only; pass fake=True "
+            "for the deterministic test double"
+        )
+    return _png.decode_png(content or b"")
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Image decode behind a codec seam.
 
@@ -76,28 +97,7 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     numbers.
     """
     if not fake:
-        if _PILImage is not None:
-            import io
-
-            with _PILImage.open(io.BytesIO(content or b"")) as im:
-                rgb = im.convert("RGB")
-                return {
-                    "width": rgb.width,
-                    "height": rgb.height,
-                    "channels": 3,
-                    "pixel_checksum": int.from_bytes(
-                        hashlib.sha256(rgb.tobytes()).digest()[:8],
-                        "big",
-                        signed=True,
-                    ),
-                }
-        if not _png.is_png(content or b""):
-            raise NotImplementedError(
-                "no codec for this format: Pillow is not installed and "
-                "the vendored decoder handles PNG only; pass fake=True "
-                "for the deterministic test double"
-            )
-        width, height, pixels = _png.decode_png(content)
+        width, height, pixels = _decode_rgb(content)
         return {
             "width": width,
             "height": height,
@@ -216,23 +216,8 @@ def resize_images(
     out_len = 32 + (width * height * 3) // 4096
 
     def _real_resize(content: bytes) -> bytes:
-        if _PILImage is not None:
-            import io
-
-            with _PILImage.open(io.BytesIO(content or b"")) as im:
-                rgb = im.convert("RGB")
-                src = _png.resize_rgb_nearest(
-                    rgb.width, rgb.height, rgb.tobytes(), width, height
-                )
-        else:
-            if not _png.is_png(content or b""):
-                raise NotImplementedError(
-                    "no codec for this format: Pillow is not installed "
-                    "and the vendored decoder handles PNG only; pass "
-                    "fake=True for the deterministic payload double"
-                )
-            src_w, src_h, pixels = _png.decode_png(content or b"")
-            src = _png.resize_rgb_nearest(src_w, src_h, pixels, width, height)
+        src_w, src_h, pixels = _decode_rgb(content)
+        src = _png.resize_rgb_nearest(src_w, src_h, pixels, width, height)
         return _png.encode_png(width, height, src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

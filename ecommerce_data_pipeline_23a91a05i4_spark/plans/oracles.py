@@ -8,6 +8,9 @@ region/nation/customer/supplier/part/orders/lineitem/events/documents/
 embeddings.
 """
 
+# Shared with plans/llmdata.py so the t39 oracle's LIMIT can never
+# drift from the Spark gate's vocabulary cap.
+from .llmdata_constants import FLUENCY_VOCAB_CAP  # noqa: F401
 from ..functions.exprs import (
     SQL_DSUM,
     SQL_MEAN2,
@@ -825,7 +828,7 @@ LLMDATA_ORACLES["t39_unigram_fluency"] = f"""
     ),
     freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
     tot AS (SELECT SUM(c) AS n_total FROM freq),
-    kept AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT 24),
+    kept AS (SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {FLUENCY_VOCAB_CAP}),
     microp AS (
         SELECT w, (c * 1000000) // n_total AS microp FROM kept CROSS JOIN tot
     ),
@@ -929,7 +932,13 @@ LLMDATA_ORACLES["t34_decontamination"] = f"""
 """
 
 
-LLMDATA_ORACLES["t41_segment_dedup"] = f"""
+def _segment_dedup_oracle(where: str = "") -> str:
+    """Shared t41/t46 oracle: the corpus-wide segment boilerplate rule
+    with an optional restriction of the OUTPUT rows (t46 restricts to
+    the delta batch; the boilerplate rule always sees corpus∪delta).
+    One generator on purpose — the two gates pin full == incremental,
+    so their oracles must not be able to drift."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
     ),
@@ -958,9 +967,14 @@ LLMDATA_ORACLES["t41_segment_dedup"] = f"""
                    FILTER (WHERE m NOT IN (SELECT m FROM boiler)),
                ' '), '')) AS clean_md5
     FROM h
+    {where}
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+LLMDATA_ORACLES["t41_segment_dedup"] = _segment_dedup_oracle()
+
 
 # md5-prefix 32-bit hash (operators/dedup.md5_hash32) in DuckDB syntax
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
@@ -2052,39 +2066,7 @@ MONITORING_ORACLES["s4_streaming_exact_dedup"] = f"""
 # t46: the full t41 rule recomputed over corpus∪delta, restricted to the
 # delta batch — equality with the incremental path's output is exactly
 # the cross-run contract (corpus text never re-read engine-side).
-LLMDATA_ORACLES["t46_incremental_segment_dedup"] = f"""
-    WITH toks AS (
-        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
-    ),
-    segs AS (
-        SELECT doc_id,
-               unnest(list_transform(range(0, (len(l) + 15) // 16),
-                      i -> {{'sid': i,
-                            'seg': array_to_string(l[i*16+1 : i*16+16], ' ')}}))
-                   AS s
-        FROM toks
-    ),
-    h AS (
-        SELECT doc_id, CAST(s.sid AS BIGINT) AS sid, s.seg AS seg,
-               md5(s.seg) AS m
-        FROM segs
-    ),
-    boiler AS (
-        SELECT m FROM h GROUP BY m HAVING COUNT(DISTINCT doc_id) > 1
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_segments,
-           CAST(SUM(CASE WHEN m IN (SELECT m FROM boiler)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-           md5(COALESCE(array_to_string(
-               list(seg ORDER BY sid)
-                   FILTER (WHERE m NOT IN (SELECT m FROM boiler)),
-               ' '), '')) AS clean_md5
-    FROM h
-    WHERE doc_id % 5 = 0
-    GROUP BY doc_id
-    ORDER BY doc_id
-"""
+LLMDATA_ORACLES["t46_incremental_segment_dedup"] = _segment_dedup_oracle("WHERE doc_id % 5 = 0")
 
 LLMDATA_ORACLES["t47_domain_filter"] = f"""
     WITH aug AS (
@@ -2110,18 +2092,21 @@ LLMDATA_ORACLES["t47_domain_filter"] = f"""
 """
 
 
-def _bpe_oracle(n: int) -> str:
-    """Unroll ``n`` rounds of the BPE merge loop (operators/bpe.py) as
-    chained CTEs with scalar-subquery merge literals — the SQL twin of
-    the iterative Spark job, exact because every step is list arithmetic
-    or LITERAL replace on \\x1f-delimited text (no regex; see bpe.py's
-    determinism notes)."""
+def _bpe_round_ctes(n: int, with_doc_id: bool) -> list[str]:
+    """The ``n`` unrolled BPE training rounds (operators/bpe.py) as
+    chained CTEs with scalar-subquery merge literals — ONE generator
+    shared by the t48 (merge list) and t49 (train-then-encode) oracles
+    so the two gates can never unroll different rounds.  Exact because
+    every step is list arithmetic or LITERAL replace on \\x1f-delimited
+    text (no regex; see bpe.py's determinism notes).  ``with_doc_id``
+    threads doc_id through the corpus CTEs (t49 needs per-doc output;
+    c{n} materializes only when the final SELECT references it)."""
+    did = "doc_id, " if with_doc_id else ""
     ctes = [
-        "c0 AS (SELECT chr(31) || array_to_string(string_split("
+        f"c0 AS (SELECT {did}chr(31) || array_to_string(string_split("
         + NORM
         + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
     ]
-    selects = []
     for r in range(1, n + 1):
         prev = f"c{r-1}"
         ctes.append(
@@ -2141,72 +2126,42 @@ def _bpe_oracle(n: int) -> str:
             f"top{r} AS (SELECT a, b, c FROM g{r} "
             f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
         )
-        if r < n:
-            ctes.append(
-                f"c{r} AS (SELECT replace(w, "
-                f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
-                f"(SELECT b FROM top{r}) || chr(31), "
-                f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
-                f"(SELECT b FROM top{r}) || chr(31)) AS w FROM {prev})"
-            )
-        selects.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS token_a, "
-            f"b AS token_b, c AS n_occurrences FROM top{r}"
+        ctes.append(
+            f"c{r} AS (SELECT {did}replace(w, "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
+            f"(SELECT b FROM top{r}) || chr(31), "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
+            f"(SELECT b FROM top{r}) || chr(31)) AS w FROM {prev})"
         )
+    return ctes
+
+
+def _bpe_merge_oracle(n: int) -> str:
+    """t48: the learned merge list (rank, pair, count) per round."""
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS token_a, "
+        f"b AS token_b, c AS n_occurrences FROM top{r}"
+        for r in range(1, n + 1)
+    ]
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_round_ctes(n, with_doc_id=False))
         + "\n"
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY merge_rank"
     )
 
 
-LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_oracle(4)
-
-
 def _bpe_encode_oracle(n: int) -> str:
-    """Train (the same ``n`` unrolled rounds as _bpe_oracle, doc_id
-    threaded through) AND encode: the final corpus state after applying
-    ALL ``n`` merges, reduced to per-document token counts."""
-    ctes = [
-        "c0 AS (SELECT doc_id, chr(31) || array_to_string(string_split("
-        + NORM
-        + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
-    ]
-    for r in range(1, n + 1):
-        prev = f"c{r-1}"
-        ctes.append(
-            f"t{r} AS (SELECT string_split(substr(w, 2, length(w) - 2), "
-            f"chr(31)||chr(31)) AS l FROM {prev})"
-        )
-        ctes.append(
-            f"p{r} AS (SELECT unnest(list_transform(range(1, len(l)), "
-            f"i -> {{'a': l[i], 'b': l[i+1]}})) AS s FROM t{r} "
-            f"WHERE len(l) >= 2)"
-        )
-        ctes.append(
-            f"g{r} AS (SELECT s.a AS a, s.b AS b, "
-            f"CAST(COUNT(*) AS BIGINT) AS c FROM p{r} GROUP BY 1, 2)"
-        )
-        ctes.append(
-            f"top{r} AS (SELECT a, b, c FROM g{r} "
-            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
-        )
-        ctes.append(
-            f"c{r} AS (SELECT doc_id, replace(w, "
-            f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
-            f"(SELECT b FROM top{r}) || chr(31), "
-            f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
-            f"(SELECT b FROM top{r}) || chr(31)) AS w FROM {prev})"
-        )
+    """t49: the corpus after applying ALL ``n`` learned merges, reduced
+    to per-document token counts and the compression ratio."""
     n_bpe = ("len(string_split(substr(e.w, 2, length(e.w) - 2), "
              "chr(31)||chr(31)))")
     n_ws = "len(string_split(" + NORM.replace("text", "d.text") + ", ' '))"
     ratio = f"CAST({n_bpe} AS DOUBLE) / {n_ws}"
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_round_ctes(n, with_doc_id=True))
         + f"""
     SELECT d.doc_id,
            CAST({n_ws} AS BIGINT) AS n_tokens_ws,
@@ -2218,4 +2173,5 @@ def _bpe_encode_oracle(n: int) -> str:
     )
 
 
+LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_merge_oracle(4)
 LLMDATA_ORACLES["t49_bpe_encode"] = _bpe_encode_oracle(4)

@@ -101,6 +101,11 @@ class PosixFS:
             if not p.name.startswith((".", "_"))
         )
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time (epoch seconds) — the age signal the
+        manifest log's vacuum retention guard uses."""
+        return Path(path).stat().st_mtime
+
 
 class HadoopFS:
     """The same verbs through ``org.apache.hadoop.fs.FileSystem`` so the
@@ -206,6 +211,10 @@ class HadoopFS:
         ok = self._fs(src).rename(self._jpath(src), self._jpath(dst))
         if not ok:
             raise FileExistsError(f"commit conflict or rename failure: {dst}")
+
+    def mtime(self, path: str) -> float:
+        status = self._fs(path).getFileStatus(self._jpath(path))
+        return float(status.getModificationTime()) / 1000.0
 
     def list_data_files(self, path: str) -> list[str]:
         fs = self._fs(path)

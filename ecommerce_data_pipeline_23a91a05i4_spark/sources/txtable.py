@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import posixpath
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,7 +139,7 @@ class TxTable:
             return self.spark.read.schema(schema).parquet(*paths)
         ptype = schema[pcol].dataType
         data_schema = StructType([f for f in schema.fields if f.name != pcol])
-        by_val: dict[str, list[str]] = {}
+        by_val: dict[str | None, list[str]] = {}
         for e in entries:
             by_val.setdefault(e["part"], []).append(
                 posixpath.join(self.path, e["path"])
@@ -147,7 +148,11 @@ class TxTable:
             self.spark.read.schema(data_schema)
             .parquet(*paths)
             .withColumn(pcol, F.lit(val).cast(ptype))
-            for val, paths in sorted(by_val.items())
+            # None sorts first (a NULL partition; also files staged
+            # unpartitioned before a concurrent layout change)
+            for val, paths in sorted(
+                by_val.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+            )
         ]
         out = parts[0]
         for p in parts[1:]:
@@ -170,7 +175,15 @@ class TxTable:
             if partition_by is not None:
                 head = rel.split("/", 1)[0]
                 if "=" in head:
-                    part = head.split("=", 1)[1]
+                    raw = head.split("=", 1)[1]
+                    # Spark Hive-escapes partition dir names (%-encoding
+                    # for '/', ' ', ... and a sentinel for NULL); store
+                    # the VALUE, not the token, or snapshot() would
+                    # re-inject corrupted literals for string columns
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        part = None  # NULL partition value
+                    else:
+                        part = unquote(raw)
             entries.append(
                 {"path": posixpath.join(rel_commit, rel), "part": part}
             )
@@ -223,12 +236,27 @@ class TxTable:
     def append(self, df: DataFrame, max_retries: int = 5) -> int:
         """Blind append: stage once, then race to commit; on conflict the
         new base's file list is re-read and the SAME staged files are
-        re-proposed — appends never invalidate each other."""
+        re-proposed — CONCURRENT APPENDS never invalidate each other.
+        A concurrent overwrite that changed the table LAYOUT (partition
+        column or schema) does invalidate the staged files, so the retry
+        re-validates both and surfaces a CommitConflict instead of
+        committing a manifest whose entries mix layouts (which would
+        make the latest version unreadable)."""
         base = self.manifest()
         pcol = base.get("partition_by")
+        schema_json = base["schema"]
         staged = self._stage(df, pcol)
         for _ in range(max_retries):
             base = self.manifest()
+            if (
+                base.get("partition_by") != pcol
+                or base["schema"] != schema_json
+            ):
+                raise CommitConflict(
+                    f"append to {self.path}: table layout changed "
+                    "concurrently (partition column or schema); restage "
+                    "the append against the new layout"
+                )
             try:
                 return self._commit(
                     base["files"] + staged,
@@ -270,11 +298,23 @@ class TxTable:
         )
 
     # ------------------------------------------------------ maintenance
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 24 * 3600.0
+    ) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` most
         recent manifests, and drop the older manifests.  Also collects
         commit dirs orphaned by a pre-commit crash.  Returns the deleted
-        commit dirs (observability)."""
+        commit dirs (observability).
+
+        ``min_age_seconds`` is the concurrent-writer guard (the same
+        retention window Delta's VACUUM enforces): an unreferenced dir
+        younger than this may belong to a writer that has STAGED but not
+        yet committed — deleting it would destroy the data its imminent
+        manifest references.  The default tolerates a day-long stage;
+        pass 0 only when no writer can be mid-commit (tests, single-
+        writer maintenance windows)."""
+        import time
+
         vs = self.versions()
         keep = vs[-max(1, keep_versions):]
         live: set[str] = set()
@@ -282,11 +322,15 @@ class TxTable:
             for e in self.manifest(v)["files"]:
                 live.add(e["path"].split("/", 2)[1])  # the c-<uuid> dir
         removed = []
+        now = time.time()
         data_root = posixpath.join(self.path, DATA_DIR)
         for d in self.fs.glob(data_root, "c-*"):
-            if posixpath.basename(d) not in live:
-                self.fs.delete(d)
-                removed.append(d)
+            if posixpath.basename(d) in live:
+                continue
+            if now - self.fs.mtime(d) < min_age_seconds:
+                continue  # possibly a concurrent writer's live stage
+            self.fs.delete(d)
+            removed.append(d)
         for v in vs[: -max(1, keep_versions)]:
             self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
         return removed

@@ -88,7 +88,7 @@ def test_crash_before_commit_leaves_table_unchanged_and_vacuum_collects(
     t._stage(_df(spark, [(99, "zz")]), None)
     assert {r.k for r in t.snapshot().collect()} == {1}
     t.append(_df(spark, [(2, "b")]))
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     # v1's file is still referenced by v2 (append carries it forward),
     # so vacuum collects exactly the orphaned commit dir
     assert len(removed) == 1
@@ -102,7 +102,7 @@ def test_vacuum_drops_overwritten_files(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.init(_df(spark, [(1, "a")]))
     t.overwrite(_df(spark, [(2, "b")]))
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert len(removed) == 1  # version 1's commit dir is unreferenced
     assert {r.k for r in t.snapshot().collect()} == {2}
 
@@ -245,3 +245,64 @@ def test_partitioned_snapshot_reinjects_partition_column(spark, tmp_path):
     got = {(r.k, r.p) for r in t.snapshot().collect()}
     assert got == {(1, 0), (2, 1), (3, 0)}
     assert dict(t.snapshot().dtypes)["p"] == "int"
+
+
+def test_vacuum_age_guard_spares_fresh_stages(spark, tmp_path):
+    """An unreferenced commit dir younger than min_age_seconds must
+    survive vacuum — it may be a concurrent writer's live stage whose
+    manifest is about to land."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    staged = t._stage(_df(spark, [(2, "b")]), None)  # "in-flight" writer
+    assert t.vacuum(keep_versions=1, min_age_seconds=3600) == []
+    # the spared stage can still be committed and read
+    base = t.manifest()
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    t._commit(
+        base["files"] + staged, "append", base["version"],
+        StructType.fromJson(_json.loads(base["schema"])), None,
+    )
+    assert {r.k for r in t.snapshot().collect()} == {1, 2}
+
+
+def test_partition_values_unescaped_and_null_roundtrip(spark, tmp_path):
+    """Hive-escaped partition dir tokens (spaces, slashes) and the NULL
+    sentinel must round-trip as VALUES through snapshot()."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a/b"), (2, "x y"), (3, None), (4, "plain")],
+        "k long, p string",
+    )
+    t.init(df, partition_by="p")
+    got = {(r.k, r.p) for r in t.snapshot().collect()}
+    assert got == {(1, "a/b"), (2, "x y"), (3, None), (4, "plain")}
+
+
+def test_append_refuses_after_concurrent_layout_change(spark, tmp_path):
+    """The real race: append() STAGES its files, then a concurrent
+    overwrite switches the partition layout before the commit.  The
+    retry must surface CommitConflict instead of committing a manifest
+    that mixes layouts (which would make the latest version unreadable).
+    """
+    path = str(tmp_path / "t")
+    a = TxTable(spark, path)
+    b = TxTable(spark, path)
+    a.init(_df(spark, [(1, "a")]))
+
+    orig_stage = b._stage
+
+    def stage_then_lose_race(df, pcol):
+        out = orig_stage(df, pcol)
+        a.overwrite(
+            spark.createDataFrame([(9, "z", 0)], "k long, v string, p int"),
+            partition_by="p",
+        )
+        return out
+
+    b._stage = stage_then_lose_race
+    with pytest.raises(CommitConflict, match="layout"):
+        b.append(_df(spark, [(3, "c")]))
+    # the table stays readable on the new layout throughout
+    assert {(r.k, r.p) for r in a.snapshot().collect()} == {(9, 0)}
