@@ -117,6 +117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t47_domain_filter": llmdata.t47_domain_filter,
         "t48_bpe_merges": llmdata.t48_bpe_merges,
         "t49_bpe_encode": llmdata.t49_bpe_encode,
+        "t50_dataset_split": corpus.t50_dataset_split,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
@@ -128,8 +129,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,
         "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         # ---- driver window ends after the 50th entry above ------------
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "t40_incremental_clusters": corpus.t40_incremental_clusters,
         # -- (d) single-green r3 tail — rotate back in round 5 ----------
         "q26_daily_activity": relational.q26_daily_activity,

@@ -547,3 +547,42 @@ def t45_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SPLIT_MOD = 1_000
+SPLIT_VAL_PER_MILLE = 50    # 5% validation
+SPLIT_TEST_PER_MILLE = 50   # 5% test
+
+
+def t50_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and leakage-free: a
+    document's split is a pure function of its id (portable md5 hash
+    mod 1000 against per-mille thresholds), so re-runs, engines, and
+    cluster sizes all agree, appends never reshuffle old documents
+    between splits (no train/test leakage across dataset versions), and
+    the assignment needs no state anywhere.  Output is the per-source ×
+    split manifest (doc and char counts) — the shape used to audit that
+    the split is balanced within every source.  One small shuffle on
+    (source, split); the assignment itself is map-side."""
+    from ..operators.dedup import md5_hash32
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.pmod(
+        md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(SPLIT_MOD),
+    )
+    split = (
+        F.when(h < SPLIT_VAL_PER_MILLE, F.lit("validation"))
+        .when(h < SPLIT_VAL_PER_MILLE + SPLIT_TEST_PER_MILLE, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )

