@@ -119,6 +119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t49_bpe_encode": llmdata.t49_bpe_encode,
         "t50_dataset_split": corpus.t50_dataset_split,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
+        "s5_streaming_curation": monitoring.s5_streaming_curation,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
@@ -128,8 +129,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t36_temperature_mix": corpus.t36_temperature_mix,
         "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
         # ---- driver window ends after the 50th entry above ------------
+        "t38_curation_v2": llmdata.t38_curation_v2,
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "t40_incremental_clusters": corpus.t40_incremental_clusters,
         # -- (d) single-green r3 tail — rotate back in round 5 ----------

@@ -304,6 +304,17 @@ def bucket_weight(bucket: Column) -> Column:
     ) - F.lit(CLS_WEIGHT_SPAN)
 
 
+def classifier_score(col: Column) -> Column:
+    """The document score as ONE reusable column expression (a single
+    higher-order fold) — shared by classifier_scores and the streaming
+    s5 gate so batch and in-flight scoring cannot drift."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + bucket_weight(hashed_bucket(t)),
+    )
+
+
 def classifier_scores(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -317,11 +328,7 @@ def classifier_scores(
     Python; at 100 TB this runs at scan speed, which is exactly why the
     hashing trick (not a vocabulary join) is the right scorer shape."""
     toks = tokens(F.col(text_col))
-    score = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + bucket_weight(hashed_bucket(t)),
-    )
+    score = classifier_score(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("long").alias("n_tokens"),

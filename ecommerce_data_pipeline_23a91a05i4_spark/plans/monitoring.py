@@ -423,3 +423,58 @@ def s4_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return result
+
+
+def s5_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight curation: the new batch (doc_id % 5 == 0) flows through
+    PII redaction (t32's planted input, operators/curation.redact_pii)
+    and the hashed-feature quality scorer (t42's
+    operators/curation.classifier_scores expressions) INSIDE the stream
+    — a pure map-only streaming stage (append mode, zero state, zero
+    shuffles), which is exactly how curation runs between ingest and the
+    stateful dedup stages at scale.  Because the expressions are the
+    same column exprs as the batch gates', the DuckDB oracle replays the
+    whole thing and the driver proves stream == batch on values."""
+    import os
+    import uuid
+
+    from ..operators import curation as cu
+    from ..plans.llmdata import plant_pii
+    from ..streaming import ingest as st
+
+    delta = st.stream_documents(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") % 5 == 0)
+    did = F.col("doc_id")
+    aug = plant_pii(did)
+    counts = cu.pii_counts(aug)
+    n_pii = (
+        counts["email"].cast("long")
+        + counts["phone"].cast("long")
+        + counts["ipv4"].cast("long")
+    )
+    red = cu.redact_pii(aug)
+    score = cu.classifier_score(F.col("text"))
+    curated = delta.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        F.md5(red).alias("redacted_md5"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+    name = "s5_curation_" + uuid.uuid4().hex[:8]
+    q = (
+        curated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result

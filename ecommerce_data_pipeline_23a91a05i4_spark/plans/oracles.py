@@ -683,32 +683,44 @@ def _bpe_oracle() -> str:
 LLMDATA_ORACLES["t26_bpe_token_stats"] = _bpe_oracle()
 
 
-def _pii_oracle() -> str:
-    """DuckDB twin of llmdata.t32_pii_redaction: identical deterministic
-    PII planting, the same shared-RE2/Java regexes from
-    operators/curation.PII_PATTERNS, the same redaction order, and an
-    md5 over the redacted text so one leaked character mismatches."""
+# Deterministic PII planting, shared by the t32 and s5 oracles (the
+# Spark twin is plans/llmdata.plant_pii).
+_PII_PLANT_SQL = """text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142 now' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 logged' ELSE '' END"""
+
+
+def _pii_sql_parts() -> tuple[dict, str]:
+    """(span-exclusive per-kind count exprs, full-redaction expr) over a
+    text column named ``t`` — the SQL twin of curation.pii_counts /
+    redact_pii, shared by the t32 and s5 oracles.  Counting mirrors
+    pii_counts: each kind is counted on the text with all earlier kinds
+    already redacted."""
     from ..operators.curation import PII_PATTERNS, REDACT_ORDER, REDACT_TOKEN
 
     red = "t"
     counts = {}
     for kind in REDACT_ORDER:
-        # span-exclusive counting mirrors curation.pii_counts: each kind
-        # is counted on the text with all earlier kinds already redacted
         counts[kind] = (
             f"CAST(len(regexp_extract_all({red}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
         )
         red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '{REDACT_TOKEN}', 'g')"
+    return counts, red
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of llmdata.t32_pii_redaction: identical deterministic
+    PII planting, the same shared-RE2/Java regexes from
+    operators/curation.PII_PATTERNS, the same redaction order, and an
+    md5 over the redacted text so one leaked character mismatches."""
+    counts, red = _pii_sql_parts()
     return f"""
         WITH aug AS (
             SELECT doc_id,
-                   text
-                   || CASE WHEN doc_id % 3 = 0
-                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                           ELSE '' END
-                   || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142 now' ELSE '' END
-                   || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 logged' ELSE '' END
-                   AS t
+                   {_PII_PLANT_SQL} AS t
             FROM documents
         )
         SELECT doc_id,
@@ -979,6 +991,16 @@ LLMDATA_ORACLES["t41_segment_dedup"] = _segment_dedup_oracle()
 # md5-prefix 32-bit hash (operators/dedup.md5_hash32) in DuckDB syntax
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
+
+# Hashed-feature classifier score over a tokens CTE column ``w`` — the
+# SQL twin of operators/curation.classifier_score, shared by the t42 and
+# s5 oracles so batch and streaming scoring oracles cannot drift.
+_CLS_SCORE_SQL = (
+    "SUM((('0x' || substr(md5('w:' || CAST("
+    + _H32.format(x="w")
+    + " % 1024 AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
+)
+
 LLMDATA_ORACLES["t42_quality_classifier"] = f"""
     WITH toks AS (
         SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
@@ -989,9 +1011,7 @@ LLMDATA_ORACLES["t42_quality_classifier"] = f"""
     scored AS (
         SELECT doc_id,
                ANY_VALUE(n_tokens) AS n_tokens,
-               SUM((('0x' || substr(md5('w:' || CAST(
-                        {_H32.format(x='w')} % 1024 AS VARCHAR)), 1, 8))::BIGINT
-                    % 2001) - 1000) AS score
+               {_CLS_SCORE_SQL} AS score
         FROM t GROUP BY doc_id
     )
     SELECT doc_id,
@@ -2194,3 +2214,34 @@ CORPUS_ORACLES["t50_dataset_split"] = f"""
     GROUP BY source, split
     ORDER BY source, split
 """
+
+
+def _streaming_curation_oracle() -> str:
+    """DuckDB twin of monitoring.s5_streaming_curation: the delta batch
+    through the SAME planting (_PII_PLANT_SQL), redaction/count SQL
+    (_pii_sql_parts) and classifier score (_CLS_SCORE_SQL) the batch
+    gates' oracles use — stream == batch proved on values."""
+    counts, red = _pii_sql_parts()
+    n_pii = " + ".join(counts[k] for k in counts)
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, text, {_PII_PLANT_SQL} AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM aug
+    ),
+    sc AS (
+        SELECT doc_id, {_CLS_SCORE_SQL} AS score FROM toks GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           {n_pii} AS n_pii,
+           md5({red}) AS redacted_md5,
+           CAST(s.score AS BIGINT) AS score,
+           s.score > 0 AS keep
+    FROM aug a JOIN sc s USING (doc_id)
+    ORDER BY a.doc_id
+"""
+
+
+MONITORING_ORACLES["s5_streaming_curation"] = _streaming_curation_oracle()

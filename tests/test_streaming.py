@@ -416,7 +416,10 @@ def test_gate_drains_drop_their_memory_sink_views(spark):
         t.name
         for t in spark.catalog.listTables()
         if t.name.startswith(
-            ("s1_hourly_", "s2_sessions_", "s2b_sessions_", "s3_neardup_", "s4_dedup_")
+            (
+                "s1_hourly_", "s2_sessions_", "s2b_sessions_",
+                "s3_neardup_", "s4_dedup_", "s5_curation_",
+            )
         )
     ]
     assert leftovers == []
