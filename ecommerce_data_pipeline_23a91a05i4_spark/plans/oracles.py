@@ -2245,3 +2245,52 @@ def _streaming_curation_oracle() -> str:
 
 
 MONITORING_ORACLES["s5_streaming_curation"] = _streaming_curation_oracle()
+
+
+LLMDATA_ORACLES["t42b_quality_classifier_table"] = LLMDATA_ORACLES[
+    "t42_quality_classifier"
+]
+
+LLMDATA_ORACLES["t51_dataset_version_diff"] = f"""
+    WITH v1 AS (
+        SELECT DISTINCT md5({NORM}) AS fp FROM documents WHERE doc_id % 5 != 0
+    ),
+    v2 AS (
+        SELECT source, md5({NORM}) AS fp FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN fp IN (SELECT fp FROM v1)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_content_collisions
+    FROM v2
+    GROUP BY source
+    ORDER BY source
+"""
+
+LLMDATA_ORACLES["t52_length_profile"] = """
+    SELECT source,
+           CASE WHEN n_chars < 64 THEN 'a_lt64'
+                WHEN n_chars < 128 THEN 'b_lt128'
+                WHEN n_chars < 256 THEN 'c_lt256'
+                WHEN n_chars < 512 THEN 'd_lt512'
+                ELSE 'e_ge512' END AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY source, len_bucket
+    ORDER BY source, len_bucket
+"""
+
+LLMDATA_ORACLES["t53_txtable_versions"] = """
+    SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents WHERE doc_id % 5 != 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT)
+    FROM documents
+    ORDER BY version
+"""
