@@ -124,13 +124,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
         "t52_length_profile": llmdata.t52_length_profile,
         "t53_txtable_versions": llmdata.t53_txtable_versions,
+        "t54_duplicate_spans": llmdata.t54_duplicate_spans,
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
         "t33_repetition_filters": llmdata.t33_repetition_filters,
+        # ---- driver window ends after the 50th entry above ------------
         "t34_decontamination": llmdata.t34_decontamination,
         "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        # ---- driver window ends after the 50th entry above ------------
         "t36_temperature_mix": corpus.t36_temperature_mix,
         "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
         "s3_streaming_neardup": monitoring.s3_streaming_neardup,

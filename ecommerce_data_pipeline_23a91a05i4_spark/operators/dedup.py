@@ -904,3 +904,47 @@ def segment_dedup_incremental(
     )
     marked = segs.join(boiler.withColumn("_drop", F.lit(True)), "seg_md5", "left")
     return _segment_rollup(marked)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = SEGMENT_TOKENS,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document duplicate SPANS at stride 1: every ``span_tokens``-
+    token window (any alignment) hashed and counted across the corpus;
+    returns (span_md5, n_docs, n_occurrences) for spans present in more
+    than ``max_docs`` distinct documents.
+
+    This is the relational core of exact-substring dedup (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    find 50-token duplicate substrings with a suffix array; the
+    map-reduce formulation is exactly this windowed-hash count): t41's
+    fixed segments catch aligned boilerplate, stride-1 spans catch
+    copied passages at ANY offset.  Fan-out is n_tokens windows per
+    document (the honest cost — a suffix array trades that for global
+    sorts); everything else is one shuffle on the span digest.  Short
+    documents (< span_tokens) contribute their whole text as one span
+    so they still participate."""
+    toks = tokens(F.col(text_col))
+    spans = F.when(
+        F.size(toks) >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - span_tokens),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, span_tokens)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(spans).alias("span")
+    )
+    return (
+        exploded.groupBy(F.md5(F.col("span")).alias("span_md5"))
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > max_docs)
+        .withColumn("n_docs", F.col("n_docs").cast("long"))
+    )

@@ -2294,3 +2294,25 @@ LLMDATA_ORACLES["t53_txtable_versions"] = """
     FROM documents
     ORDER BY version
 """
+
+
+LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(l) >= 16
+                           THEN list_transform(range(0, len(l) - 15),
+                                i -> array_to_string(l[i+1 : i+16], ' '))
+                           ELSE [array_to_string(l, ' ')] END) AS span
+        FROM toks
+    )
+    SELECT md5(span) AS span_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans
+    GROUP BY span_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY span_md5
+"""

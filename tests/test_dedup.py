@@ -393,3 +393,25 @@ def test_segment_counts_store_roundtrip(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_store))
     assert direct[0].n_dropped == 1  # shared segment caught via the store
+
+
+def test_duplicate_spans_catch_unaligned_copies(spark):
+    """A 16-token passage copied at DIFFERENT offsets in two documents
+    is invisible to aligned segment hashing but must surface here."""
+    passage = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (1, "lead-in words here " + passage + " trailer"),
+        (2, passage + " completely different tail text"),
+        (3, "unrelated document with its own words only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # aligned segments: doc1's copy starts at offset 3 -> no shared segment
+    seg = {r.id: r.n_dropped for r in dd.segment_dedup(df, "doc_id", "text").collect()}
+    assert all(v == 0 for v in seg.values())
+    # stride-1 spans: the shared passage is caught
+    import hashlib
+
+    spans = {r.span_md5: (r.n_docs, r.n_occurrences)
+             for r in dd.duplicate_spans(df, "doc_id", "text").collect()}
+    want = hashlib.md5(passage.encode()).hexdigest()
+    assert spans.get(want) == (2, 2)
