@@ -71,10 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # checks the first 50 entries only, so gates with the least cumulative
 # driver evidence must come first.  Round-4 ordering (by green driver
 # rows and recency as of round 3): (a) the 29 gates last driver-green in
-# round 2 (two rounds stale — VERDICT r3 "Next round" #1), (b) gates new
-# this round (zero rows), (c) single-green round-3 gates, newest designs
-# first per the verdict, until the 50-slot window is full, (d) tail:
-# single-green r3 gates that wait for round 5, then multi-green gates.
+# round 2 (two rounds stale — VERDICT r3 "Next round" #1), (b) the 18
+# gates new this round (zero rows: s2b, t41-t54, t42b, s4, s5), (c)
+# single-green round-3 gates until the 50-slot window is full, (d) tail.
+# ROUND-5 PLAN: sections (a)+(b) will then hold fresh r4 rows — rotate
+# (d)'s head (t34-t40, s3, t38, t39, then q26-q34, t20-t28) into the
+# window first; they are the least-recently driver-checked.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (a) last driver-green in round 2 — refresh first -----------
         "q3_customer_segmentation": analytics.q3_customer_segmentation,
