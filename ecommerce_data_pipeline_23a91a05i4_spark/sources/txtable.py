@@ -179,9 +179,14 @@ class TxTable:
                     # Spark Hive-escapes partition dir names (%-encoding
                     # for '/', ' ', ... and a sentinel for NULL); store
                     # the VALUE, not the token, or snapshot() would
-                    # re-inject corrupted literals for string columns
+                    # re-inject corrupted literals for string columns.
+                    # Spark writes EMPTY-STRING values to the same
+                    # sentinel dir as NULL, and its own partitioned
+                    # reader returns NULL for both — snapshot() matches
+                    # that native semantics ('' collapses to NULL in a
+                    # partition column; keep '' out of partition keys).
                     if raw == "__HIVE_DEFAULT_PARTITION__":
-                        part = None  # NULL partition value
+                        part = None  # NULL (or empty-string) value
                     else:
                         part = unquote(raw)
             entries.append(
@@ -327,7 +332,17 @@ class TxTable:
         for d in self.fs.glob(data_root, "c-*"):
             if posixpath.basename(d) in live:
                 continue
-            if now - self.fs.mtime(d) < min_age_seconds:
+            # Age = the NEWEST data file under the dir, not the dir
+            # status: object stores report meaningless (often 0) mtimes
+            # for synthetic directory entries, which would defeat the
+            # guard exactly where it matters.  A dir with no data files
+            # yet is a stage in progress — maximally fresh.
+            files = self.fs.list_data_files(d)
+            newest = max(
+                (self.fs.mtime(posixpath.join(d, rel)) for rel in files),
+                default=now,
+            )
+            if now - newest < min_age_seconds:
                 continue  # possibly a concurrent writer's live stage
             self.fs.delete(d)
             removed.append(d)

@@ -389,11 +389,37 @@ def test_dataset_split_is_stable_and_roughly_proportioned(spark):
     total = sum(full.values())
     train = sum(v for (s, sp), v in full.items() if sp == "train")
     assert 0.85 <= train / total <= 0.95
-    # every (source, split) count from the subset corpus must be <= the
-    # full corpus count with the same key (pure-function assignment);
-    # use sf0.001's 500-doc corpus as the "earlier dataset version"
-    small = {
-        (r.source, r.split): r.n_docs
-        for r in corpus.t50_dataset_split(spark, "/root/testdata/sf0.001").collect()
+    # pure-function assignment: recompute the split expression on the
+    # FULL corpus and on a filtered subset of the same table — every
+    # surviving doc_id must keep its split (no leakage across versions)
+    from pyspark.sql import functions as F
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.dedup import (
+        md5_hash32,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    h = F.pmod(
+        md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(corpus.SPLIT_MOD),
+    )
+    split = (
+        F.when(h < corpus.SPLIT_VAL_PER_MILLE, F.lit("validation"))
+        .when(
+            h < corpus.SPLIT_VAL_PER_MILLE + corpus.SPLIT_TEST_PER_MILLE,
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    all_assign = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", split.alias("s")).collect()
     }
-    assert set(small) <= set(full) or total >= sum(small.values())
+    subset_assign = {
+        r.doc_id: r.s
+        for r in docs.filter(F.col("doc_id") < 1000)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert subset_assign == {
+        k: v for k, v in all_assign.items() if k < 1000
+    }
