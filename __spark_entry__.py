@@ -122,6 +122,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t50_dataset_split": corpus.t50_dataset_split,
         "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
         "s5_streaming_curation": monitoring.s5_streaming_curation,
+        "s6_streaming_txtable_sink": monitoring.s6_streaming_txtable_sink,
         "t42b_quality_classifier_table": llmdata.t42b_quality_classifier_table,
         "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
         "t52_length_profile": llmdata.t52_length_profile,
@@ -130,8 +131,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (c) single-green (round 3 only), newest designs first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
         # ---- driver window ends after the 50th entry above ------------
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
         "t35_sliding_chunks": corpus.t35_sliding_chunks,
         "t36_temperature_mix": corpus.t36_temperature_mix,

@@ -478,3 +478,56 @@ def s5_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return result
+
+
+def s6_streaming_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the transactional table:
+    the document stream lands in a manifest-log table via the
+    foreachBatch sink (sources/txtable.TxTableStreamSink), whose
+    batch-id-in-manifest idempotence turns Structured Streaming's
+    at-least-once replay into exactly-once appends — the Delta-style
+    txn-version pattern on the engine's own format.  The gate drains
+    availableNow, reads the FINAL TABLE back, and returns per-source
+    stats; the oracle recomputes them from the raw documents, so the
+    driver proves no batch was lost or double-committed."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.txtable import TxTable, TxTableStreamSink
+    from ..streaming import ingest as st
+
+    base = tempfile.mkdtemp(prefix=f"s6_{_uuid.uuid4().hex[:8]}_")
+    try:
+        docs_schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        t = TxTable(spark, base + "/docs")
+        t.init(spark.createDataFrame([], docs_schema))
+        stream = st.stream_documents(
+            spark, os.path.join(sf_dir, "documents.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(TxTableStreamSink(t))
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            t.snapshot()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "source string, n_docs long, n_chars long",
+        ).orderBy("source")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -2316,3 +2316,13 @@ LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
     HAVING COUNT(DISTINCT doc_id) > 1
     ORDER BY span_md5
 """
+
+
+MONITORING_ORACLES["s6_streaming_txtable_sink"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""

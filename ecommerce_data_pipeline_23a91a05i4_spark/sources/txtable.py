@@ -436,3 +436,59 @@ def scd2_merge_tx(
     raise CommitConflict(
         f"scd2_merge_tx on {table.path} lost {max_retries} commit races"
     )
+
+
+# ------------------------------------------- exactly-once streaming sink
+
+def _batch_op(batch_id: int) -> str:
+    return f"stream_append:{batch_id}"
+
+
+class TxTableStreamSink:
+    """foreachBatch sink with EXACTLY-ONCE appends: Structured Streaming
+    guarantees at-least-once foreachBatch invocation — after a failure a
+    micro-batch is REPLAYED with the same batch_id — so the sink records
+    the batch_id in the manifest's op field and a replayed batch finds
+    its op already committed and becomes a no-op.  This is the classic
+    idempotent-commit pattern transactional formats ship (Delta's
+    txnAppId/txnVersion), built on the manifest log's existing
+    create-if-absent commit: duplicate suppression and atomicity come
+    from the same mechanism.
+
+    Usage::
+
+        sink = TxTableStreamSink(TxTable(spark, path))
+        stream.writeStream.foreachBatch(sink).start()
+    """
+
+    def __init__(self, table: TxTable) -> None:
+        self.table = table
+
+    def committed_batch_ids(self) -> set[int]:
+        out = set()
+        for v in self.table.versions():
+            op = self.table.manifest(v)["op"]
+            if op.startswith("stream_append:"):
+                out.add(int(op.split(":", 1)[1]))
+        return out
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batch_ids():
+            return  # replayed micro-batch: already committed, skip
+        base = self.table.manifest()
+        pcol = base.get("partition_by")
+        staged = self.table._stage(df, pcol)
+        # single writer per stream by construction; a lost race here
+        # means another sink instance for the SAME stream committed this
+        # batch — re-check and drop out instead of double-appending
+        try:
+            self.table._commit(
+                base["files"] + staged,
+                _batch_op(batch_id),
+                base["version"],
+                StructType.fromJson(json.loads(base["schema"])),
+                pcol,
+            )
+        except CommitConflict:
+            if batch_id not in self.committed_batch_ids():
+                raise

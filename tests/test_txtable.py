@@ -306,3 +306,27 @@ def test_append_refuses_after_concurrent_layout_change(spark, tmp_path):
         b.append(_df(spark, [(3, "c")]))
     # the table stays readable on the new layout throughout
     assert {(r.k, r.p) for r in a.snapshot().collect()} == {(9, 0)}
+
+
+def test_stream_sink_is_exactly_once_on_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once; the sink's batch-id-in-manifest
+    idempotence must make a REPLAYED micro-batch a no-op, while new
+    batch ids append normally."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, []))
+    sink = TxTableStreamSink(t)
+    sink(_df(spark, [(1, "a")]), 0)
+    sink(_df(spark, [(1, "a")]), 0)  # replay of batch 0: must be a no-op
+    sink(_df(spark, [(2, "b")]), 1)
+    sink(_df(spark, [(2, "b")]), 1)  # replay of batch 1
+    rows = sorted((r.k, r.v) for r in t.snapshot().collect())
+    assert rows == [(1, "a"), (2, "b")]
+    assert sink.committed_batch_ids() == {0, 1}
+    # exactly one manifest per batch (plus init)
+    assert [h["op"] for h in t.history()] == [
+        "init", "stream_append:0", "stream_append:1"
+    ]
