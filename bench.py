@@ -263,6 +263,85 @@ def run_llm_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) 
     return {"sf_dir": sf_dir, "points": points}
 
 
+def run_curation_scale_probe(
+    spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)
+) -> dict:
+    """Map-only curation scale probe (VERDICT r4 ask #8): the
+    classifier+PII in-flight path — per-row hashed-feature scoring plus
+    regex redaction, ZERO shuffles by design (the s5/t42 plan shape).
+    The claim under test is scan-speed linearity: docs are replicated
+    with remapped ids and a replica salt appended to the text (so regex
+    and tokenize work per replica matches 1x instead of hitting warmed
+    dictionary-encoded pages), and the whole map path is timed end to
+    end.  Slowdown ≈ factor/cores saturation means the path is
+    scan-bound; super-linear growth would mean hidden state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import curation as cu
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        raise RuntimeError(
+            f"curation scale probe: documents table at {sf_dir} is empty"
+        )
+    span = max_id + 1
+    tmp = tempfile.mkdtemp(prefix="bench_curation_probe_")
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def best_of(action, n: int = 3) -> float:
+        action()  # warm
+        return min(
+            (lambda t0: (action(), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(n)
+        )
+
+    try:
+        points: dict[str, dict] = {}
+        base_docs = docs.count()
+        base_sec = None
+        for fac in (1, *factors):
+            d_path = os.path.join(tmp, f"docs_{fac}x.parquet")
+            rep = docs.withColumn(
+                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+            ).select(
+                (F.col("doc_id") + F.col("_r").cast("long") * span).alias(
+                    "doc_id"
+                ),
+                F.when(F.col("_r") == 0, F.col("text"))
+                .otherwise(F.concat_ws(" r", F.col("text"), F.col("_r")))
+                .alias("text"),
+            )
+            rep.repartition(n_files).write.parquet(d_path)
+            docs_fac = spark.read.parquet(d_path)
+
+            def run():
+                return docs_fac.select(
+                    "doc_id",
+                    cu.classifier_score(F.col("text")).alias("score"),
+                    F.md5(cu.redact_pii(F.col("text"))).alias("redacted_md5"),
+                ).count()
+
+            best = best_of(run)
+            if fac == 1:
+                base_sec = best
+            rows = base_docs * fac
+            points[f"{fac}x"] = {
+                "sec": round(best, 4),
+                "docs": rows,
+                "slowdown_vs_1x": round(best / max(base_sec, 1e-9), 2),
+                "docs_per_sec": round(rows / best),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -308,6 +387,10 @@ def main() -> None:
         probe["llm"] = run_llm_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__llm_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["curation"] = run_curation_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__curation_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
@@ -390,6 +473,16 @@ def main() -> None:
     if failed_headline:
         out["incomplete"] = True
     print(json.dumps(out))
+    # Persist the FULL results dict in the repo as well: the driver keeps
+    # only the tail of stdout, which truncated r4's per-query timings and
+    # made round-over-round regression audits impossible (VERDICT r4
+    # "What's wrong" #3).  The file is the auditable record; stdout stays
+    # the driver contract.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
     # The driver stores only the TAIL of stdout; the big line above can be
     # truncated from the front, losing the headline.  Repeat the verdict-
     # critical numbers in a tiny trailing line that survives any window.
@@ -408,6 +501,9 @@ def main() -> None:
     for k, v in probe.get("llm", {}).get("points", {}).items():
         if k != "1x":
             tail[f"scale_probe_llm_{k}_slowdown"] = v["slowdown_vs_1x"]
+    for k, v in probe.get("curation", {}).get("points", {}).items():
+        if k != "1x":
+            tail[f"scale_probe_curation_{k}_slowdown"] = v["slowdown_vs_1x"]
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 

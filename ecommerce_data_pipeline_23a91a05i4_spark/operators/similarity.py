@@ -383,15 +383,18 @@ def ivf_train(
             assigned.join(v, "id")
             .select("cluster_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cluster_id", "dim")
-            # decimal-exact mean: centroids are bit-identical under any
-            # partitioning, so the trained index is fully deterministic
+            # decimal-exact SUM (order-independent under any partitioning)
+            # cast to double BEFORE one IEEE division — bit-identical in
+            # any engine, so a SQL oracle can replay the training loop
+            # (decimal DIVISION rounding is engine-specific; sum-then-
+            # cast-then-divide is not).  float32 inputs cannot tie at the
+            # 12th decimal (would need a 5^12 mantissa factor > 2^24), so
+            # the decimal cast itself is also engine-identical.
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(28,12)"))
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
                     / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m")
+                ).alias("m")
             )
             .groupBy("cluster_id")
             .agg(

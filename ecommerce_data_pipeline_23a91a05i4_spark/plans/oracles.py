@@ -11,6 +11,13 @@ embeddings.
 # Shared with plans/llmdata.py so the t39 oracle's LIMIT can never
 # drift from the Spark gate's vocabulary cap.
 from .llmdata_constants import FLUENCY_VOCAB_CAP  # noqa: F401
+
+# Operator tunables interpolated into the oracle SQL below — importing
+# the very constants the Spark operators run with, so retuning an
+# operator can never silently break its gate (ADVICE r4: the FLUENCY_
+# VOCAB_CAP discipline, applied to every hardcoded tunable).
+from ..operators.curation import CLS_BUCKETS, CLS_WEIGHT_SPAN
+from ..operators.dedup import BLOOM_BITS, BLOOM_HASHES
 from ..functions.exprs import (
     SQL_DSUM,
     SQL_MEAN2,
@@ -998,7 +1005,8 @@ _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 _CLS_SCORE_SQL = (
     "SUM((('0x' || substr(md5('w:' || CAST("
     + _H32.format(x="w")
-    + " % 1024 AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
+    + f" % {CLS_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT"
+    + f" % {2 * CLS_WEIGHT_SPAN + 1}) - {CLS_WEIGHT_SPAN})"
 )
 
 LLMDATA_ORACLES["t42_quality_classifier"] = f"""
@@ -1028,8 +1036,8 @@ LLMDATA_ORACLES["t43_bloom_prefilter"] = f"""
     ),
     bits AS (
         SELECT DISTINCT
-               unnest(list_transform(range(0, 4),
-                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % 262144))
+               unnest(list_transform(range(0, {BLOOM_HASHES}),
+                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % {BLOOM_BITS}))
                    AS bit
         FROM cf
     ),
@@ -1038,8 +1046,8 @@ LLMDATA_ORACLES["t43_bloom_prefilter"] = f"""
     ),
     probes AS (
         SELECT doc_id,
-               unnest(list_transform(range(0, 4),
-                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % 262144))
+               unnest(list_transform(range(0, {BLOOM_HASHES}),
+                      j -> ('0x' || substr(h, 1 + 8*j, 8))::BIGINT % {BLOOM_BITS}))
                    AS bit
         FROM dp
     ),
@@ -1052,7 +1060,7 @@ LLMDATA_ORACLES["t43_bloom_prefilter"] = f"""
     )
     SELECT h.doc_id,
            h.n_hits,
-           h.n_hits = 4 AS maybe_dup,
+           h.n_hits = {BLOOM_HASHES} AS maybe_dup,
            d.h IN (SELECT DISTINCT h FROM cf) AS exact_dup
     FROM hits h JOIN dp d USING (doc_id)
     ORDER BY h.doc_id

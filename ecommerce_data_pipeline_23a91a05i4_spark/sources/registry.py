@@ -47,9 +47,15 @@ def read(
         # resolve the latest committed snapshot; version=N time-travels
         from .txtable import TxTable
 
-        return TxTable(spark, path).snapshot(
-            version=options.pop("version", None)
-        )
+        version = options.pop("version", None)
+        if options:
+            # other formats pass options to the Spark reader; the manifest
+            # log has no reader options, so silently dropping them would
+            # hide caller bugs (ADVICE r4)
+            raise ValueError(
+                f"txtable source takes only version=...; got {sorted(options)}"
+            )
+        return TxTable(spark, path).snapshot(version=version)
     if fmt == "json":
         reader = spark.read
         if schema is not None:
@@ -195,13 +201,22 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options
 
         t = TxTable(df.sparkSession, path)
         partition_by = options.pop("partitionBy", None)
+        if options:
+            # the manifest log consumes no writer options — raising beats
+            # the silent no-op other formats would at least forward
+            # (ADVICE r4)
+            raise ValueError(
+                f"txtable sink takes only partitionBy=...; got {sorted(options)}"
+            )
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"txtable sink: unsupported mode {mode!r}")
         if t.latest_version() is None:
+            # first write creates the table under either supported mode;
+            # unknown modes are rejected above, never silently init'd
             t.init(df, partition_by=partition_by)
         elif mode == "append":
             t.append(df)
-        elif mode == "overwrite":
-            t.overwrite(df, partition_by=partition_by)
         else:
-            raise ValueError(f"txtable sink: unsupported mode {mode!r}")
+            t.overwrite(df, partition_by=partition_by)
         return
     raise KeyError(f"unknown sink format {fmt!r}")

@@ -317,7 +317,16 @@ class TxTable:
         yet committed — deleting it would destroy the data its imminent
         manifest references.  The default tolerates a day-long stage;
         pass 0 only when no writer can be mid-commit (tests, single-
-        writer maintenance windows)."""
+        writer maintenance windows).
+
+        Streaming-sink coupling: pruning old manifests also prunes the
+        ``stream_append:<batch_id>`` ops TxTableStreamSink uses for
+        replay dedup — after a vacuum, the sink only remembers batch ids
+        committed in the retained versions.  That is safe for the normal
+        restart path (Structured Streaming replays the LATEST unconfirmed
+        batch, whose manifest is always retained), but keep
+        ``keep_versions`` larger than the deepest replay the checkpoint
+        can issue if the stream's checkpoint can lag several commits."""
         import time
 
         vs = self.versions()
@@ -463,14 +472,25 @@ class TxTableStreamSink:
 
     def __init__(self, table: TxTable) -> None:
         self.table = table
+        # (batch ids seen, versions already scanned) — the committed set
+        # only grows, so each micro-batch reads just the manifests NEWER
+        # than the last scan instead of re-parsing the whole log
+        # (O(versions) per batch → O(new versions); ADVICE r4)
+        self._seen_ids: set[int] = set()
+        self._scanned: set[int] = set()
 
     def committed_batch_ids(self) -> set[int]:
-        out = set()
         for v in self.table.versions():
+            if v in self._scanned:
+                continue
             op = self.table.manifest(v)["op"]
             if op.startswith("stream_append:"):
-                out.add(int(op.split(":", 1)[1]))
-        return out
+                self._seen_ids.add(int(op.split(":", 1)[1]))
+            self._scanned.add(v)
+        # NOTE: ids learned from a manifest later pruned by vacuum() stay
+        # cached for this sink instance; a NEW sink instance only sees the
+        # retained manifests (see vacuum()'s streaming-sink coupling note)
+        return self._seen_ids
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self.committed_batch_ids():

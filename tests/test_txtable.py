@@ -119,6 +119,27 @@ def test_registry_txtable_roundtrip(spark, tmp_path):
     assert {r.k for r in old.collect()} == {1}
 
 
+def test_registry_txtable_rejects_unconsumed_options_and_modes(
+    spark, tmp_path
+):
+    """txtable consumes no reader/writer options beyond version/
+    partitionBy — leftovers must raise, not silently no-op, and an
+    unknown mode must never implicitly create the table (ADVICE r4)."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import registry
+
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="unsupported mode"):
+        registry.write(_df(spark, [(1, "a")]), "txtable", path, mode="ignore")
+    assert not (tmp_path / "t").exists()  # rejected mode did not init
+    with pytest.raises(ValueError, match="mergeSchema"):
+        registry.write(
+            _df(spark, [(1, "a")]), "txtable", path, mergeSchema=True
+        )
+    registry.write(_df(spark, [(1, "a")]), "txtable", path)
+    with pytest.raises(ValueError, match="badOption"):
+        registry.read(spark, "txtable", path, badOption=1)
+
+
 def _dim(spark, n=60):
     rows = [
         (i, f"name{i}", f"city{i % 7}", dt.date(2024, 1, 1), None, True)
@@ -330,3 +351,11 @@ def test_stream_sink_is_exactly_once_on_replayed_batches(spark, tmp_path):
     assert [h["op"] for h in t.history()] == [
         "init", "stream_append:0", "stream_append:1"
     ]
+    # the committed-id scan is incremental: all versions are cached, so
+    # another call re-parses no manifest (O(new versions), ADVICE r4) —
+    # and a FRESH sink on the same table rediscovers the set from disk
+    assert sink._scanned == {1, 2, 3}
+    n_before = len(sink._scanned)
+    assert sink.committed_batch_ids() == {0, 1}
+    assert len(sink._scanned) == n_before
+    assert TxTableStreamSink(t).committed_batch_ids() == {0, 1}
