@@ -2005,49 +2005,141 @@ CORPUS_ORACLES["t23_multimodal_manifest"] = """
 
 # ------------------------------------------------------- round-4 oracles
 
-LLMDATA_ORACLES["t44_semdedup"] = f"""
-    WITH v AS (SELECT vec_id, embedding FROM embeddings),
-    cents AS (
-        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        WHERE vec_id < 8
-    ),
-    nrm AS (
-        SELECT vec_id, embedding,
-               sqrt({_dot('embedding', 'embedding')}) AS n
-        FROM v
-    ),
-    cn AS (
-        SELECT cid, cvec, sqrt({_dot('cvec', 'cvec')}) AS n FROM cents
-    ),
-    scored AS (
-        SELECT a.vec_id, c.cid,
-               {_dot('a.embedding', 'c.cvec')} / (a.n * c.n) AS cos
-        FROM nrm a CROSS JOIN cn c
-    ),
-    asg AS (
-        SELECT vec_id, cid AS cluster_id FROM (
-            SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY cos DESC, cid ASC) AS rn
-            FROM scored
-        ) WHERE rn = 1
-    ),
-    m AS (
-        SELECT a.vec_id, a.cluster_id, n.embedding, n.n
-        FROM asg a JOIN nrm n USING (vec_id)
-    ),
-    dropped AS (
-        SELECT DISTINCT b.vec_id
-        FROM m a JOIN m b
-          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        WHERE {_dot('a.embedding', 'b.embedding')} / (a.n * b.n) >= 0.35
+def _semdedup_trained_oracle(
+    k: int,
+    iters: int,
+    max_cluster: int,
+    sub_bits: int,
+    sub_seed: int,
+    dim: int,
+    threshold: float,
+) -> str:
+    """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
+    ivf_train k-means loop (k lowest-id seeds, per-iteration nearest-
+    centroid assignment with (cos DESC, cid ASC) tie-break, per-dim mean
+    as decimal-exact SUM cast to double then one IEEE division,
+    empty-cluster carryover), the final assignment, the >max_cluster
+    SRP sub-split with the SAME hyperplane literals as the operator, the
+    id-ordered chunk cap, and the drop-if-similar-to-any-lower-id-member
+    rule.  Every float op is a sequential fold or a single IEEE op, so
+    both engines agree bit-for-bit (the _srp_lsh_oracle discipline
+    extended to the training loop; tunables are the operator module's
+    own constants)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, sub_bits, sub_seed)
+
+    def plane_lit(coeffs: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+    def cos(vec_a: str, nrm_a: str, vec_b: str, nrm_b: str) -> str:
+        return f"{_dot(vec_a, vec_b)} / ({nrm_a} * {nrm_b})"
+
+    sub_expr = " + ".join(
+        f"(CASE WHEN {_dot('v.embedding', plane_lit(planes[p]))} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(sub_bits)
     )
+    ctes = [
+        "v AS (SELECT vec_id, embedding, "
+        f"sqrt({_dot('embedding', 'embedding')}) AS nrm FROM embeddings)",
+        # seeds: the k lowest-id vectors, cluster ids 0..k-1 in id order
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "embedding AS cvec, "
+        f"sqrt({_dot('embedding', 'embedding')}) AS cnrm "
+        f"FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        asg_cos = cos("v.embedding", "v.nrm", "c.cvec", "c.cnrm")
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, cid AS cluster_id FROM ("
+            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {asg_cos} DESC, c.cid ASC"
+            f") AS rn FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        # multiple unnests in one SELECT zip positionally (both lists
+        # have length dim), giving (dim index, component) rows
+        ctes.append(
+            f"u{r} AS (SELECT cluster_id, dim, "
+            "CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m "
+            f"FROM (SELECT a.cluster_id, "
+            f"unnest(range(1, {dim + 1})) AS dim, "
+            f"unnest(v.embedding) AS val "
+            f"FROM a{r} a JOIN v USING (vec_id)) "
+            "GROUP BY cluster_id, dim)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT p.cid, "
+            "COALESCE(n.centroid, p.cvec) AS cvec, "
+            f"sqrt({_dot('COALESCE(n.centroid, p.cvec)', 'COALESCE(n.centroid, p.cvec)')}) AS cnrm "
+            f"FROM {prev} p LEFT JOIN ("
+            "SELECT cluster_id AS cid, list(m ORDER BY dim) AS centroid "
+            f"FROM u{r} GROUP BY cluster_id) n USING (cid))"
+        )
+    final_cos = cos("v.embedding", "v.nrm", "c.cvec", "c.cnrm")
+    ctes.append(
+        f"af AS (SELECT vec_id, cid AS cluster_id FROM ("
+        f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
+        f") AS rn FROM v CROSS JOIN c{iters} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        "sz AS (SELECT cluster_id, COUNT(*) AS csz FROM af GROUP BY cluster_id)"
+    )
+    ctes.append(
+        "m AS (SELECT a.vec_id, a.cluster_id, v.embedding, v.nrm, "
+        f"CASE WHEN sz.csz > {max_cluster} THEN {sub_expr} ELSE 0 END AS sub "
+        "FROM af a JOIN v USING (vec_id) JOIN sz USING (cluster_id))"
+    )
+    ctes.append(
+        "g AS (SELECT *, FLOOR((ROW_NUMBER() OVER ("
+        "PARTITION BY cluster_id, sub ORDER BY vec_id) - 1) "
+        f"/ {max_cluster}) AS chunk FROM m)"
+    )
+    ctes.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM g a JOIN g b "
+        "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
+        "AND a.chunk = b.chunk AND a.vec_id < b.vec_id "
+        f"WHERE {cos('a.embedding', 'a.nrm', 'b.embedding', 'b.nrm')}"
+        f" >= {threshold})"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
     SELECT a.vec_id,
            CAST(a.cluster_id AS BIGINT) AS cluster_id,
            a.vec_id IN (SELECT vec_id FROM dropped) AS dropped
-    FROM asg a
+    FROM af a
     ORDER BY a.vec_id
 """
+    )
+
+def _t44_oracle() -> str:
+    from ..operators.similarity import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_SUB_BITS,
+        SEMDEDUP_SUB_SEED,
+    )
+    from .llmdata import (
+        NEARDUP_COSINE,
+        SEMDEDUP_GATE_K,
+        SEMDEDUP_GATE_MAX_CLUSTER,
+    )
+
+    return _semdedup_trained_oracle(
+        k=SEMDEDUP_GATE_K,
+        iters=SEMDEDUP_ITERS,
+        max_cluster=SEMDEDUP_GATE_MAX_CLUSTER,
+        sub_bits=SEMDEDUP_SUB_BITS,
+        sub_seed=SEMDEDUP_SUB_SEED,
+        dim=64,
+        threshold=NEARDUP_COSINE,
+    )
+
+
+LLMDATA_ORACLES["t44_semdedup"] = _t44_oracle()
 
 CORPUS_ORACLES["t45_epoch_plan"] = f"""
     WITH per_src AS (

@@ -272,8 +272,9 @@ def test_segment_and_bloom_plans_have_no_cartesian(spark):
 
 
 def test_semdedup_cross_join_is_centroid_broadcast_only(spark):
-    """t44's only nested-loop join is the k-row centroid broadcast; the
-    pairwise stage must be a key join on cluster_id (never cartesian)
+    """t44's only nested-loop joins are the k-row centroid broadcasts
+    (training assignment passes + final assignment); the pairwise stage
+    must be a key join on (cluster_id, sub, chunk) — never cartesian —
     and nothing runs in Python."""
     q = llmdata.t44_semdedup(spark, SF)
     plan = explain_str(q)
