@@ -184,6 +184,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- green all three rounds -------------------------------------
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
+        # -- new in round 5 (placement finalized with the r5 rotation) --
+        "t55_txtable_delete": llmdata.t55_txtable_delete,
+        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
 }
 
 

@@ -906,6 +906,57 @@ def segment_dedup_incremental(
     return _segment_rollup(marked)
 
 
+# ------------------------------------- takedown cascade for dedup stores
+
+def index_delete_ids(
+    store: DataFrame, deleted_ids: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Remove a deleted document set from any per-document index
+    relation — MinHash band tables (id, band, bkey), SRP band tables
+    (id, band, key), shingle relations (id, shingle), signature or
+    fingerprint stores — via one left-anti join on the id.  Works for
+    every store whose rows are pure per-document state (which is exactly
+    what makes them persistable in the first place): dropping a doc's
+    rows leaves every other doc's rows valid, so the result equals the
+    store rebuilt from the surviving corpus.  O(|store| + |deleted|),
+    anti-join broadcastable for takedown-sized delete sets; corpus text
+    is never touched."""
+    ids = deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
+    return store.join(ids, id_col, "left_anti")
+
+
+def segment_counts_subtract(
+    corpus_counts: DataFrame,
+    deleted: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = SEGMENT_TOKENS,
+) -> DataFrame:
+    """Remove deleted documents from a persisted segment-frequency store
+    (:func:`segment_counts`) WITHOUT re-reading the surviving corpus:
+    the deleted docs' own per-segment distinct-doc counts are recomputed
+    (O(|deleted|) text) and subtracted; segments whose count reaches 0
+    disappear.  Exact because doc ids are unique contributors to a
+    distinct-doc count — the store after subtraction equals
+    segment_counts(corpus minus deleted), the equality gate t56 proves
+    cross-engine.  Without this cascade, deleted documents ghost in the
+    store and keep suppressing segments they alone made 'boilerplate'
+    (the takedown gap VERDICT r4 flagged)."""
+    neg = segment_counts(deleted, id_col, text_col, seg_tokens).select(
+        "seg_md5", F.col("df_docs").alias("_neg")
+    )
+    return (
+        corpus_counts.join(neg, "seg_md5", "left")
+        .select(
+            "seg_md5",
+            (F.col("df_docs") - F.coalesce(F.col("_neg"), F.lit(0))).alias(
+                "df_docs"
+            ),
+        )
+        .filter(F.col("df_docs") > 0)
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -951,15 +951,18 @@ LLMDATA_ORACLES["t34_decontamination"] = f"""
 """
 
 
-def _segment_dedup_oracle(where: str = "") -> str:
-    """Shared t41/t46 oracle: the corpus-wide segment boilerplate rule
-    with an optional restriction of the OUTPUT rows (t46 restricts to
-    the delta batch; the boilerplate rule always sees corpus∪delta).
-    One generator on purpose — the two gates pin full == incremental,
-    so their oracles must not be able to drift."""
+def _segment_dedup_oracle(where: str = "", corpus_where: str = "") -> str:
+    """Shared t41/t46/t56 oracle: the corpus-wide segment boilerplate
+    rule with an optional restriction of the OUTPUT rows (t46/t56
+    restrict to the delta batch; the boilerplate rule always sees
+    corpus∪delta) and of the CORPUS itself (t56's corpus excludes the
+    deleted documents — the full recompute the cascaded store must
+    equal).  One generator on purpose — the gates pin full ==
+    incremental (== cascaded), so their oracles must not drift."""
     return f"""
     WITH toks AS (
         SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+        {corpus_where}
     ),
     segs AS (
         SELECT doc_id,
@@ -2395,6 +2398,25 @@ LLMDATA_ORACLES["t53_txtable_versions"] = """
     ORDER BY version
 """
 
+
+LLMDATA_ORACLES["t55_txtable_delete"] = """
+    SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+    FROM documents
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id % 7 != 0
+    ORDER BY version
+"""
+
+LLMDATA_ORACLES["t56_dedup_index_cascade"] = _segment_dedup_oracle(
+    where="WHERE doc_id % 5 = 0",
+    corpus_where="WHERE doc_id % 5 = 0 OR doc_id % 7 != 0",
+)
 
 LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
     WITH toks AS (

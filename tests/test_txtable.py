@@ -119,6 +119,84 @@ def test_registry_txtable_roundtrip(spark, tmp_path):
     assert {r.k for r in old.collect()} == {1}
 
 
+@pytest.mark.parametrize("fs_kind", ["posix", "hadoop"])
+def test_delete_rewrites_only_hit_files_and_keeps_time_travel(
+    spark, tmp_path, fs_kind
+):
+    """delete(): SQL semantics (TRUE removed, FALSE and NULL kept), only
+    the files containing matches rewritten (untouched entries carried
+    into the child manifest byte-identically), pre-delete version still
+    time-travels, and a predicate matching nothing commits no manifest."""
+    t = TxTable(spark, str(tmp_path / "t"), fs=_make_fs(spark, fs_kind))
+    # one file per commit so "which files a delete rewrites" is exact
+    t.init(_df(spark, [(1, "a"), (2, "b"), (4, None)]).coalesce(1))
+    t.append(_df(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    appended = {e["path"] for e in t.manifest()["files"]} - {
+        e["path"] for e in t.manifest(1)["files"]
+    }
+    v = t.delete(F.col("v") == "b")
+    assert v == 3
+    # SQL DELETE semantics: TRUE removed (k=2); the NULL-predicate row
+    # (k=4, v NULL) survives
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 4, 10, 11]
+    # only the init commit's file contained a match — the appended
+    # commit's entries must carry BY REFERENCE, byte-identical paths
+    after = {e["path"] for e in t.manifest()["files"]}
+    assert appended <= after
+    assert not ({e["path"] for e in t.manifest(1)["files"]} & after)
+    # no-op: nothing matches -> same version, no new manifest
+    assert t.delete(F.col("k") > 100) == 3
+    assert t.latest_version() == 3
+    # time travel still serves pre-delete data
+    assert sorted(r.k for r in t.snapshot(version=2).collect()) == [
+        1, 2, 4, 10, 11
+    ]
+    assert [h["op"] for h in t.history()] == ["init", "append", "delete"]
+
+
+def test_delete_partitioned_preserves_layout_and_carries_untouched_parts(
+    spark, tmp_path
+):
+    rows = [(i, "p1" if i < 10 else "p2") for i in range(20)]
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(rows, "k long, part string"),
+        partition_by="part",
+    )
+    before = {e["path"] for e in t.manifest()["files"] if e["part"] == "p2"}
+    t.delete("part = 'p1' AND k < 5")
+    m = t.manifest()
+    assert m.get("partition_by") == "part"
+    # p2's files were untouched: carried by reference, identical paths
+    assert {e["path"] for e in m["files"] if e["part"] == "p2"} == before
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == list(range(5, 20))
+    # the rewritten rows kept their partition values through the rewrite
+    assert sorted(
+        r.k for r in t.snapshot().filter("part = 'p1'").collect()
+    ) == list(range(5, 10))
+
+
+def test_delete_then_vacuum_destroys_predelete_bytes(spark, tmp_path):
+    """The takedown pair: delete() removes rows from the live snapshot;
+    vacuum() afterwards destroys the pre-delete files and manifests so
+    the data is actually gone (until then time travel can resurface it,
+    which is the documented retention contract)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "keepme"), (2, "secret")]))
+    t.delete(F.col("v") == "secret")
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    # no surviving parquet byte holds the deleted value
+    import pathlib
+
+    blobs = b"".join(
+        p.read_bytes() for p in pathlib.Path(tmp_path).rglob("*.parquet")
+    )
+    assert b"secret" not in blobs and b"keepme" in blobs
+
+
 def test_registry_txtable_rejects_unconsumed_options_and_modes(
     spark, tmp_path
 ):
