@@ -187,6 +187,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- new in round 5 (placement finalized with the r5 rotation) --
         "t55_txtable_delete": llmdata.t55_txtable_delete,
         "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
+        "t57_bpe_batched": llmdata.t57_bpe_batched,
 }
 
 

@@ -342,6 +342,58 @@ def run_curation_scale_probe(
     return {"sf_dir": sf_dir, "points": points}
 
 
+def run_bpe_scale_probe(
+    spark, sf_dir: str, factors: tuple[int, ...] = (8,), n_merges: int = 4
+) -> dict:
+    """BPE-training scale probe (VERDICT r4 ask #4's probe point): the
+    BATCHED trainer (operators/bpe.learn_bpe_merges_batched) timed at 1x
+    and ``factors``x corpus volume, reporting merges/sec and the pass
+    count.  Per-pass cost is one pair-count shuffle over the corpus, so
+    merges/sec should fall roughly with corpus volume while the pass
+    count stays put — that pair of numbers is what supports 'vocab size
+    bounds passes, corpus size bounds pass cost'."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="bench_bpe_probe_")
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        points: dict[str, dict] = {}
+        base_sec = None
+        for fac in (1, *factors):
+            d_path = os.path.join(tmp, f"docs_{fac}x.parquet")
+            rep = docs.withColumn(
+                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+            ).select(
+                F.concat_ws(" r", F.col("text"), F.col("_r")).alias("text")
+            )
+            rep.repartition(n_files).write.parquet(d_path)
+            docs_fac = spark.read.parquet(d_path)
+            bpe.learn_bpe_merges_batched(docs_fac, "text", n_merges)  # warm
+            t0 = time.perf_counter()
+            merges, passes = bpe.learn_bpe_merges_batched(
+                docs_fac, "text", n_merges
+            )
+            sec = time.perf_counter() - t0
+            if fac == 1:
+                base_sec = sec
+            points[f"{fac}x"] = {
+                "sec": round(sec, 4),
+                "n_merges": len(merges),
+                "n_passes": passes,
+                "merges_per_sec": round(len(merges) / max(sec, 1e-9), 2),
+                "slowdown_vs_1x": round(sec / max(base_sec, 1e-9), 2),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -391,6 +443,10 @@ def main() -> None:
         probe["curation"] = run_curation_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__curation_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["bpe"] = run_bpe_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__bpe_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
@@ -504,6 +560,8 @@ def main() -> None:
     for k, v in probe.get("curation", {}).get("points", {}).items():
         if k != "1x":
             tail[f"scale_probe_curation_{k}_slowdown"] = v["slowdown_vs_1x"]
+    for k, v in probe.get("bpe", {}).get("points", {}).items():
+        tail[f"bpe_{k}_merges_per_sec"] = v["merges_per_sec"]
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 

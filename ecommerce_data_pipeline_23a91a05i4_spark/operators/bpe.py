@@ -98,6 +98,74 @@ def learn_bpe_merges(
     return merges
 
 
+def learn_bpe_merges_batched(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """BPE training with MERGE BATCHING (VERDICT r4 ask #4): per corpus
+    pass, take the maximal PREFIX of the ranked pair list whose pairs
+    are pairwise token-disjoint and apply them all — one shuffle + one
+    ≤ remaining-merges collect per PASS instead of per MERGE, so a 32k
+    vocabulary needs ~thousands of passes instead of exactly 32k (the
+    round count collapses by the mean batch width; English text batches
+    several merges per pass because top pairs usually involve different
+    letters).
+
+    Equivalence to the sequential loop: an accepted pair's count cannot
+    be changed by earlier merges in its batch (their tokens are
+    disjoint), and stopping at the FIRST conflict means every skipped
+    pair ranks below every accepted one — so the batch replays the
+    sequential selection exactly UNLESS a pair newly created mid-batch
+    (count ≤ the creating merge's count) would have outranked a later
+    accepted pair.  That is the standard parallel-BPE approximation;
+    the t57 gate pins batched == sequential on the gate corpus against
+    the unrolled sequential oracle, and the property test cross-checks
+    both paths on the fixture.  Production additionally trains on a
+    corpus sample (deterministic hash sampling — plans/corpus t16's
+    operator — as the upstream filter), which is the other public
+    practice for bounding training cost.
+
+    Returns (merges, n_passes) with merges in sequential-rank form
+    [(merge_rank, token_a, token_b, n_occurrences), ...]."""
+    cur = _working_corpus(df, text_col)
+    merges: list[tuple[int, str, str, int]] = []
+    passes = 0
+    while len(merges) < n_merges:
+        cur = cur.localCheckpoint(eager=True)
+        remaining = n_merges - len(merges)
+        top = (
+            _adjacent_pairs(cur)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(remaining)  # driver state bounded by the vocab target
+            .collect()
+        )
+        if not top:
+            break
+        passes += 1
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in top:
+            if r.a in used or r.b in used:
+                break  # first conflict ends the maximal disjoint prefix
+            accepted.append((r.a, r.b, r.c))
+            used.update((r.a, r.b))
+        for a, b, c in accepted:
+            merges.append((len(merges) + 1, a, b, c))
+        w = F.col("w")
+        # disjoint tokens -> the literal replaces can never overlap, so
+        # applying them in one map-side select equals applying in rank
+        # order one at a time
+        for a, b, _ in accepted:
+            w = F.replace(
+                w,
+                F.lit(SEP + a + SEP + SEP + b + SEP),
+                F.lit(SEP + a + JOIN + b + SEP),
+            )
+        cur = cur.select(w.alias("w"))
+    return merges, passes
+
+
 def apply_bpe_merges(
     df: DataFrame,
     id_col: str,

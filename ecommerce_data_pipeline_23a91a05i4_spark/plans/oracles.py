@@ -2223,17 +2223,25 @@ def _bpe_round_ctes(n: int, with_doc_id: bool) -> list[str]:
     every step is list arithmetic or LITERAL replace on \\x1f-delimited
     text (no regex; see bpe.py's determinism notes).  ``with_doc_id``
     threads doc_id through the corpus CTEs (t49 needs per-doc output;
-    c{n} materializes only when the final SELECT references it)."""
+    c{n} materializes only when the final SELECT references it).
+
+    Every corpus CTE and every top{r} is AS MATERIALIZED: each round's
+    replace references top{r} three times and chains to the previous
+    round, so DuckDB's default CTE INLINING re-expands the whole chain
+    per reference — ~4^n scans of documents.parquet, which exhausts
+    file descriptors past ~6 rounds.  Materialization makes each round
+    one scan of the previous round, the same linear structure the Spark
+    loop has (localCheckpoint per round)."""
     did = "doc_id, " if with_doc_id else ""
     ctes = [
-        f"c0 AS (SELECT {did}chr(31) || array_to_string(string_split("
+        f"c0 AS MATERIALIZED (SELECT {did}chr(31) || array_to_string(string_split("
         + NORM
         + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
     ]
     for r in range(1, n + 1):
         prev = f"c{r-1}"
         ctes.append(
-            f"t{r} AS (SELECT string_split(substr(w, 2, length(w) - 2), "
+            f"t{r} AS MATERIALIZED (SELECT string_split(substr(w, 2, length(w) - 2), "
             f"chr(31)||chr(31)) AS l FROM {prev})"
         )
         ctes.append(
@@ -2246,11 +2254,11 @@ def _bpe_round_ctes(n: int, with_doc_id: bool) -> list[str]:
             f"CAST(COUNT(*) AS BIGINT) AS c FROM p{r} GROUP BY 1, 2)"
         )
         ctes.append(
-            f"top{r} AS (SELECT a, b, c FROM g{r} "
+            f"top{r} AS MATERIALIZED (SELECT a, b, c FROM g{r} "
             f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
         )
         ctes.append(
-            f"c{r} AS (SELECT {did}replace(w, "
+            f"c{r} AS MATERIALIZED (SELECT {did}replace(w, "
             f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
             f"(SELECT b FROM top{r}) || chr(31), "
             f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
@@ -2298,6 +2306,9 @@ def _bpe_encode_oracle(n: int) -> str:
 
 LLMDATA_ORACLES["t48_bpe_merges"] = _bpe_merge_oracle(4)
 LLMDATA_ORACLES["t49_bpe_encode"] = _bpe_encode_oracle(4)
+# t57 runs the BATCHED trainer but its oracle unrolls the SEQUENTIAL
+# loop — the gate pins batched == sequential on this corpus.
+LLMDATA_ORACLES["t57_bpe_batched"] = _bpe_merge_oracle(8)
 
 
 CORPUS_ORACLES["t50_dataset_split"] = f"""

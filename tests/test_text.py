@@ -80,3 +80,33 @@ def test_bpe_stops_when_no_pairs_remain(spark):
 
     df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
     assert bpe.learn_bpe_merges(df, "text", n_merges=3) == []
+
+
+def test_bpe_batched_equals_sequential_and_uses_fewer_passes(spark):
+    """The batched trainer must reproduce the sequential merge list on
+    the fixture corpus while collapsing the pass count, and must stop at
+    the first ranked conflict (a pair sharing a token with an accepted
+    one ends the batch, it is never skipped over)."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = bpe.learn_bpe_merges(docs, "text", n_merges=8)
+    bat, passes = bpe.learn_bpe_merges_batched(docs, "text", n_merges=8)
+    assert bat == seq
+    assert passes < len(seq)
+    # conflict handling: 'a a a a' ranks (a,a) first; every later pair
+    # conflicts with it, so each pass accepts exactly one merge and the
+    # batched loop degrades to the sequential one
+    df = spark.createDataFrame([("a a a a",), ("a a b",)], ["text"])
+    seq2 = bpe.learn_bpe_merges(df, "text", n_merges=2)
+    bat2, passes2 = bpe.learn_bpe_merges_batched(df, "text", n_merges=2)
+    assert bat2 == seq2
+    assert passes2 == 2
+
+
+def test_bpe_batched_empty_and_exhausted_corpus(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import bpe
+
+    df = spark.createDataFrame([("solo",), ("word",)], ["text"])
+    merges, passes = bpe.learn_bpe_merges_batched(df, "text", n_merges=3)
+    assert merges == [] and passes == 0  # an empty ranking counts no pass
