@@ -2451,6 +2451,12 @@ LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
 """
 
 
+# t54b runs the two-stage (winnow-prescreened) path against the SAME
+# one-stage oracle — the gate pins prescreened == exact.
+LLMDATA_ORACLES["t54b_duplicate_spans_prescreened"] = LLMDATA_ORACLES[
+    "t54_duplicate_spans"
+]
+
 MONITORING_ORACLES["s6_streaming_txtable_sink"] = """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -467,3 +467,35 @@ def test_segment_counts_subtract_equals_recompute_and_unsuppresses(spark):
     after = dd.segment_dedup_incremental(cascaded, delta, "doc_id", "text")
     assert before.collect()[0].n_dropped == 1
     assert after.collect()[0].n_dropped == 0
+
+
+def test_duplicate_spans_prescreened_is_lossless_and_prunes(spark):
+    """The two-stage path must equal the one-stage result on planted
+    unaligned copies (including a short-doc whole-text dup), while the
+    candidate set actually excludes the unique documents."""
+    passage = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, "intro words here " + passage + " tail a"),
+        (2, passage + " other trailing content entirely"),   # offset copy
+        (3, "qqq1 qqq2 qqq3 qqq4 qqq5 qqq6 qqq7"),          # no shared 8-gram
+        (4, "short twin"),
+        (5, "short twin"),                                    # whole-text dup
+        (6, "zzz1 zzz2 zzz3 zzz4 zzz5 zzz6 zzz7"),          # no shared 8-gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    one = sorted(map(tuple, dd.duplicate_spans(df, "doc_id", "text").collect()))
+    two = sorted(
+        map(tuple, dd.duplicate_spans_prescreened(df, "doc_id", "text").collect())
+    )
+    assert one == two and one  # equal, and non-empty (the plant surfaced)
+    # the prescreen really prunes: unique docs are not candidates
+    fp = dd.winnow_fingerprints(df, "doc_id", "text")
+    hot = (
+        fp.groupBy("fingerprint").count().filter(F.col("count") > 1)
+        .select("fingerprint")
+    )
+    cands = {
+        r.id for r in fp.join(hot, "fingerprint", "left_semi")
+        .select("id").distinct().collect()
+    }
+    assert {1, 2, 4, 5} <= cands and 3 not in cands and 6 not in cands

@@ -283,6 +283,17 @@ def test_semdedup_cross_join_is_centroid_broadcast_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_duplicate_spans_prescreened_explode_is_candidate_restricted(spark):
+    """t54b's stride-1 explode must sit above a left-semi join on the
+    winnow-candidate ids (the fan-out runs on candidates only, VERDICT
+    r4 ask #6), with no cartesian product and no Python."""
+    q = llmdata.t54b_duplicate_spans_prescreened(spark, SF)
+    plan = explain_str(q)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_incremental_segment_dedup_plan_is_clean(spark):
     q = llmdata.t46_incremental_segment_dedup(spark, SF)
     plan = explain_str(q)
