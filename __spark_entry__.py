@@ -189,6 +189,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
         "t57_bpe_batched": llmdata.t57_bpe_batched,
         "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
+        "s2c_session_window_append": monitoring.s2c_session_window_append,
 }
 
 

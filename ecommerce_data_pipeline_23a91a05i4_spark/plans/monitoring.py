@@ -289,6 +289,77 @@ def s2b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def s2c_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-mode native sessionization (VERDICT r4 ask #7): the
+    session_window aggregation with a WATERMARK in APPEND mode — state
+    is evicted as the watermark advances and each finalized session is
+    emitted exactly once, the form that runs unbounded streams (s2b's
+    complete-mode drain re-emits everything and keeps all state).
+
+    The events table is replayed as two time-ordered micro-batches
+    (split at the midpoint timestamp; every second-batch event is above
+    the first batch's watermark by construction, so the one-directional
+    late rule never engages and the emitted set is deterministic).
+    Emission rule, pinned empirically on 4.1 and replayed by the
+    oracle: a session emits iff window_end = last_event + gap <=
+    final watermark = max(ts) - delay; the still-open tail sessions
+    stay in state and are NOT in the output.  The oracle recomputes
+    sessions with q16's lag/cumsum arithmetic and applies the same
+    cutoff — the driver proves watermark bookkeeping against plain
+    SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import ingest as st
+
+    events = table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    split = lo + (hi - lo) / 2
+    base = tempfile.mkdtemp(prefix=f"s2c_{uuid.uuid4().hex[:8]}_")
+    name = "s2c_sessions_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(base, "ev")
+        for fname, part, mtime in (
+            ("f1.parquet", events.filter(F.col("ts") < F.lit(split)), 1000),
+            ("f2.parquet", events.filter(F.col("ts") >= F.lit(split)), 2000),
+        ):
+            p = os.path.join(src, fname)
+            part.coalesce(1).write.parquet(p)
+            for root, _, fs in os.walk(p):
+                for f in fs:
+                    os.utime(os.path.join(root, f), (mtime, mtime))
+        raw = (
+            spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        sess = st.sessionize_native(
+            ev, gap="30 minutes", watermark="30 minutes"
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)  # materialize before dropping
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def s3_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dedup parity gate: new documents (doc_id % 5 == 0)
     arrive as a file stream and are screened IN-FLIGHT against the static

@@ -2360,6 +2360,41 @@ def _streaming_curation_oracle() -> str:
 
 MONITORING_ORACLES["s5_streaming_curation"] = _streaming_curation_oracle()
 
+# s2c: append-mode native sessionization — q16's session arithmetic plus
+# the watermark cutoff (a session emits iff last_event + 30 min gap <=
+# max(ts) - 30 min delay; the open tail stays in state, not in output).
+MONITORING_ORACLES["s2c_session_window_append"] = f"""
+    WITH {EVENTS_NORM},
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                    OR LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM ev)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg CROSS JOIN wm
+    WHERE session_end + INTERVAL 30 MINUTE <= w
+    ORDER BY user_id, session_start
+"""
+
 
 LLMDATA_ORACLES["t42b_quality_classifier_table"] = LLMDATA_ORACLES[
     "t42_quality_classifier"

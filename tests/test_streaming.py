@@ -175,6 +175,88 @@ def test_append_windows_finalize_exactly_once_at_watermark(spark, tmp_path):
     assert len(rows) == 2, f"window re-emitted: {rows}"
 
 
+def test_native_sessionization_append_mode_bounds_state(spark, tmp_path):
+    """sessionize_native with a WATERMARK in APPEND mode — the
+    production form (VERDICT r4 ask #7; the s2b gate drains complete
+    mode for finite replay).  Same one-directional watermark guarantee
+    as the windowed test above, verified empirically on 4.1 and pinned:
+
+      - a session is emitted once the watermark passes its window end,
+        and exactly once (no re-emission on later batches)
+      - a session still open at the final watermark is NOT emitted and
+        is exactly what remains in the state store (bounded state: one
+        row here, not one per session ever seen)
+      - a late event below the watermark MAY still be accepted; when it
+        is, its session finalizes immediately in that batch (it never
+        reopens or re-emits an already-emitted session)
+
+    Batches (maxFilesPerTrigger=1, mtime order, 30 min gap, 1 h delay):
+      f1: u1 10:00+10:10 (one session), u2 10:05     -> wm 09:10
+      f2: u1 14:00 (wm 13:00 -> the 10:xx sessions emit)
+          u1 09:00 LATE below wm -> accepted, emits as a solo session
+      f3: u2 18:00 (wm 17:00 -> u1's 14:00 session emits; 18:00 open)
+    """
+    import os
+
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    def naive(s: str):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    mk = lambda eid, uid, t: Row(  # noqa: E731
+        event_id=eid, ts=naive(t), user_id=uid, event_type="a",
+        value=1.0, props="{}",
+    )
+    src = tmp_path / "sess_events"
+    files = [
+        ("f1.parquet", [mk(1, 1, "2024-06-01 10:00:00"),
+                        mk(2, 1, "2024-06-01 10:10:00"),
+                        mk(3, 2, "2024-06-01 10:05:00")], 1000),
+        ("f2.parquet", [mk(4, 1, "2024-06-01 14:00:00"),
+                        mk(5, 1, "2024-06-01 09:00:00")], 2000),
+        ("f3.parquet", [mk(6, 2, "2024-06-01 18:00:00")], 3000),
+    ]
+    for name, rows, mtime in files:
+        spark.createDataFrame(rows, schema=st.EVENTS_RAW_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+        for root, _, fs in os.walk(str(src / name)):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+    raw = (
+        spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = st.sessionize_native(events, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("s2c_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("s2c_t").collect()
+    got = {
+        (r.user_id, r.session_start.hour, r.session_end.hour, r.n_events)
+        for r in rows
+    }
+    assert got == {
+        (1, 9, 9, 1),    # the late event's solo session
+        (1, 10, 10, 2),  # merged 10:00+10:10
+        (1, 14, 14, 1),
+        (2, 10, 10, 1),
+    }, f"unexpected emitted sessions: {rows}"
+    assert len(rows) == len(got), f"a session re-emitted: {rows}"
+    # bounded state: only the still-open 18:00 session survives eviction
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+    spark.catalog.dropTempView("s2c_t")
+
+
 def test_stream_to_bronze_matches_batch_content(spark, tmp_path):
     """Streaming bronze ingest drains the file stream into parquet with
     audit columns; content equals the batch read."""
