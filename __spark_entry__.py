@@ -69,69 +69,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-4 ordering (by green driver
-# rows and recency as of round 3): (a) the 29 gates last driver-green in
-# round 2 (two rounds stale — VERDICT r3 "Next round" #1), (b) the 18
-# gates new this round (zero rows: s2b, t41-t54, t42b, s4, s5), (c)
-# single-green round-3 gates until the 50-slot window is full, (d) tail.
-# ROUND-5 PLAN: sections (a)+(b) will then hold fresh r4 rows — rotate
-# (d)'s head (t34-t40, s3, t38, t39, then q26-q34, t20-t28) into the
-# window first; they are the least-recently driver-checked.
+# driver evidence must come first.  Round-5 ordering (executing round
+# 4's plan): (a) the 48 gates last driver-green in ROUND 3 — every gate
+# whose newest row predates round 4 — in least-recently-checked order;
+# (b) t44, whose implementation changed this round (trained-centroid
+# semdedup) so its r4 row no longer covers the shipped code, plus
+# t55_txtable_delete, the driver gate VERDICT r4 ask #3 demands.  That
+# fills the 50 slots exactly.  (c) holds the other four round-5 gates
+# (zero rows; each is pinned by the in-repo all-gate DuckDB twin,
+# tests/test_oracle_parity.py, until the driver reaches them), (d) the
+# 49 gates fresh-green in round 4.
+# ROUND-6 PLAN: rotate (c) — t56, t57, t54b, s2c — into the window
+# first, then as many of (d) as fit (45 of 49; q3-q6 wait for r7).
+# With 103 gates and a 50-slot window, full-registry freshness now
+# cycles every ~2 rounds; the all-103 pytest twin runs every session.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) last driver-green in round 2 — refresh first -----------
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "t10_token_frequencies": extras.t10_token_frequencies,
-        "t11_keyword_search": extras.t11_keyword_search,
-        "t13_vocab_difference": extras.t13_vocab_difference,
-        "t16_deterministic_sample": extras.t16_deterministic_sample,
-        "t17_minhash_portable": extras.t17_minhash_portable,
-        "t18_simhash_portable": extras.t18_simhash_portable,
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        # -- (b) new in round 4 — zero driver rows ----------------------
-        "s2b_session_window": monitoring.s2b_session_window,
-        "t41_segment_dedup": llmdata.t41_segment_dedup,
-        "t42_quality_classifier": llmdata.t42_quality_classifier,
-        "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
-        "t44_semdedup": llmdata.t44_semdedup,
-        "t45_epoch_plan": corpus.t45_epoch_plan,
-        "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
-        "t47_domain_filter": llmdata.t47_domain_filter,
-        "t48_bpe_merges": llmdata.t48_bpe_merges,
-        "t49_bpe_encode": llmdata.t49_bpe_encode,
-        "t50_dataset_split": corpus.t50_dataset_split,
-        "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
-        "s5_streaming_curation": monitoring.s5_streaming_curation,
-        "s6_streaming_txtable_sink": monitoring.s6_streaming_txtable_sink,
-        "t42b_quality_classifier_table": llmdata.t42b_quality_classifier_table,
-        "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
-        "t52_length_profile": llmdata.t52_length_profile,
-        "t53_txtable_versions": llmdata.t53_txtable_versions,
-        "t54_duplicate_spans": llmdata.t54_duplicate_spans,
-        # -- (c) single-green (round 3 only), newest designs first ------
-        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
-        "t32_pii_redaction": llmdata.t32_pii_redaction,
-        # ---- driver window ends after the 50th entry above ------------
+        # -- (a) last driver-green in round 3 — the 48 stale gates ------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
         "t35_sliding_chunks": corpus.t35_sliding_chunks,
@@ -141,7 +94,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t38_curation_v2": llmdata.t38_curation_v2,
         "t39_unigram_fluency": llmdata.t39_unigram_fluency,
         "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        # -- (d) single-green r3 tail — rotate back in round 5 ----------
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
@@ -155,13 +107,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,
         "t28_shard_assignment": corpus.t28_shard_assignment,
-        # -- green r1+r3 ------------------------------------------------
         "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
         "q27_order_date_spine": relational.q27_order_date_spine,
         "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
         "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
         "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        # -- green r2+r3 ------------------------------------------------
         "q12_duplicate_detection": monitoring.q12_duplicate_detection,
         "q13_freshness": monitoring.q13_freshness,
         "q14_volume_anomaly": monitoring.q14_volume_anomaly,
@@ -181,15 +131,67 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
         "t29_curation_pipeline": llmdata.t29_curation_pipeline,
         "t30_corpus_integrity": monitoring.t30_corpus_integrity,
-        # -- green all three rounds -------------------------------------
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
-        # -- new in round 5 (placement finalized with the r5 rotation) --
+        # -- (b) re-verify changed impl + the demanded delete gate ------
+        "t44_semdedup": llmdata.t44_semdedup,
         "t55_txtable_delete": llmdata.t55_txtable_delete,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (c) new round-5 gates awaiting first rows — r6 window head -
         "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
         "t57_bpe_batched": llmdata.t57_bpe_batched,
         "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
         "s2c_session_window_append": monitoring.s2c_session_window_append,
+        # -- (d) fresh-green in round 4 — rotate back in round 6 --------
+        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
+        "t32_pii_redaction": llmdata.t32_pii_redaction,
+        "s2b_session_window": monitoring.s2b_session_window,
+        "t41_segment_dedup": llmdata.t41_segment_dedup,
+        "t42_quality_classifier": llmdata.t42_quality_classifier,
+        "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
+        "t45_epoch_plan": corpus.t45_epoch_plan,
+        "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
+        "t47_domain_filter": llmdata.t47_domain_filter,
+        "t48_bpe_merges": llmdata.t48_bpe_merges,
+        "t49_bpe_encode": llmdata.t49_bpe_encode,
+        "t50_dataset_split": corpus.t50_dataset_split,
+        "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
+        "s5_streaming_curation": monitoring.s5_streaming_curation,
+        "s6_streaming_txtable_sink": monitoring.s6_streaming_txtable_sink,
+        "t42b_quality_classifier_table": llmdata.t42b_quality_classifier_table,
+        "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
+        "t52_length_profile": llmdata.t52_length_profile,
+        "t53_txtable_versions": llmdata.t53_txtable_versions,
+        "t54_duplicate_spans": llmdata.t54_duplicate_spans,
+        "t10_token_frequencies": extras.t10_token_frequencies,
+        "t11_keyword_search": extras.t11_keyword_search,
+        "t13_vocab_difference": extras.t13_vocab_difference,
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
+        "t17_minhash_portable": extras.t17_minhash_portable,
+        "t18_simhash_portable": extras.t18_simhash_portable,
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
 }
 
 
