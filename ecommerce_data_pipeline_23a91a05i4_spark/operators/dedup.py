@@ -1007,8 +1007,8 @@ def duplicate_spans_prescreened(
     text_col: str,
     span_tokens: int = SEGMENT_TOKENS,
     max_docs: int = 1,
-    fp_k: int = 8,
-    fp_window: int = 4,
+    fp_k: int | None = None,
+    fp_window: int = 8,
 ) -> DataFrame:
     """Two-stage exact-substring dedup (VERDICT r4 ask #6): winnowing
     fingerprints pick the CANDIDATE documents, and the stride-1 window
@@ -1019,13 +1019,20 @@ def duplicate_spans_prescreened(
     fp_k + fp_window - 1 normalized chars shared between two documents
     yields a shared window-minimum fingerprint in both (every window's
     min is emitted; a window inside the shared region has identical
-    grams, hence an identical min).  A shared ``span_tokens``-token span
-    is ≥ 2·span_tokens - 1 ≥ 31 such chars at the defaults' 11-char
-    bound, so every document holding a cross-document span shares a
-    fingerprint with its co-holder and lands in the candidate set —
-    n_docs AND n_occurrences are therefore exact (a non-candidate
-    cannot contain any qualifying span, including the short-document
-    whole-text fallback, where the whole normalized text is the gram).
+    grams, hence an identical min).  A shared ``span_tokens``-token
+    span is ≥ 2·span_tokens - 1 normalized chars (each token ≥ 1 char
+    + single spaces), so fp_k defaults to the TIGHT setting
+    2·span_tokens - fp_window — k + w - 1 lands exactly on the bound
+    (24-char grams, 8-gram windows for 16-token spans).  Tight matters:
+    short grams (say 8 chars) occur in common phrases, which on natural
+    text makes nearly EVERY document a candidate and the prescreen pure
+    overhead; span-sized grams are shared almost only by actual span
+    co-holders.  Every such co-holder lands in the candidate set, so
+    n_docs AND n_occurrences stay exact (a non-candidate cannot contain
+    any qualifying span, including the short-document whole-text
+    fallback, where the whole normalized text is the gram — two ≥
+    span_tokens-token docs always have ≥ one full fingerprint window,
+    and sub-fp_k docs gram to their whole text).
 
     Scale: the prescreen is one fingerprint shuffle over winnowed
     minima (a ~1/fp_window-sampled gram set, vs every stride-1 window),
@@ -1034,6 +1041,8 @@ def duplicate_spans_prescreened(
     from O(corpus tokens × span_tokens) into O(candidate tokens ×
     span_tokens).  The one-stage form stays the oracle twin (t54b pins
     the two equal cross-engine)."""
+    if fp_k is None:
+        fp_k = max(2 * span_tokens - fp_window, 1)
     fp = winnow_fingerprints(
         df, id_col, text_col, k=fp_k, window=fp_window, portable=False
     )

@@ -489,7 +489,9 @@ def test_duplicate_spans_prescreened_is_lossless_and_prunes(spark):
     )
     assert one == two and one  # equal, and non-empty (the plant surfaced)
     # the prescreen really prunes: unique docs are not candidates
-    fp = dd.winnow_fingerprints(df, "doc_id", "text")
+    # same derived gram/window the operator uses (2*16 - 8 = 24-char
+    # grams, window 8 -> k+w-1 exactly the 31-char span lower bound)
+    fp = dd.winnow_fingerprints(df, "doc_id", "text", k=24, window=8)
     hot = (
         fp.groupBy("fingerprint").count().filter(F.col("count") > 1)
         .select("fingerprint")
