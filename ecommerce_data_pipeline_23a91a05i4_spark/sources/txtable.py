@@ -245,6 +245,19 @@ class TxTable:
         )
         return version
 
+    @staticmethod
+    def _check_schema(df: DataFrame, table_schema: StructType) -> None:
+        """Raise unless ``df`` carries exactly the table's columns (by
+        name and type; nullability is not load-bearing — Spark varies it
+        freely across createDataFrame/read paths)."""
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in table_schema.fields}
+        if got != want:
+            raise ValueError(
+                f"append schema mismatch: table has {want}, frame has "
+                f"{got}; schema changes go through overwrite()"
+            )
+
     def init(self, df: DataFrame, partition_by: str | None = None) -> int:
         """Create the table (version 1); fails if a log already exists."""
         if self.latest_version() is not None:
@@ -261,10 +274,17 @@ class TxTable:
         column or schema) does invalidate the staged files, so the retry
         re-validates both and surfaces a CommitConflict instead of
         committing a manifest whose entries mix layouts (which would
-        make the latest version unreadable)."""
+        make the latest version unreadable).
+
+        The incoming frame must MATCH the table schema (names + types;
+        nullability free): parquet reads match columns by name, so a
+        mismatched append would not fail loudly — its missing columns
+        would read back as NULLs and its extra columns would vanish,
+        silent corruption.  Schema changes go through overwrite()."""
         base = self.manifest()
         pcol = base.get("partition_by")
         schema_json = base["schema"]
+        self._check_schema(df, StructType.fromJson(json.loads(schema_json)))
         staged = self._stage(df, pcol)
         for _ in range(max_retries):
             base = self.manifest()
@@ -600,6 +620,9 @@ class TxTableStreamSink:
             return  # replayed micro-batch: already committed, skip
         base = self.table.manifest()
         pcol = base.get("partition_by")
+        self.table._check_schema(
+            df, StructType.fromJson(json.loads(base["schema"]))
+        )
         staged = self.table._stage(df, pcol)
         # single writer per stream by construction; a lost race here
         # means another sink instance for the SAME stream committed this

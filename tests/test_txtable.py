@@ -177,6 +177,31 @@ def test_delete_partitioned_preserves_layout_and_carries_untouched_parts(
     ) == list(range(5, 10))
 
 
+def test_append_rejects_mismatched_schema_loudly(spark, tmp_path):
+    """Parquet reads match columns by name, so a mismatched append
+    would corrupt SILENTLY (missing columns read as NULL, extras
+    vanish) — both the batch append and the streaming sink must raise
+    instead; nullability alone must not trip the check."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2, "b", 0.5)], "k long, v string, x double"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2, 3)], "k long, v long"))  # type drift
+    sink = TxTableStreamSink(t)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink(spark.createDataFrame([(2,)], "k long"), 0)
+    assert t.latest_version() == 1  # nothing committed
+    t.append(_df(spark, [(2, "b")]))  # matching append still works
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2]
+
+
 def test_delete_then_vacuum_destroys_predelete_bytes(spark, tmp_path):
     """The takedown pair: delete() removes rows from the live snapshot;
     vacuum() afterwards destroys the pre-delete files and manifests so
