@@ -154,3 +154,47 @@ def bag_fingerprint(col: Column) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ").cast("binary")
     )
+
+
+# ------------------------------------------------------- HTML extraction
+
+# Shared Java-regex / RE2 syntax (inline (?is) flags, non-greedy .*?,
+# no lookbehind), so Spark and DuckDB strip identical spans.  script/
+# style lose their CONTENT (it is code, not text); other tags drop but
+# keep their inner text — the C4/CCNet extraction rule.
+HTML_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE = r"(?is)<style[^>]*>.*?</style>"
+HTML_TAG = r"<[^>]+>"
+
+# Minimal named/numeric entities; '&amp;' decodes LAST on purpose —
+# decoding it first would turn double-encoded '&amp;lt;' into '&lt;'
+# and then into a spurious '<' (the classic double-unescape bug).
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_tag_count(col: Column) -> Column:
+    """Tags in the raw text (script/style contents included)."""
+    return regex_count(col, HTML_TAG)
+
+
+def strip_html(col: Column) -> Column:
+    """Plain text out of HTML: drop script/style blocks WITH their
+    contents, strip remaining tags, decode the common entities,
+    collapse whitespace — the extraction step every web-corpus recipe
+    (C4, CCNet, RefinedWeb) runs before any quality filter.  Pure
+    regexp_replace/replace chain: map-side, scan-speed, and replayable
+    character-for-character by a DuckDB oracle (which passes the 'g'
+    flag — DuckDB's regexp_replace is first-match by default)."""
+    out = F.regexp_replace(col, HTML_SCRIPT, " ")
+    out = F.regexp_replace(out, HTML_STYLE, " ")
+    out = F.regexp_replace(out, HTML_TAG, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -2486,6 +2486,54 @@ LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
 """
 
 
+def _t58_oracle() -> str:
+    """DuckDB twin of t58: the same planted wrapper, the same strip
+    chain character for character — patterns and entity table imported
+    from operators/text so they cannot drift; DuckDB's regexp_replace
+    needs the explicit 'g' flag (first-match by default, where Spark
+    replaces all)."""
+    from ..operators.text import (
+        HTML_ENTITIES,
+        HTML_SCRIPT,
+        HTML_STYLE,
+        HTML_TAG,
+    )
+    from .llmdata import HTML_PLANT_MID, HTML_PLANT_POST, HTML_PLANT_PRE
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    stripped = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, "
+        f"{sq(HTML_SCRIPT)}, ' ', 'g'), "
+        f"{sq(HTML_STYLE)}, ' ', 'g'), "
+        f"{sq(HTML_TAG)}, ' ', 'g')"
+    )
+    for ent, rep in HTML_ENTITIES:
+        stripped = f"replace({stripped}, {sq(ent)}, {sq(rep)})"
+    clean = f"trim(regexp_replace({stripped}, '\\s+', ' ', 'g'))"
+    plant = (
+        f"{sq(HTML_PLANT_PRE)} || CAST(doc_id AS VARCHAR) || "
+        f"{sq(HTML_PLANT_MID)} || text || {sq(HTML_PLANT_POST)}"
+    )
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0 THEN {plant} ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, {sq(HTML_TAG)})) AS BIGINT)
+               AS n_tags,
+           md5({clean}) AS clean_md5,
+           {clean} != text AS changed
+    FROM aug
+    ORDER BY doc_id
+"""
+
+
+LLMDATA_ORACLES["t58_html_extract"] = _t58_oracle()
+
 # t54b runs the two-stage (winnow-prescreened) path against the SAME
 # one-stage oracle — the gate pins prescreened == exact.
 LLMDATA_ORACLES["t54b_duplicate_spans_prescreened"] = LLMDATA_ORACLES[

@@ -110,3 +110,26 @@ def test_bpe_batched_empty_and_exhausted_corpus(spark):
     df = spark.createDataFrame([("solo",), ("word",)], ["text"])
     merges, passes = bpe.learn_bpe_merges_batched(df, "text", n_merges=3)
     assert merges == [] and passes == 0  # an empty ranking counts no pass
+
+
+def test_strip_html_drops_code_keeps_text_decodes_entities(spark):
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import text as tx
+
+    rows = [
+        (1, '<html><head><STYLE>p{x}</STYLE></head><body>'
+            '<h1>Title</h1><p class="a">hello <b>world</b></p>'
+            '<script type="text/js">var evil = "<p>";</script>'
+            'a &amp;amp; b &lt;tag&gt; &nbsp;c</body></html>'),
+        (2, "plain   text  stays"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", tx.strip_html(F.col("text")).alias("c")
+        ).collect()
+    }
+    # script/style contents gone (incl. the tag-shaped string literal),
+    # inner text kept, double-encoded &amp;amp; decodes ONCE to &amp;
+    assert got[1] == "Title hello world a &amp; b <tag> c"
+    assert got[2] == "plain text stays"  # whitespace collapsed only
