@@ -388,3 +388,68 @@ def classifier_scores_with_table(
     return scored.select(
         "id", "n_tokens", "score", (F.col("score") > 0).alias("keep")
     )
+
+
+# ------------------------------------- checksum-validated card-number PII
+
+# 16-digit payment-card shape with optional -/space group separators.
+# Regex DETECTS candidates; the Luhn checksum VALIDATES them — the
+# standard two-stage rule public PII scanners use, because a bare
+# 16-digit regex fires on order numbers and phone-number runs (the t59
+# gate plants a checksum-failing lookalike to pin the distinction).
+CARD_PATTERN = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+CARD_TOKEN = "[CARD]"
+
+
+def luhn_sql(d: str) -> str:
+    """Luhn checksum validity as one Spark SQL boolean expression over a
+    separator-free digit-string expression ``d``: from the RIGHT, every
+    second digit doubles (minus 9 when > 9), and the sum must divide by
+    10.  Pure integer list arithmetic — the DuckDB oracle twin runs the
+    same formula with list_transform/list_sum."""
+    digit = f"CAST(substring({d}, i, 1) AS INT)"
+    return (
+        f"aggregate(transform(sequence(1, length({d})), i -> "
+        f"IF((length({d}) - i) % 2 = 1, "
+        f"IF({digit} * 2 > 9, {digit} * 2 - 9, {digit} * 2), "
+        f"{digit})), 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+
+
+def _card_sql_parts(text_sql: str, token: str) -> tuple[str, str, str]:
+    """(n_candidates, n_valid, redacted) Spark SQL fragments.  The
+    redaction folds the candidate list over the text, replacing only the
+    Luhn-VALID matches — a regex alone cannot compute the checksum, so
+    the per-match fold is the redaction mechanism (left-to-right in
+    match order; replace() hits every occurrence of that exact match,
+    deterministic in both engines)."""
+    sql_pat = CARD_PATTERN.replace("\\", "\\\\")
+    cands = f"regexp_extract_all({text_sql}, '{sql_pat}', 0)"
+    clean = "replace(replace(m, '-', ''), ' ', '')"
+    valid = luhn_sql(clean)
+    n_cands = f"size({cands})"
+    n_valid = f"size(filter({cands}, m -> {valid}))"
+    redacted = (
+        f"aggregate({cands}, {text_sql}, (acc, m) -> "
+        f"IF({valid}, replace(acc, m, '{token}'), acc))"
+    )
+    return n_cands, n_valid, redacted
+
+
+def card_scan(
+    df: DataFrame, id_col: str, text_col: str, token: str = CARD_TOKEN
+) -> DataFrame:
+    """(id, n_candidates, n_valid, redacted): card-shaped candidate
+    count, Luhn-validated count, and the text with only the VALID
+    matches redacted.  Zero shuffles, zero Python — candidate
+    extraction, checksum, and redaction are one higher-order expression
+    chain running map-side at scan speed."""
+    n_cands, n_valid, redacted = _card_sql_parts("__t__", token)
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t__")
+    ).select(
+        "id",
+        F.expr(n_cands).cast("long").alias("n_candidates"),
+        F.expr(n_valid).cast("long").alias("n_valid"),
+        F.expr(redacted).alias("redacted"),
+    )

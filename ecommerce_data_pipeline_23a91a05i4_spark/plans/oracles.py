@@ -2534,6 +2534,54 @@ def _t58_oracle() -> str:
 
 LLMDATA_ORACLES["t58_html_extract"] = _t58_oracle()
 
+
+def _t59_oracle() -> str:
+    """DuckDB twin of t59: same card regex, same integer Luhn fold,
+    same candidate-order redaction (list_reduce has no initial
+    accumulator, so the text is prepended to the candidate list —
+    identical left fold).  Pattern and plant strings imported from the
+    operator/gate modules."""
+    from ..operators.curation import CARD_PATTERN, CARD_TOKEN
+    from .llmdata import CARD_PLANT_INVALID, CARD_PLANT_VALID
+
+    clean = "replace(replace(m, '-', ''), ' ', '')"
+    digit = f"CAST(substr({clean}, i, 1) AS INT)"
+    dlen = f"length({clean})"
+    luhn = (
+        f"list_sum(list_transform(range(1, {dlen} + 1), i -> "
+        f"CASE WHEN ({dlen} - i) % 2 = 1 THEN "
+        f"CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+        f"ELSE {digit} * 2 END ELSE {digit} END)) % 10 = 0"
+    )
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 4 = 0 THEN '{CARD_PLANT_VALID}'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 6 = 0 THEN '{CARD_PLANT_INVALID}'
+                    ELSE '' END AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, t,
+               regexp_extract_all(t, '{CARD_PATTERN}') AS cands
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter(cands, m -> {luhn})) AS BIGINT) AS n_valid,
+           md5(list_reduce(list_prepend(t, cands),
+               (acc, m) -> CASE WHEN {luhn}
+                                THEN replace(acc, m, '{CARD_TOKEN}')
+                                ELSE acc END)) AS redacted_md5
+    FROM c
+    ORDER BY doc_id
+"""
+
+
+LLMDATA_ORACLES["t59_card_pii"] = _t59_oracle()
+
 # t54b runs the two-stage (winnow-prescreened) path against the SAME
 # one-stage oracle — the gate pins prescreened == exact.
 LLMDATA_ORACLES["t54b_duplicate_spans_prescreened"] = LLMDATA_ORACLES[

@@ -265,3 +265,28 @@ def test_extract_domain_first_url_or_empty(spark):
         ).collect()
     }
     assert got == {1: "a.example.com", 2: ""}
+
+
+def test_card_scan_luhn_distinguishes_valid_from_lookalike(spark):
+    """The bare 16-digit regex matches both; only the Luhn-valid number
+    redacts.  Covers separators, two cards in one doc, and no-card
+    text untouched."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        curation as cu,
+    )
+
+    rows = [
+        (1, "pay with 4111-1111-1111-1111 now"),
+        (2, "order 4111 1111 1111 1112 shipped"),  # checksum fails
+        (3, "invoice 5500 0000 0000 0004 and 4111-1111-1111-1111"),
+        (4, "no cards here 123-456"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in cu.card_scan(df, "doc_id", "text").collect()}
+    assert (got[1].n_candidates, got[1].n_valid) == (1, 1)
+    assert got[1].redacted == "pay with [CARD] now"
+    assert (got[2].n_candidates, got[2].n_valid) == (1, 0)
+    assert got[2].redacted == rows[1][1]  # lookalike NOT redacted
+    assert (got[3].n_candidates, got[3].n_valid) == (2, 2)
+    assert got[3].redacted == "invoice [CARD] and [CARD]"
+    assert (got[4].n_candidates, got[4].n_valid) == (0, 0)
