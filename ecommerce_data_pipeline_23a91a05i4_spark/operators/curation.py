@@ -453,3 +453,147 @@ def card_scan(
         F.expr(n_valid).cast("long").alias("n_valid"),
         F.expr(redacted).alias("redacted"),
     )
+
+
+# --------------------------- in-engine classifier training (linear GD)
+
+def hashed_count_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket, x): per-document TERM-FREQUENCY features over the
+    same CLS_BUCKETS space the scorer uses — bucket count divided by
+    the document's token count, so each feature row sums to 1 per doc.
+    TF normalization is what makes plain gradient descent stable here:
+    with row sums of 1 the Gram matrix's eigenvalues are <= 1, so any
+    lr < 2 converges (raw counts blow up at the same lr — observed).
+    One shuffle on (id, bucket); the count/divide arithmetic is exact
+    integer -> one IEEE division, oracle-replayable."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+        F.size(tokens(F.col(text_col))).alias("n_toks"),
+    )
+    return t.groupBy(
+        "id", hashed_bucket(F.col("w")).alias("bucket"), F.col("n_toks")
+    ).agg(
+        (F.count(F.lit(1)).cast("double") / F.col("n_toks")).alias("x")
+    ).select("id", "bucket", "x")
+
+
+def _doc_dot(joined: DataFrame) -> DataFrame:
+    """Per-doc Σ x·w as a DETERMINISTIC bucket-ordered fold: collect the
+    (bucket, xw) pairs, sort, fold left — bit-identical under any
+    partitioning, and exactly replayable as DuckDB's
+    list_reduce(list(xw ORDER BY bucket)).  (A plain SUM of doubles
+    would be partition-order-dependent.)"""
+    return joined.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "xw"))),
+                lambda s: s["xw"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("yhat")
+    )
+
+
+def train_linear_classifier(
+    features: DataFrame,
+    labels: DataFrame,
+    iters: int = 2,
+    lr: float = 0.01,
+) -> dict[int, float]:
+    """Least-squares linear classifier trained by full-batch gradient
+    descent IN the engine — the training half of the t42/t42b scoring
+    story (whose stand-in weights 'production swaps for offline-trained
+    ones'; now the offline trainer exists and is itself distributed).
+
+    Per iteration: residuals r_d = Σ_b x_db·w_b − y_d (bucket-ordered
+    double fold, see _doc_dot), then per-bucket gradients
+    g_b = Σ_d x_db·r_d accumulated in DECIMAL — exact and
+    order-independent, so the whole training loop is deterministic on
+    any cluster AND replayable by an unrolled SQL oracle (the ivf_train
+    discipline applied to model fitting).  Driver state per iteration is
+    one weight table bounded by CLS_BUCKETS (k·1 doubles — broadcast
+    back, never corpus-sized); every corpus-sized pass is distributed.
+    w update: w_b ← w_b − lr·g_b/n with IEEE double arithmetic.
+
+    ``features`` is hashed_count_features output; ``labels`` is
+    (id, y double).  Returns {bucket: weight} for observed buckets."""
+    spark = features.sparkSession
+    n = labels.count()
+    w: dict[int, float] = {}
+    for _ in range(iters):
+        if w:
+            wdf = spark.createDataFrame(
+                list(w.items()), "bucket long, wgt double"
+            )
+            joined = features.join(F.broadcast(wdf), "bucket", "left").select(
+                "id",
+                "bucket",
+                (F.col("x") * F.coalesce(F.col("wgt"), F.lit(0.0))).alias("xw"),
+            )
+            yhat = _doc_dot(joined)
+        else:  # all-zero weights: yhat is exactly 0.0 for every doc
+            yhat = labels.select("id", F.lit(0.0).alias("yhat"))
+        resid = labels.join(yhat, "id", "left").select(
+            "id",
+            (F.coalesce(F.col("yhat"), F.lit(0.0)) - F.col("y")).alias("r"),
+        )
+        grads = (
+            features.join(resid, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum((F.col("x") * F.col("r")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("g")
+            )
+            .collect()
+        )
+        for row in grads:
+            w[row.bucket] = w.get(row.bucket, 0.0) - lr * row.g / n
+    return w
+
+
+def classifier_predictions(
+    features: DataFrame,
+    labels: DataFrame,
+    weights: dict[int, float],
+    threshold: float | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(id, y, yhat, predicted): scores under trained weights (same
+    bucket-ordered fold as training).  ``threshold=None`` self-
+    calibrates at the corpus mean score (decimal-exact average of the
+    quantized scores — order-independent, oracle-replayable): a
+    least-squares score regresses toward the class rates, so the mean
+    sits between the class clusters without hand-tuning."""
+    from ..functions.exprs import quant
+
+    spark = features.sparkSession
+    wdf = spark.createDataFrame(list(weights.items()), "bucket long, wgt double")
+    joined = features.join(F.broadcast(wdf), "bucket", "left").select(
+        "id",
+        "bucket",
+        (F.col("x") * F.coalesce(F.col("wgt"), F.lit(0.0))).alias("xw"),
+    )
+    scored = labels.join(_doc_dot(joined), "id", "left").select(
+        "id",
+        F.col("y").cast("long").alias("y"),
+        quant(F.coalesce(F.col("yhat"), F.lit(0.0)), ndigits).alias("yhat"),
+    )
+    if threshold is None:
+        thr = scored.agg(
+            (
+                F.sum(F.col("yhat").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__thr__")
+        )
+        return scored.crossJoin(F.broadcast(thr)).select(
+            "id",
+            "y",
+            "yhat",
+            (F.col("yhat") >= F.col("__thr__")).alias("predicted"),
+        )
+    return scored.select(
+        "id", "y", "yhat", (F.col("yhat") >= F.lit(threshold)).alias("predicted")
+    )

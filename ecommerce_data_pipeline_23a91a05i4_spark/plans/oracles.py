@@ -2582,6 +2582,100 @@ def _t59_oracle() -> str:
 
 LLMDATA_ORACLES["t59_card_pii"] = _t59_oracle()
 
+
+def _t60_oracle() -> str:
+    """DuckDB twin of t60: the full gradient-descent training loop
+    unrolled — planted marker, TF features over the md5 bucket space,
+    per-round residuals (bucket-ordered list_reduce fold, matching the
+    Spark side's sorted aggregate), DECIMAL-exact gradients, IEEE
+    weight updates (every numeric literal cast to DOUBLE — DuckDB would
+    otherwise type 1.9/0.0 as DECIMAL and drift from Spark's double
+    arithmetic), then scoring and the decimal-mean threshold.  Round
+    CTEs are MATERIALIZED (the BPE-oracle lesson: default inlining
+    re-expands the iteration chain per reference)."""
+    from ..operators.curation import CLS_BUCKETS
+    from .llmdata import CLS_TRAIN_ITERS, CLS_TRAIN_LR, CLS_TRAIN_MARKER
+
+    h32 = _H32.format(x="w")
+    lr = f"CAST({CLS_TRAIN_LR} AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    dot = (
+        "list_reduce(list_prepend({z}, "
+        "list(f.x * COALESCE(w.wgt, {z}) ORDER BY f.bucket)), "
+        "(a, v) -> a + v)"
+    ).replace("{z}", zero)
+    grad = (
+        "SELECT bucket, "
+        "CAST(SUM(CAST(f.x * r.r AS DECIMAL(28,12))) AS DOUBLE) AS g "
+        "FROM feat f JOIN {r} r USING (doc_id) GROUP BY bucket"
+    )
+    ctes = [
+        "aug AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        f"THEN text || '{CLS_TRAIN_MARKER}' ELSE text END AS text "
+        "FROM documents)",
+        f"toks AS (SELECT doc_id, string_split({NORM}, ' ') AS l FROM aug)",
+        "feat AS MATERIALIZED (SELECT doc_id, "
+        f"{h32} % {CLS_BUCKETS} AS bucket, "
+        "CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n) AS x "
+        "FROM (SELECT doc_id, unnest(l) AS w, len(l) AS n FROM toks) "
+        "GROUP BY doc_id, bucket)",
+        "lab AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y "
+        "FROM documents)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)",
+        # round 1: all-zero weights score exactly 0.0 for every doc
+        f"r1 AS MATERIALIZED (SELECT doc_id, {zero} - y AS r FROM lab)",
+        f"g1 AS ({grad.format(r='r1')})",
+        f"w1 AS MATERIALIZED (SELECT bucket, {zero} - {lr} * g / nn.n AS wgt "
+        "FROM g1 CROSS JOIN nn)",
+    ]
+    for it in range(2, CLS_TRAIN_ITERS + 1):
+        prev = f"w{it - 1}"
+        ctes.append(
+            f"s{it} AS (SELECT f.doc_id, {dot} AS yh "
+            f"FROM feat f LEFT JOIN {prev} w USING (bucket) "
+            "GROUP BY f.doc_id)"
+        )
+        ctes.append(
+            f"r{it} AS MATERIALIZED (SELECT l.doc_id, "
+            f"COALESCE(s.yh, {zero}) - l.y AS r "
+            f"FROM lab l LEFT JOIN s{it} s USING (doc_id))"
+        )
+        ctes.append(f"g{it} AS ({grad.format(r=f'r{it}')})")
+        ctes.append(
+            f"w{it} AS MATERIALIZED (SELECT bucket, "
+            f"COALESCE(w.wgt, {zero}) - {lr} * COALESCE(g.g, {zero}) / nn.n "
+            f"AS wgt FROM {prev} w FULL OUTER JOIN g{it} g USING (bucket) "
+            "CROSS JOIN nn)"
+        )
+    final_w = f"w{CLS_TRAIN_ITERS}"
+    ctes.append(
+        f"sF AS (SELECT f.doc_id, {dot} AS yh "
+        f"FROM feat f LEFT JOIN {final_w} w USING (bucket) "
+        "GROUP BY f.doc_id)"
+    )
+    ctes.append(
+        "sc AS MATERIALIZED (SELECT l.doc_id, CAST(l.y AS BIGINT) AS y, "
+        + SQL_QUANT(f"COALESCE(s.yh, {zero})", 6)
+        + " AS yhat FROM lab l LEFT JOIN sF s USING (doc_id))"
+    )
+    ctes.append(
+        "thr AS (SELECT CAST(SUM(CAST(yhat AS DECIMAL(28,12))) AS DOUBLE) "
+        "/ COUNT(*) AS t FROM sc)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT doc_id, y, yhat, yhat >= thr.t AS predicted
+    FROM sc CROSS JOIN thr
+    ORDER BY doc_id
+"""
+    )
+
+
+LLMDATA_ORACLES["t60_classifier_training"] = _t60_oracle()
+
 # t54b runs the two-stage (winnow-prescreened) path against the SAME
 # one-stage oracle — the gate pins prescreened == exact.
 LLMDATA_ORACLES["t54b_duplicate_spans_prescreened"] = LLMDATA_ORACLES[

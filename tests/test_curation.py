@@ -290,3 +290,43 @@ def test_card_scan_luhn_distinguishes_valid_from_lookalike(spark):
     assert (got[3].n_candidates, got[3].n_valid) == (2, 2)
     assert got[3].redacted == "invoice [CARD] and [CARD]"
     assert (got[4].n_candidates, got[4].n_valid) == (0, 0)
+
+
+def test_trained_classifier_actually_learns_the_planted_signal(spark):
+    """The t60 gate proves cross-engine determinism; this proves the
+    LEARNING: on the planted-marker task the trained model must reach
+    perfect accuracy at the self-calibrated threshold, and the marker's
+    feature bucket must carry (one of) the largest positive weights —
+    an untrained or diverged model passes neither."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        curation as cu,
+        dedup as dd,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import llmdata
+
+    out = llmdata.t60_classifier_training(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows and all(bool(r.predicted) == (r.y == 1) for r in rows)
+    # weight inspection: rebuild the trained weights and find the
+    # marker token's bucket at the top
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(F.col("text"), F.lit(llmdata.CLS_TRAIN_MARKER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    feats = cu.hashed_count_features(aug, "doc_id", "text")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(did % 3 == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = cu.train_linear_classifier(
+        feats, labels, iters=llmdata.CLS_TRAIN_ITERS, lr=llmdata.CLS_TRAIN_LR
+    )
+    marker_bucket = spark.range(1).select(
+        (dd.md5_hash32(F.lit("qualmark")) % cu.CLS_BUCKETS).alias("b")
+    ).collect()[0].b
+    assert w[marker_bucket] == max(w.values())
