@@ -499,8 +499,9 @@ def _doc_dot(joined: DataFrame) -> DataFrame:
 def train_linear_classifier(
     features: DataFrame,
     labels: DataFrame,
-    iters: int = 2,
-    lr: float = 0.01,
+    iters: int = 3,
+    lr: float = 1.9,
+    checkpoint: bool = True,
 ) -> dict[int, float]:
     """Least-squares linear classifier trained by full-batch gradient
     descent IN the engine — the training half of the t42/t42b scoring
@@ -518,8 +519,17 @@ def train_linear_classifier(
     w update: w_b ← w_b − lr·g_b/n with IEEE double arithmetic.
 
     ``features`` is hashed_count_features output; ``labels`` is
-    (id, y double).  Returns {bucket: weight} for observed buckets."""
+    (id, y double).  Returns {bucket: weight} for observed buckets.
+
+    ``checkpoint=True`` materializes both inputs once up front — the
+    same lineage-truncation discipline the BPE and connected-components
+    loops use: every round re-reads the feature relation, and without
+    the checkpoint each round re-runs the tokenize/explode/groupBy
+    lineage from raw text (measured 3-4× the training wall time)."""
     spark = features.sparkSession
+    if checkpoint:
+        features = features.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
     n = labels.count()
     w: dict[int, float] = {}
     for _ in range(iters):
