@@ -597,6 +597,106 @@ def semdedup(
     )
 
 
+def semdedup_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_bits: int = SEMDEDUP_SUB_BITS,
+    sub_seed: int = SEMDEDUP_SUB_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, cluster_id, sub, vec): nearest-trained-centroid assignment
+    plus an UNCONDITIONAL SRP sub-key — the PERSISTABLE row of the
+    semantic-dedup store (the semdedup analog of md5_band_table /
+    srp_band_table: pure per-vector state given the frozen centroids,
+    so rows never need recomputing as the corpus grows).  The batch
+    path sub-splits only oversized clusters; the store keys
+    unconditionally — simpler persistence, identical recall trade
+    (near-identical vectors agree on every SRP bit w.h.p.)."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = centroids.select(
+        F.col("cluster_id").alias("cid"), F.col("centroid").alias("cvec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    planes = _hyperplanes(dim, sub_bits, sub_seed)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.col("cid").cast("long").alias("cluster_id"),
+            lsh_signature(F.col("vec"), planes).alias("sub"),
+            "vec",
+        )
+    )
+
+
+def semdedup_incremental(
+    corpus_store: DataFrame,
+    delta: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_bits: int = SEMDEDUP_SUB_BITS,
+    sub_seed: int = SEMDEDUP_SUB_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """Cross-run incremental SEMANTIC dedup — the semdedup member of
+    the incremental family (t31 MinHash / t37 embedding / t46 segment):
+    a NEW vector batch is pruned against the PERSISTED corpus state
+    (frozen trained centroids + the semdedup_assign store) without ever
+    re-comparing the corpus against itself.
+
+    A delta vector is dropped when it is cosine-similar above
+    ``threshold`` to ANY corpus member of its (cluster, sub) group —
+    the corpus is established, so its members win regardless of id —
+    or to a LOWER-id delta member of the group (the batch rule among
+    the newcomers).  Per-batch cost: one broadcast assignment of the
+    delta, one (cluster, sub) join against the store (expected group
+    size ≈ target_cluster / 2^sub_bits), one delta×delta group join —
+    O(|delta| · group) whatever the corpus history.  After the run,
+    append the delta's semdedup_assign rows to the store; retrain
+    centroids only on drift (the IVF discipline).
+
+    Returns (id, cluster_id, dropped) for the delta."""
+    d = semdedup_assign(
+        delta, centroids, id_col, vec_col, sub_bits, sub_seed, dim
+    )
+    c = corpus_store.select(
+        F.col("id").alias("cid_"), "cluster_id", "sub", F.col("vec").alias("cvec_")
+    )
+    vs_corpus = (
+        d.alias("b")
+        .join(c, ["cluster_id", "sub"])
+        .filter(cosine(F.col("b.vec"), F.col("cvec_")) >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    vs_delta = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+    )
+    dropped = (
+        vs_corpus.unionAll(vs_delta).distinct().withColumn("_d", F.lit(True))
+    )
+    return d.join(dropped, "id", "left").select(
+        "id",
+        "cluster_id",
+        F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"),
+    )
+
+
 def semdedup_trained(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -2016,6 +2016,8 @@ def _semdedup_trained_oracle(
     sub_seed: int,
     dim: int,
     threshold: float,
+    corpus_where: str = "",
+    delta_where: str | None = None,
 ) -> str:
     """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
     ivf_train k-means loop (k lowest-id seeds, per-iteration nearest-
@@ -2027,7 +2029,15 @@ def _semdedup_trained_oracle(
     rule.  Every float op is a sequential fold or a single IEEE op, so
     both engines agree bit-for-bit (the _srp_lsh_oracle discipline
     extended to the training loop; tunables are the operator module's
-    own constants)."""
+    own constants).
+
+    ``corpus_where`` filters the TRAINING set (seeds, assignment
+    passes, means).  ``delta_where`` switches to the INCREMENTAL twin
+    (t61, operators/similarity.semdedup_incremental): corpus and delta
+    are both assigned under the trained centroids with UNCONDITIONAL
+    sub keys (the semdedup_assign store contract), and a delta vector
+    drops when similar to ANY corpus group member or a LOWER-id delta
+    group member; output is the delta only."""
     from ..operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, sub_bits, sub_seed)
@@ -2038,28 +2048,30 @@ def _semdedup_trained_oracle(
     def cos(vec_a: str, nrm_a: str, vec_b: str, nrm_b: str) -> str:
         return f"{_dot(vec_a, vec_b)} / ({nrm_a} * {nrm_b})"
 
-    sub_expr = " + ".join(
-        f"(CASE WHEN {_dot('v.embedding', plane_lit(planes[p]))} > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(sub_bits)
-    )
+    def sub_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_dot(col, plane_lit(planes[p]))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(sub_bits)
+        )
+
     ctes = [
         "v AS (SELECT vec_id, embedding, "
         f"sqrt({_dot('embedding', 'embedding')}) AS nrm FROM embeddings)",
-        # seeds: the k lowest-id vectors, cluster ids 0..k-1 in id order
+        f"vc AS (SELECT * FROM v {corpus_where})",
+        # seeds: the k lowest-id TRAINING vectors, cluster ids 0..k-1
         "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
-        "embedding AS cvec, "
-        f"sqrt({_dot('embedding', 'embedding')}) AS cnrm "
-        f"FROM v ORDER BY vec_id LIMIT {k})",
+        "embedding AS cvec, nrm AS cnrm "
+        f"FROM vc ORDER BY vec_id LIMIT {k})",
     ]
     for r in range(1, iters + 1):
         prev = f"c{r - 1}"
-        asg_cos = cos("v.embedding", "v.nrm", "c.cvec", "c.cnrm")
+        asg_cos = cos("vc.embedding", "vc.nrm", "c.cvec", "c.cnrm")
         ctes.append(
             f"a{r} AS (SELECT vec_id, cid AS cluster_id FROM ("
-            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY {asg_cos} DESC, c.cid ASC"
-            f") AS rn FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+            f"SELECT vc.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY vc.vec_id ORDER BY {asg_cos} DESC, c.cid ASC"
+            f") AS rn FROM vc CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         # multiple unnests in one SELECT zip positionally (both lists
         # have length dim), giving (dim index, component) rows
@@ -2068,8 +2080,8 @@ def _semdedup_trained_oracle(
             "CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m "
             f"FROM (SELECT a.cluster_id, "
             f"unnest(range(1, {dim + 1})) AS dim, "
-            f"unnest(v.embedding) AS val "
-            f"FROM a{r} a JOIN v USING (vec_id)) "
+            f"unnest(vc.embedding) AS val "
+            f"FROM a{r} a JOIN vc USING (vec_id)) "
             "GROUP BY cluster_id, dim)"
         )
         ctes.append(
@@ -2081,41 +2093,83 @@ def _semdedup_trained_oracle(
             f"FROM u{r} GROUP BY cluster_id) n USING (cid))"
         )
     final_cos = cos("v.embedding", "v.nrm", "c.cvec", "c.cnrm")
-    ctes.append(
-        f"af AS (SELECT vec_id, cid AS cluster_id FROM ("
-        f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
-        f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
-        f") AS rn FROM v CROSS JOIN c{iters} c) WHERE rn = 1)"
-    )
-    ctes.append(
-        "sz AS (SELECT cluster_id, COUNT(*) AS csz FROM af GROUP BY cluster_id)"
-    )
-    ctes.append(
-        "m AS (SELECT a.vec_id, a.cluster_id, v.embedding, v.nrm, "
-        f"CASE WHEN sz.csz > {max_cluster} THEN {sub_expr} ELSE 0 END AS sub "
-        "FROM af a JOIN v USING (vec_id) JOIN sz USING (cluster_id))"
-    )
-    ctes.append(
-        "g AS (SELECT *, FLOOR((ROW_NUMBER() OVER ("
-        "PARTITION BY cluster_id, sub ORDER BY vec_id) - 1) "
-        f"/ {max_cluster}) AS chunk FROM m)"
-    )
-    ctes.append(
-        "dropped AS (SELECT DISTINCT b.vec_id FROM g a JOIN g b "
-        "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
-        "AND a.chunk = b.chunk AND a.vec_id < b.vec_id "
-        f"WHERE {cos('a.embedding', 'a.nrm', 'b.embedding', 'b.nrm')}"
-        f" >= {threshold})"
-    )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + """
+    if delta_where is None:
+        # batch mode: assign EVERY vector; conditional sub-split + chunk
+        ctes.append(
+            f"af AS (SELECT vec_id, cid AS cluster_id FROM ("
+            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
+            f") AS rn FROM v CROSS JOIN c{iters} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            "sz AS (SELECT cluster_id, COUNT(*) AS csz FROM af "
+            "GROUP BY cluster_id)"
+        )
+        ctes.append(
+            "m AS (SELECT a.vec_id, a.cluster_id, v.embedding, v.nrm, "
+            f"CASE WHEN sz.csz > {max_cluster} "
+            f"THEN {sub_expr('v.embedding')} ELSE 0 END AS sub "
+            "FROM af a JOIN v USING (vec_id) JOIN sz USING (cluster_id))"
+        )
+        ctes.append(
+            "g AS (SELECT *, FLOOR((ROW_NUMBER() OVER ("
+            "PARTITION BY cluster_id, sub ORDER BY vec_id) - 1) "
+            f"/ {max_cluster}) AS chunk FROM m)"
+        )
+        ctes.append(
+            "dropped AS (SELECT DISTINCT b.vec_id FROM g a JOIN g b "
+            "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
+            "AND a.chunk = b.chunk AND a.vec_id < b.vec_id "
+            f"WHERE {cos('a.embedding', 'a.nrm', 'b.embedding', 'b.nrm')}"
+            f" >= {threshold})"
+        )
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + """
     SELECT a.vec_id,
            CAST(a.cluster_id AS BIGINT) AS cluster_id,
            a.vec_id IN (SELECT vec_id FROM dropped) AS dropped
     FROM af a
     ORDER BY a.vec_id
+"""
+        )
+
+    # incremental mode: corpus store + delta, unconditional sub keys
+    def assign_sub(name: str, where: str) -> str:
+        return (
+            f"{name} AS (SELECT q.vec_id, q.cluster_id, s.embedding, "
+            f"s.nrm, {sub_expr('s.embedding')} AS sub FROM ("
+            f"SELECT vec_id, cid AS cluster_id FROM ("
+            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
+            f") AS rn FROM v CROSS JOIN c{iters} c {where}) WHERE rn = 1"
+            f") q JOIN v s USING (vec_id))"
+        )
+
+    ctes.append(assign_sub("mc", corpus_where))
+    ctes.append(assign_sub("md", delta_where))
+    pair_cos = cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")
+    ctes.append(
+        "dropped AS ("
+        "SELECT DISTINCT b.vec_id FROM md b JOIN mc a "
+        "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
+        f"WHERE {pair_cos} >= {threshold} "
+        "UNION "
+        "SELECT DISTINCT b.vec_id FROM md b JOIN md a "
+        "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
+        "AND a.vec_id < b.vec_id "
+        f"WHERE {pair_cos} >= {threshold})"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.vec_id,
+           CAST(d.cluster_id AS BIGINT) AS cluster_id,
+           d.vec_id IN (SELECT vec_id FROM dropped) AS dropped
+    FROM md d
+    ORDER BY d.vec_id
 """
     )
 
@@ -2143,6 +2197,30 @@ def _t44_oracle() -> str:
 
 
 LLMDATA_ORACLES["t44_semdedup"] = _t44_oracle()
+
+
+def _t61_oracle() -> str:
+    from ..operators.similarity import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_SUB_BITS,
+        SEMDEDUP_SUB_SEED,
+    )
+    from .llmdata import NEARDUP_COSINE, SEMDEDUP_INC_GATE_K
+
+    return _semdedup_trained_oracle(
+        k=SEMDEDUP_INC_GATE_K,
+        iters=SEMDEDUP_ITERS,
+        max_cluster=0,  # unused: incremental mode subs unconditionally
+        sub_bits=SEMDEDUP_SUB_BITS,
+        sub_seed=SEMDEDUP_SUB_SEED,
+        dim=64,
+        threshold=NEARDUP_COSINE,
+        corpus_where="WHERE vec_id % 5 != 0",
+        delta_where="WHERE vec_id % 5 = 0",
+    )
+
+
+LLMDATA_ORACLES["t61_semdedup_incremental"] = _t61_oracle()
 
 CORPUS_ORACLES["t45_epoch_plan"] = f"""
     WITH per_src AS (

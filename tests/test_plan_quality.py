@@ -294,6 +294,17 @@ def test_duplicate_spans_prescreened_explode_is_candidate_restricted(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semdedup_incremental_plan_is_clean(spark):
+    """t61's only nested-loop joins are the centroid broadcasts; the
+    store and delta-delta joins key on (cluster_id, sub) — never
+    cartesian — and nothing runs in Python."""
+    q = llmdata.t61_semdedup_incremental(spark, SF)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row assignment join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_incremental_segment_dedup_plan_is_clean(spark):
     q = llmdata.t46_incremental_segment_dedup(spark, SF)
     plan = explain_str(q)

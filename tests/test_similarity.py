@@ -260,3 +260,41 @@ def test_semdedup_trained_derives_k_and_uses_trained_centroids(spark):
     k = -(-121 // 16)  # ceil -> 8
     assert {r.cluster_id for r in out.values()} <= set(range(k))
     assert not out[5].dropped and out[120].dropped  # pruned via centroids
+
+
+def test_semdedup_incremental_asymmetric_rule_and_store_contract(spark):
+    """Planted incremental semantics: a delta vector similar to a
+    corpus member drops EVEN IF its id is lower (the corpus is
+    established); among delta newcomers the lower id wins; a delta
+    vector near nothing survives.  The store rows are pure per-vector
+    state (rebuilding them for the same vectors yields identical
+    rows)."""
+    rows_corpus = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+    ]
+    rows_delta = [
+        (1, [0.9999, 0.0001, 0.0]),   # ~corpus 10, LOWER id -> still drops
+        (20, [0.0, 0.9999, 0.0001]),  # ~corpus 11 -> drops
+        (30, [0.7, 0.7, 0.1]),        # near nothing -> kept
+        (31, [0.7, 0.7, 0.1001]),     # ~delta 30 (higher id) -> drops
+    ]
+    corpus = spark.createDataFrame(
+        rows_corpus, "vec_id int, embedding array<float>"
+    )
+    delta = spark.createDataFrame(
+        rows_delta, "vec_id int, embedding array<float>"
+    )
+    cents = sim.ivf_train(corpus, k=2, iters=1)
+    store = sim.semdedup_assign(corpus, cents, dim=3)
+    out = {
+        r.id: r.dropped
+        for r in sim.semdedup_incremental(
+            store, delta, cents, threshold=0.999, dim=3
+        ).collect()
+    }
+    assert out == {1: True, 20: True, 30: False, 31: True}
+    # store determinism: per-vector state only
+    again = sim.semdedup_assign(corpus, cents, dim=3).drop("vec").collect()
+    first = store.drop("vec").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
