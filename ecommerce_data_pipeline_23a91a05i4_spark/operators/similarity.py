@@ -635,6 +635,50 @@ def semdedup_assign(
     )
 
 
+def rowwise_semdedup_assign(
+    vec: Column,
+    centroid_rows: list[tuple[int, list[float]]],
+    sub_bits: int = SEMDEDUP_SUB_BITS,
+    sub_seed: int = SEMDEDUP_SUB_SEED,
+    dim: int = 64,
+) -> Column:
+    """Per-ROW semdedup assignment: struct(cluster_id, sub) from LITERAL
+    centroids — no window function, no shuffle, no state, which is what
+    lets a STREAMING pipeline assign incoming vectors and join them
+    against the stored corpus state (the rowwise_md5_bands trick for
+    the semantic store).  The argmax is a left fold over centroids in
+    cid order taking a strictly-better cosine only, which equals the
+    batch row_number's (cos DESC, cid ASC) tie-break exactly; centroid
+    literals are the same doubles semdedup_assign joins against, so a
+    row's (cluster_id, sub) is identical on either path (the s7 oracle
+    proves it end to end)."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                cosine(
+                    vec, F.array(*[F.lit(float(c)) for c in cent])
+                ).alias("cos"),
+            )
+            for cid, cent in sorted(centroid_rows)
+        ]
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(float("-inf")).alias("cos"),
+    )
+    best = F.aggregate(
+        cands,
+        init,
+        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+    )
+    planes = _hyperplanes(dim, sub_bits, sub_seed)
+    return F.struct(
+        best["cid"].alias("cluster_id"),
+        lsh_signature(vec, planes).alias("sub"),
+    )
+
+
 def semdedup_incremental(
     corpus_store: DataFrame,
     delta: DataFrame,

@@ -414,6 +414,58 @@ def s3_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def s7_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup parity gate (s3's embedding twin): new
+    vectors (vec_id % 5 == 0) arrive as a file stream and are screened
+    IN-FLIGHT against the persisted semantic state — frozen trained
+    centroids as per-row literals + the semdedup_assign store — with
+    zero streaming state (streaming/ingest.semdedup_stream).  The drain
+    is availableNow; the oracle unrolls the corpus-only k-means
+    training, assigns both sides, and emits the same (delta, corpus)
+    near-dup pairs — the driver independently proves the stateless
+    rowwise assignment equals the batch path's window argmax, sub keys
+    included."""
+    import os
+    import uuid
+
+    from ..operators import similarity as sim
+    from ..plans.llmdata import NEARDUP_COSINE, SEMDEDUP_INC_GATE_K
+    from ..streaming import ingest as st
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = sim.ivf_train(
+        corpus, k=SEMDEDUP_INC_GATE_K, iters=sim.SEMDEDUP_ITERS
+    )
+    centroid_rows = [
+        (r.cluster_id, [float(x) for x in r.centroid]) for r in cents.collect()
+    ]
+    store = sim.semdedup_assign(corpus, cents)
+    delta = st.stream_embeddings(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    ).filter(F.col("vec_id") % 5 == 0)
+    pairs = st.semdedup_stream(
+        delta, store, centroid_rows, threshold=NEARDUP_COSINE
+    )
+    name = "s7_semdedup_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .distinct()
+        .orderBy("vec_id", "corpus_id")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def q16_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap.
 

@@ -2018,6 +2018,7 @@ def _semdedup_trained_oracle(
     threshold: float,
     corpus_where: str = "",
     delta_where: str | None = None,
+    emit_pairs: bool = False,
 ) -> str:
     """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
     ivf_train k-means loop (k lowest-id seeds, per-iteration nearest-
@@ -2150,6 +2151,26 @@ def _semdedup_trained_oracle(
     ctes.append(assign_sub("mc", corpus_where))
     ctes.append(assign_sub("md", delta_where))
     pair_cos = cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")
+    if emit_pairs:
+        # s7: the (delta, corpus) near-dup PAIRS themselves, cosine
+        # quantized BEFORE the threshold (the streaming gate filters on
+        # the quantized value)
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + f"""
+    SELECT b.vec_id,
+           CAST(b.cluster_id AS BIGINT) AS cluster_id,
+           a.vec_id AS corpus_id,
+           {SQL_QUANT(cos('b.embedding', 'b.nrm', 'a.embedding', 'a.nrm'), 6)}
+               AS cosine_sim
+    FROM md b JOIN mc a
+      ON a.cluster_id = b.cluster_id AND a.sub = b.sub
+    WHERE {SQL_QUANT(cos('b.embedding', 'b.nrm', 'a.embedding', 'a.nrm'), 6)}
+          >= {threshold}
+    ORDER BY b.vec_id, corpus_id
+"""
+        )
     ctes.append(
         "dropped AS ("
         "SELECT DISTINCT b.vec_id FROM md b JOIN mc a "
@@ -2221,6 +2242,31 @@ def _t61_oracle() -> str:
 
 
 LLMDATA_ORACLES["t61_semdedup_incremental"] = _t61_oracle()
+
+
+def _s7_oracle() -> str:
+    from ..operators.similarity import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_SUB_BITS,
+        SEMDEDUP_SUB_SEED,
+    )
+    from .llmdata import NEARDUP_COSINE, SEMDEDUP_INC_GATE_K
+
+    return _semdedup_trained_oracle(
+        k=SEMDEDUP_INC_GATE_K,
+        iters=SEMDEDUP_ITERS,
+        max_cluster=0,  # unused: incremental mode subs unconditionally
+        sub_bits=SEMDEDUP_SUB_BITS,
+        sub_seed=SEMDEDUP_SUB_SEED,
+        dim=64,
+        threshold=NEARDUP_COSINE,
+        corpus_where="WHERE vec_id % 5 != 0",
+        delta_where="WHERE vec_id % 5 = 0",
+        emit_pairs=True,
+    )
+
+
+MONITORING_ORACLES["s7_streaming_semdedup"] = _s7_oracle()
 
 CORPUS_ORACLES["t45_epoch_plan"] = f"""
     WITH per_src AS (

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -305,6 +308,68 @@ DOCS_RAW_SCHEMA = StructType([
 def stream_documents(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the documents parquet."""
     return _stream_parquet(spark, path, DOCS_RAW_SCHEMA)
+
+
+EMBEDDINGS_RAW_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+    StructField("label", IntegerType()),
+])
+
+
+def stream_embeddings(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the embeddings parquet."""
+    return _stream_parquet(spark, path, EMBEDDINGS_RAW_SCHEMA)
+
+
+def semdedup_stream(
+    vectors: DataFrame,
+    corpus_store: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    threshold: float = 0.999,
+    ndigits: int = 6,
+) -> DataFrame:
+    """STREAMING semantic dedup of incoming vectors against the
+    persisted corpus state — the semdedup member of the in-flight
+    screening family (neardup_stream's embedding twin): per-row
+    assignment to LITERAL frozen centroids plus the SRP sub key
+    (operators/similarity.rowwise_semdedup_assign — no window, no
+    state), then one stream-static join against the semdedup_assign
+    store keyed on (cluster_id, sub), exact cosine verifying each
+    candidate.  Emits (vec_id, cluster_id, corpus_id, cosine_sim)
+    append-mode rows for every corpus member the incoming vector
+    near-duplicates; zero streaming state, so memory is flat at any
+    stream length."""
+    from ..functions.exprs import quant
+    from ..operators import similarity as sim
+
+    assigned = vectors.select(
+        "vec_id",
+        "embedding",
+        sim.rowwise_semdedup_assign(
+            F.col("embedding"), centroid_rows
+        ).alias("a"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("a.cluster_id").alias("cluster_id"),
+        F.col("a.sub").alias("sub"),
+    )
+    store = corpus_store.select(
+        F.col("id").alias("corpus_id"),
+        "cluster_id",
+        "sub",
+        F.col("vec").alias("cvec"),
+    )
+    return (
+        assigned.join(store, ["cluster_id", "sub"])
+        .withColumn(
+            "cosine_sim",
+            quant(sim.cosine(F.col("embedding"), F.col("cvec")), ndigits),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_id", "cluster_id", "corpus_id", "cosine_sim")
+    )
 
 
 def neardup_stream(

@@ -524,3 +524,30 @@ def test_s4_streaming_dedup_equals_batch_distinct(spark):
         ).distinct().collect()
     }
     assert got == want
+
+
+def test_rowwise_semdedup_assign_equals_batch_assignment(spark):
+    """The stateless per-row argmax (streaming path) must produce the
+    IDENTICAL (cluster_id, sub) as the batch window-function assignment
+    for every vector — the linchpin of s7's stream-static screening."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.ivf_train(emb, k=7, iters=2)
+    rows = [
+        (r.cluster_id, [float(x) for x in r.centroid]) for r in cents.collect()
+    ]
+    batch = {
+        r.id: (r.cluster_id, r.sub)
+        for r in sim.semdedup_assign(emb, cents).collect()
+    }
+    rowwise = {
+        r.vec_id: (r.a.cluster_id, r.a.sub)
+        for r in emb.select(
+            "vec_id",
+            sim.rowwise_semdedup_assign(F.col("embedding"), rows).alias("a"),
+        ).collect()
+    }
+    assert rowwise == batch and len(batch) == 500
