@@ -764,7 +764,18 @@ def semdedup_trained(
     quadratic stage's expected cost is N·(N/k)/2 — a FIXED k turns
     linear-in-N work into quadratic as the corpus grows; deriving it
     keeps expected per-vector compare work constant (~target_cluster/2
-    cosines) at any scale."""
+    cosines) at any scale.
+
+    Cost shape to know (the bench's semdedup probe surfaces it): with
+    derived k the PAIRWISE stage is linear in N, but brute-force
+    nearest-CENTROID assignment is O(N·k) = O(N²/target_cluster) —
+    fine to tens of millions of vectors (it is a broadcast map-side
+    scan, no shuffle), and the component real SemDeDup deployments
+    replace first at billions (a coarse-quantizer tree / two-level
+    k-means, or SRP pre-bucketing of centroids so each vector scores
+    only its bucket's centroids).  The drop-in seam is this function's
+    centroids= handoff: any assigner producing (cluster_id, sub) rows
+    feeds the same bounded pairwise stage."""
     if k is None:
         n = vectors.count()
         k = max(1, -(-n // target_cluster))  # ceil(n / target_cluster)
