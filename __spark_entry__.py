@@ -75,14 +75,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (b) t44, whose implementation changed this round (trained-centroid
 # semdedup) so its r4 row no longer covers the shipped code, plus
 # t55_txtable_delete, the driver gate VERDICT r4 ask #3 demands.  That
-# fills the 50 slots exactly.  (c) holds the other nine round-5 gates
+# fills the 50 slots exactly.  (c) holds the other ten round-5 gates
 # (zero rows; each is pinned by the in-repo all-gate DuckDB twin,
 # tests/test_oracle_parity.py, until the driver reaches them), (d) the
 # 49 gates fresh-green in round 4.
-# ROUND-6 PLAN: rotate (c) — t56-t61, t54b, s2c, s7 — into the window
-# first, then as many of (d) as fit (41 of 49; q3-q10 wait for r7).
-# With 108 gates and a 50-slot window, full-registry freshness now
-# cycles every ~2 rounds; the all-108 pytest twin runs every session.
+# ROUND-6 PLAN: rotate (c) — t56-t62, t54b, s2c, s7 — into the window
+# first, then as many of (d) as fit (40 of 49; q3-q10 and q11 wait for r7).
+# With 109 gates and a 50-slot window, full-registry freshness now
+# cycles every ~2 rounds; the all-109 pytest twin runs every session.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (a) last driver-green in round 3 — the 48 stale gates ------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
@@ -147,6 +147,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t60_classifier_training": llmdata.t60_classifier_training,
         "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
         "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
         # -- (d) fresh-green in round 4 — rotate back in round 6 --------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,

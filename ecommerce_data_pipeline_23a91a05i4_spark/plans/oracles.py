@@ -2569,6 +2569,18 @@ LLMDATA_ORACLES["t53_txtable_versions"] = """
 """
 
 
+LLMDATA_ORACLES["t62_txtable_data_skipping"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BIGINT) AS files_scanned,
+           CAST(3 AS BIGINT) AS files_total
+    FROM documents
+    WHERE n_chars BETWEEN 130 AND 250
+    GROUP BY source
+    ORDER BY source
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -81,10 +81,26 @@ class TxTable:
     (deployment) — tests exercise both implementations.
     """
 
-    def __init__(self, spark: SparkSession, path: str, fs=None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fs=None,
+        stats_col: str | None = None,
+    ) -> None:
+        """``stats_col`` turns on DATA SKIPPING: every staged file's
+        manifest entry records that column's [min, max] (one extra
+        distributed pass over the freshly staged files, grouped by
+        input_file_name), and ``snapshot(prune=(col, lo, hi))`` skips
+        files whose range cannot intersect — the per-file-stats design
+        Delta/Iceberg manifests use.  Entries staged without stats
+        (older commits, other writers) are always read: pruning is
+        strictly safe.  Numeric or string columns only (the values
+        must round-trip JSON)."""
         self.spark = spark
         self.path = str(path).rstrip("/")
         self.fs = fs if fs is not None else filesystem_for(spark, self.path)
+        self.stats_col = stats_col
 
     # ------------------------------------------------------------- log
     @property
@@ -123,13 +139,51 @@ class TxTable:
         ]
 
     # ----------------------------------------------------------- reads
+    @staticmethod
+    def _prune_entries(
+        entries: list[dict], col: str, lo, hi
+    ) -> list[dict]:
+        """Entries that may hold rows with ``col`` in [lo, hi]: a file
+        whose recorded [min, max] is disjoint from the range is skipped;
+        entries without stats for the column are kept (prune is strictly
+        safe)."""
+        kept = []
+        for e in entries:
+            st = (e.get("stats") or {}).get(col)
+            if (
+                st is not None
+                and st[0] is not None
+                and (st[1] < lo or st[0] > hi)
+            ):
+                continue
+            kept.append(e)
+        return kept
+
+    def prune_counts(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files_scanned, files_total) for a [lo, hi] range read —
+        the data-skipping observability number."""
+        entries = self.manifest(version)["files"]
+        return len(self._prune_entries(entries, col, lo, hi)), len(entries)
+
     def snapshot(
-        self, version: int | None = None, _with_file: bool = False
+        self,
+        version: int | None = None,
+        _with_file: bool = False,
+        prune: tuple | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest).  Partitioned
         tables re-inject the partition column from the manifest's
         per-file value (files are grouped by value — bounded by the
         partition cardinality, e.g. n_buckets).
+
+        ``prune=(col, lo, hi)`` applies manifest-stats data skipping
+        (see ``stats_col``): only files whose recorded range can
+        intersect [lo, hi] are read.  Skipping is a FILE-set reduction,
+        not a row filter — apply the actual predicate on top; rows
+        outside the range may still appear from partially-overlapping
+        files.
 
         ``_with_file`` (internal, used by :meth:`delete`) appends a
         ``_tx_file`` column holding each row's source file URI."""
@@ -137,6 +191,8 @@ class TxTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         pcol = m.get("partition_by")
         entries = m["files"]
+        if prune is not None:
+            entries = self._prune_entries(entries, *prune)
         cols = [f.name for f in schema.fields] + (
             ["_tx_file"] if _with_file else []
         )
@@ -207,6 +263,31 @@ class TxTable:
             entries.append(
                 {"path": posixpath.join(rel_commit, rel), "part": part}
             )
+        if self.stats_col is not None and entries and self.stats_col in df.columns:
+            # one distributed pass over the freshly staged files: per-file
+            # min/max of the stats column, keyed back to entries by path
+            # suffix (NULLs are ignored by min/max, which is prune-safe:
+            # a BETWEEN predicate never matches NULL rows)
+            stats_rows = (
+                self.spark.read.parquet(commit_dir)
+                .select(
+                    F.input_file_name().alias("_f"), F.col(self.stats_col)
+                )
+                .groupBy("_f")
+                .agg(
+                    F.min(self.stats_col).alias("mn"),
+                    F.max(self.stats_col).alias("mx"),
+                )
+                .collect()
+            )
+            stripped = [
+                (r._f.split("://", 1)[-1], (r.mn, r.mx)) for r in stats_rows
+            ]
+            for e in entries:
+                for f, (mn, mx) in stripped:
+                    if f.endswith("/" + e["path"]):
+                        e["stats"] = {self.stats_col: [mn, mx]}
+                        break
         return entries
 
     def _try_commit(self, manifest: dict, version: int) -> None:
@@ -396,6 +477,13 @@ class TxTable:
                 snap.filter(F.col("_tx_file").isin(hit_uris) & ~hit)
                 .select([f.name for f in schema.fields])
             )
+            if pcol is None:
+                # one replacement file per rewritten file (narrow
+                # coalesce, no shuffle): without this, survivors keep
+                # the full scan's partitioning and the mostly-empty
+                # tasks stage empty part files — dead manifest entries
+                # that also read as unprunable under data skipping
+                survivors = survivors.coalesce(max(1, len(hit_uris)))
             staged = self._stage(survivors, pcol)
             try:
                 self._commit(

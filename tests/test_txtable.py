@@ -222,6 +222,39 @@ def test_delete_then_vacuum_destroys_predelete_bytes(spark, tmp_path):
     assert b"secret" not in blobs and b"keepme" in blobs
 
 
+def test_data_skipping_stats_prune_safely_and_survive_carry(spark, tmp_path):
+    """Manifest stats: disjoint files skip, overlapping files read,
+    entries carried by reference keep their stats through append AND
+    delete, stats-less entries (a writer without stats_col) are never
+    skipped, and the pruned+filtered read equals the full filtered
+    read."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t.init(_df(spark, [(1, "a"), (5, "b")]).coalesce(1))     # k in [1, 5]
+    t.append(_df(spark, [(10, "c"), (20, "d")]).coalesce(1))  # [10, 20]
+    t.append(_df(spark, [(100, "e")]).coalesce(1))            # [100, 100]
+    assert t.prune_counts("k", 8, 30) == (1, 3)
+    assert t.prune_counts("k", 5, 10) == (2, 3)   # boundary touch reads
+    assert t.prune_counts("k", 200, 300) == (0, 3)
+    got = sorted(
+        r.k for r in t.snapshot(prune=("k", 8, 30)).filter("k BETWEEN 8 AND 30").collect()
+    )
+    assert got == [10, 20]
+    # a stats-less writer's files are always read
+    plain = TxTable(spark, str(tmp_path / "t"))  # no stats_col
+    plain.append(_df(spark, [(1000, "z")]).coalesce(1))
+    assert t.prune_counts("k", 8, 30) == (2, 4)  # new file unprunable
+    # delete rewrites refresh stats; carried entries keep theirs
+    t2 = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t2.delete(F.col("k") == 20)  # rewrites only the [10, 20] file
+    m = t2.manifest()
+    by_range = sorted(
+        tuple(e["stats"]["k"]) for e in m["files"] if "stats" in e
+    )
+    assert (10, 10) in by_range          # rewritten survivor file
+    assert (1, 5) in by_range and (100, 100) in by_range  # carried
+    assert t2.prune_counts("k", 15, 30) == (1, 4)  # only the no-stats file
+
+
 def test_registry_txtable_rejects_unconsumed_options_and_modes(
     spark, tmp_path
 ):
