@@ -27,6 +27,40 @@ from ecommerce_data_pipeline_23a91a05i4_spark.session import get_spark  # noqa: 
 import __spark_entry__ as entry_mod  # noqa: E402
 
 
+
+def _best_of(action, n: int = 3) -> float:
+    """One unmeasured warm run (codegen compile, parquet footers, page
+    cache), then best of ``n`` timed runs — the ONE timing discipline
+    every probe shares (see the warm-pass note in main())."""
+    action()
+    return min(
+        (lambda t0: (action(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(n)
+    )
+
+
+def _with_replicas(df, fac: int):
+    """Cross each row with replica ids 0..fac-1 in column ``_r`` — the
+    shared skeleton of every probe's corpus replication; each probe then
+    remaps keys / salts text / perturbs vectors from ``_r`` so the
+    replicated workload keeps the 1x shape instead of becoming
+    pathological self-duplication."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
+    )
+
+
+def _materialize(spark, df, path: str, n_files: int):
+    """Write with the standard parallel layout and read back — probes
+    must measure scans over identically-laid-out files, not lineage."""
+    df.repartition(n_files).write.parquet(path)
+    return spark.read.parquet(path)
+
+
 def headline_names(names) -> list[str]:
     """The q1-q10 reference-suite subset of the query names — tolerant of
     any naming (q22b, t-gates, s-gates) so a new gate can never crash
@@ -87,9 +121,7 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def replicate(df, key_col: str, fac: int):
-        rep = df.withColumn(
-            "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-        )
+        rep = _with_replicas(df, fac)
         return rep.withColumn(
             key_col, F.col(key_col) + F.col("_r").cast("long") * key_span
         ).drop("_r")
@@ -125,13 +157,7 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
         )
 
     def best_of(q, n: int = 3) -> float:
-        q.collect()  # warm
-        return min(
-            (lambda t0: (q.collect(), time.perf_counter() - t0)[1])(
-                time.perf_counter()
-            )
-            for _ in range(n)
-        )
+        return _best_of(q.collect, n)
 
     try:
         points: dict[str, dict] = {}
@@ -139,10 +165,12 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
         for fac in (1, *factors):
             li_path = os.path.join(tmp, f"lineitem_{fac}x.parquet")
             ord_path = os.path.join(tmp, f"orders_{fac}x.parquet")
-            replicate(li_raw, "l_orderkey", fac).repartition(n_files).write.parquet(li_path)
-            replicate(ord_raw, "o_orderkey", fac).repartition(n_files).write.parquet(ord_path)
-            li = spark.read.parquet(li_path)
-            orders = spark.read.parquet(ord_path)
+            li = _materialize(
+                spark, replicate(li_raw, "l_orderkey", fac), li_path, n_files
+            )
+            orders = _materialize(
+                spark, replicate(ord_raw, "o_orderkey", fac), ord_path, n_files
+            )
             best = best_of(q1_shaped(li))
             join_best = best_of(q2_shaped(li, orders))
             if fac == 1:
@@ -198,14 +226,7 @@ def run_llm_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) 
     tmp = tempfile.mkdtemp(prefix="bench_llm_probe_")
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def best_of(action, n: int = 3) -> float:
-        action()  # warm
-        return min(
-            (lambda t0: (action(), time.perf_counter() - t0)[1])(
-                time.perf_counter()
-            )
-            for _ in range(n)
-        )
+    best_of = _best_of
 
     try:
         # Persist the corpus state once — the fixed index every batch
@@ -226,16 +247,13 @@ def run_llm_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) 
         base_sec = None
         for fac in (1, *factors):
             d_path = os.path.join(tmp, f"delta_{fac}x.parquet")
-            rep = delta_sh.withColumn(
-                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-            ).select(
+            rep = _with_replicas(delta_sh, fac).select(
                 (F.col("id") + F.col("_r").cast("long") * span).alias("id"),
                 F.when(F.col("_r") == 0, F.col("shingle"))
                 .otherwise(F.concat_ws("#", F.col("shingle"), F.col("_r")))
                 .alias("shingle"),
             )
-            rep.repartition(n_files).write.parquet(d_path)
-            delta_fac = spark.read.parquet(d_path)
+            delta_fac = _materialize(spark, rep, d_path, n_files)
 
             def run():
                 return dd.minhash_incremental_pairs(
@@ -292,14 +310,7 @@ def run_curation_scale_probe(
     tmp = tempfile.mkdtemp(prefix="bench_curation_probe_")
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def best_of(action, n: int = 3) -> float:
-        action()  # warm
-        return min(
-            (lambda t0: (action(), time.perf_counter() - t0)[1])(
-                time.perf_counter()
-            )
-            for _ in range(n)
-        )
+    best_of = _best_of
 
     try:
         points: dict[str, dict] = {}
@@ -307,9 +318,7 @@ def run_curation_scale_probe(
         base_sec = None
         for fac in (1, *factors):
             d_path = os.path.join(tmp, f"docs_{fac}x.parquet")
-            rep = docs.withColumn(
-                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-            ).select(
+            rep = _with_replicas(docs, fac).select(
                 (F.col("doc_id") + F.col("_r").cast("long") * span).alias(
                     "doc_id"
                 ),
@@ -317,8 +326,7 @@ def run_curation_scale_probe(
                 .otherwise(F.concat_ws(" r", F.col("text"), F.col("_r")))
                 .alias("text"),
             )
-            rep.repartition(n_files).write.parquet(d_path)
-            docs_fac = spark.read.parquet(d_path)
+            docs_fac = _materialize(spark, rep, d_path, n_files)
 
             def run():
                 return docs_fac.select(
@@ -367,13 +375,10 @@ def run_bpe_scale_probe(
         base_sec = None
         for fac in (1, *factors):
             d_path = os.path.join(tmp, f"docs_{fac}x.parquet")
-            rep = docs.withColumn(
-                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-            ).select(
+            rep = _with_replicas(docs, fac).select(
                 F.concat_ws(" r", F.col("text"), F.col("_r")).alias("text")
             )
-            rep.repartition(n_files).write.parquet(d_path)
-            docs_fac = spark.read.parquet(d_path)
+            docs_fac = _materialize(spark, rep, d_path, n_files)
             bpe.learn_bpe_merges_batched(docs_fac, "text", n_merges)  # warm
             t0 = time.perf_counter()
             merges, passes = bpe.learn_bpe_merges_batched(
@@ -431,14 +436,8 @@ def run_semdedup_scale_probe(
     # scratch — the most expensive probe in the suite; a single warm run
     # already absorbs codegen/footers, and the signal sought is the
     # factor-to-factor ratio, not a microsecond floor
-    def best_of(action, n: int = 1) -> float:
-        action()  # warm
-        return min(
-            (lambda t0: (action(), time.perf_counter() - t0)[1])(
-                time.perf_counter()
-            )
-            for _ in range(n)
-        )
+    def best_of(action):
+        return _best_of(action, n=1)
 
     try:
         base_n = emb.count()
@@ -446,9 +445,7 @@ def run_semdedup_scale_probe(
         base_sec = None
         for fac in (1, *factors):
             e_path = os.path.join(tmp, f"emb_{fac}x.parquet")
-            rep = emb.withColumn(
-                "_r", F.explode(F.array(*[F.lit(i) for i in range(fac)]))
-            ).select(
+            rep = _with_replicas(emb, fac).select(
                 (F.col("vec_id") + F.col("_r").cast("long") * span).alias(
                     "vec_id"
                 ),
@@ -460,8 +457,7 @@ def run_semdedup_scale_probe(
                     F.slice("embedding", 2, 10_000),
                 ).alias("embedding"),
             )
-            rep.repartition(n_files).write.parquet(e_path)
-            emb_fac = spark.read.parquet(e_path)
+            emb_fac = _materialize(spark, rep, e_path, n_files)
             n = base_n * fac
             k = max(1, -(-n // sim.SEMDEDUP_TARGET_CLUSTER))
 

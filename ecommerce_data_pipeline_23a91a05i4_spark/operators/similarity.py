@@ -410,19 +410,27 @@ def ivf_train(
     return spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
 
 
-def _assign_clusters(v: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
+def _assign_clusters(
+    v: DataFrame, centroids: DataFrame, n: int = 1, keep_vec: bool = False
+) -> DataFrame:
     """Nearest-centroid assignment by cosine; n>1 keeps the n best
-    (multi-probe).  Returns (id, cluster_id[, probe_rank])."""
+    (multi-probe).  Returns (id, cluster_id[, probe_rank][, vec]).
+    The ONE home of the (sim DESC, cluster_id ASC) argmax tie-break —
+    ivf_train, knn_ivf, semdedup, and the semdedup store all assign
+    through here, and rowwise_semdedup_assign's fold mirrors it."""
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "id",
         "cluster_id",
         cosine(F.col("vec"), F.col("centroid")).alias("sim"),
+        *(["vec"] if keep_vec else []),
     )
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster_id"))
     ranked = scored.withColumn("probe_rank", F.row_number().over(w)).filter(
         F.col("probe_rank") <= n
     )
-    return ranked.select("id", "cluster_id", "probe_rank")
+    return ranked.select(
+        "id", "cluster_id", "probe_rank", *(["vec"] if keep_vec else [])
+    )
 
 
 def knn_ivf(
@@ -541,20 +549,12 @@ def semdedup(
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if centroids is None:
         cents = v.filter(F.col("id") < k).select(
-            F.col("id").alias("cid"), F.col("vec").alias("cvec")
+            F.col("id").alias("cluster_id"), F.col("vec").alias("centroid")
         )
     else:
-        cents = centroids.select(
-            F.col("cluster_id").alias("cid"), F.col("centroid").alias("cvec")
-        )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", cosine(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", F.col("cid").alias("cluster_id"), "vec")
+        cents = centroids.select("cluster_id", "centroid")
+    assigned = _assign_clusters(v, cents, keep_vec=True).select(
+        "id", "cluster_id", "vec"
     )
     if max_cluster is not None:
         planes = _hyperplanes(dim, sub_bits, sub_seed)
@@ -615,23 +615,14 @@ def semdedup_assign(
     unconditionally — simpler persistence, identical recall trade
     (near-identical vectors agree on every SRP bit w.h.p.)."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = centroids.select(
-        F.col("cluster_id").alias("cid"), F.col("centroid").alias("cvec")
-    )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", cosine(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
     planes = _hyperplanes(dim, sub_bits, sub_seed)
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "id",
-            F.col("cid").cast("long").alias("cluster_id"),
-            lsh_signature(F.col("vec"), planes).alias("sub"),
-            "vec",
-        )
+    return _assign_clusters(
+        v, centroids.select("cluster_id", "centroid"), keep_vec=True
+    ).select(
+        "id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        lsh_signature(F.col("vec"), planes).alias("sub"),
+        "vec",
     )
 
 
@@ -667,10 +658,19 @@ def rowwise_semdedup_assign(
         F.lit(-1).cast("long").alias("cid"),
         F.lit(float("-inf")).alias("cos"),
     )
+    # Mirror the window's NaN semantics too: Spark ORDER BY cos DESC
+    # sorts NaN as the LARGEST value, so a NaN cosine (zero-norm vector
+    # or zero-norm trained centroid) wins the batch argmax with the
+    # smallest such cid — the fold must do the same or the streaming
+    # path would assign cluster -1 and probe a nonexistent store group.
     best = F.aggregate(
         cands,
         init,
-        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        lambda acc, x: F.when(
+            (x["cos"] > acc["cos"])
+            | (F.isnan(x["cos"]) & ~F.isnan(acc["cos"])),
+            x,
+        ).otherwise(acc),
     )
     planes = _hyperplanes(dim, sub_bits, sub_seed)
     return F.struct(

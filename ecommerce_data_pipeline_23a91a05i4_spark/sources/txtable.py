@@ -280,8 +280,11 @@ class TxTable:
                 )
                 .collect()
             )
+            # decode the URI side once (see delete()'s note): the
+            # manifest path is the raw on-disk name
             stripped = [
-                (r._f.split("://", 1)[-1], (r.mn, r.mx)) for r in stats_rows
+                (unquote(r._f.split("://", 1)[-1]), (r.mn, r.mx))
+                for r in stats_rows
             ]
             for e in entries:
                 for f, (mn, mx) in stripped:
@@ -460,9 +463,14 @@ class TxTable:
             if not hit_uris:
                 return m["version"]
             # map URIs back to manifest entries by relative-path suffix —
-            # commit dirs are uuid-named, so the suffix is unambiguous;
-            # compare raw (escaped) forms, which both sides carry
-            stripped = [u.split("://", 1)[-1] for u in hit_uris]
+            # commit dirs are uuid-named, so the suffix is unambiguous.
+            # input_file_name URI-ENCODES the on-disk path (a literal
+            # space becomes %20, a literal %20 becomes %2520), while the
+            # manifest stores the raw on-disk name; decode the URI side
+            # ONCE and leave the manifest side untouched, or any
+            # partition value with an encodable character makes every
+            # delete miss its entries and raise
+            stripped = [unquote(u.split("://", 1)[-1]) for u in hit_uris]
             carry = [
                 e
                 for e in m["files"]

@@ -551,3 +551,42 @@ def test_rowwise_semdedup_assign_equals_batch_assignment(spark):
         ).collect()
     }
     assert rowwise == batch and len(batch) == 500
+
+
+def test_rowwise_assign_matches_batch_on_nan_cosines(spark):
+    """A NaN vector component yields NaN cosines (a ZERO-norm vector
+    instead raises on both paths under this session's ANSI division —
+    consistent, loud).  Spark's window sorts NaN as the largest value,
+    so the batch path assigns the smallest-cid centroid — the rowwise
+    fold must reproduce that, not fall through to the init sentinel
+    (cluster -1)."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [
+        (1, [float("nan"), 0.0, 0.0]),  # NaN cosine vs every centroid
+        (2, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    crows = [(0, [0.0, 1.0, 0.0]), (1, [1.0, 0.0, 0.0])]
+    batch = {
+        r.id: r.cluster_id
+        for r in sim.semdedup_assign(df, cents, dim=3).collect()
+    }
+    rowwise = {
+        r.vec_id: r.a.cluster_id
+        for r in df.select(
+            "vec_id",
+            sim.rowwise_semdedup_assign(
+                F.col("embedding"), crows, dim=3
+            ).alias("a"),
+        ).collect()
+    }
+    assert rowwise == batch
+    assert batch[1] == 0  # NaN won the argmax at the smallest cid
+    assert batch[2] == 1  # well-formed vector unaffected

@@ -222,6 +222,34 @@ def test_delete_then_vacuum_destroys_predelete_bytes(spark, tmp_path):
     assert b"secret" not in blobs and b"keepme" in blobs
 
 
+def test_delete_and_stats_survive_uri_encoded_partition_values(
+    spark, tmp_path
+):
+    """input_file_name URI-encodes the on-disk path exactly once
+    (probed: literal space -> %20, on-disk Hive escape %25 -> %2525),
+    while the manifest stores the raw on-disk name.  Deletes touching
+    such partitions must find their manifest entries (not raise
+    'scanned file set does not match'), and staged stats must attach
+    to those files instead of silently vanishing."""
+    rows = [
+        (1, "north america"), (2, "north america"),  # literal space
+        (3, "50%off"), (4, "50%off"),                # Hive-escaped '%'
+    ]
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t.init(
+        spark.createDataFrame(rows, "k long, region string"),
+        partition_by="region",
+    )
+    m = t.manifest()
+    assert any(" " in e["path"] for e in m["files"])    # literal space
+    assert any("%25" in e["path"] for e in m["files"])  # escaped '%'
+    assert all("stats" in e for e in m["files"])        # stats attached
+    t.delete("region = 'north america' AND k = 1")
+    t.delete("region = '50%off' AND k = 3")
+    got = sorted((r.k, r.region) for r in t.snapshot().collect())
+    assert got == [(2, "north america"), (4, "50%off")]
+
+
 def test_data_skipping_stats_prune_safely_and_survive_carry(spark, tmp_path):
     """Manifest stats: disjoint files skip, overlapping files read,
     entries carried by reference keep their stats through append AND
