@@ -69,22 +69,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-5 ordering (executing round
-# 4's plan): (a) the 48 gates last driver-green in ROUND 3 — every gate
-# whose newest row predates round 4 — in least-recently-checked order;
-# (b) t44, whose implementation changed this round (trained-centroid
-# semdedup) so its r4 row no longer covers the shipped code, plus
-# t55_txtable_delete, the driver gate VERDICT r4 ask #3 demands.  That
-# fills the 50 slots exactly.  (c) holds the other ten round-5 gates
-# (zero rows; each is pinned by the in-repo all-gate DuckDB twin,
-# tests/test_oracle_parity.py, until the driver reaches them), (d) the
-# 49 gates fresh-green in round 4.
-# ROUND-6 PLAN: rotate (c) — t56-t62, t54b, s2c, s7 — into the window
-# first, then as many of (d) as fit (40 of 49; q3-q10 and q11 wait for r7).
-# With 109 gates and a 50-slot window, full-registry freshness now
-# cycles every ~2 rounds; the all-109 pytest twin runs every session.
+# driver evidence must come first.  Round-6 ordering (executing round
+# 5's plan exactly): (a) the ten round-5 gates with ZERO driver rows —
+# t56, t57, t54b, s2c, t58, t59, t60, t61, s7, t62 — go first; (b) new
+# round-6 gates (also zero rows) immediately after; (c) the round-4-
+# green gates, least-recently-checked order, filling the remaining
+# slots.  (d) past the window: the gates driver-green in round 5 plus
+# whatever r4 gates didn't fit — q3-q10 and q11 wait for ROUND 7.
+# ROUND-7 PLAN: window = q3-q10 + q11 (3 rounds stale by then) + any
+# zero-row r6 leftovers first, then the oldest of the r5-green block.
+# With ~112 gates and a 50-slot window, full-registry freshness cycles
+# every ~2 rounds; the all-gate pytest twin runs every session.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) last driver-green in round 3 — the 48 stale gates ------
+        # -- (a) round-5 gates awaiting first driver rows ---------------
+        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
+        "t57_bpe_batched": llmdata.t57_bpe_batched,
+        "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
+        "s2c_session_window_append": monitoring.s2c_session_window_append,
+        "t58_html_extract": llmdata.t58_html_extract,
+        "t59_card_pii": llmdata.t59_card_pii,
+        "t60_classifier_training": llmdata.t60_classifier_training,
+        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
+        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
+        # -- (b) new round-6 gates (zero rows) are inserted here --------
+        # -- (c) round-4-green gates, least-recently-checked first ------
+        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
+        "t32_pii_redaction": llmdata.t32_pii_redaction,
+        "s2b_session_window": monitoring.s2b_session_window,
+        "t41_segment_dedup": llmdata.t41_segment_dedup,
+        "t42_quality_classifier": llmdata.t42_quality_classifier,
+        "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
+        "t45_epoch_plan": corpus.t45_epoch_plan,
+        "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
+        "t47_domain_filter": llmdata.t47_domain_filter,
+        "t48_bpe_merges": llmdata.t48_bpe_merges,
+        "t49_bpe_encode": llmdata.t49_bpe_encode,
+        "t50_dataset_split": corpus.t50_dataset_split,
+        "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
+        "s5_streaming_curation": monitoring.s5_streaming_curation,
+        "s6_streaming_txtable_sink": monitoring.s6_streaming_txtable_sink,
+        "t42b_quality_classifier_table": llmdata.t42b_quality_classifier_table,
+        "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
+        "t52_length_profile": llmdata.t52_length_profile,
+        "t53_txtable_versions": llmdata.t53_txtable_versions,
+        "t54_duplicate_spans": llmdata.t54_duplicate_spans,
+        "t10_token_frequencies": extras.t10_token_frequencies,
+        "t11_keyword_search": extras.t11_keyword_search,
+        "t13_vocab_difference": extras.t13_vocab_difference,
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
+        "t17_minhash_portable": extras.t17_minhash_portable,
+        "t18_simhash_portable": extras.t18_simhash_portable,
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (d) r4-green gates that didn't fit — ROUND-7 window head ---
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        # -- (e) driver-green in round 5 --------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
         "t35_sliding_chunks": corpus.t35_sliding_chunks,
@@ -133,71 +194,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t30_corpus_integrity": monitoring.t30_corpus_integrity,
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
-        # -- (b) re-verify changed impl + the demanded delete gate ------
         "t44_semdedup": llmdata.t44_semdedup,
         "t55_txtable_delete": llmdata.t55_txtable_delete,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (c) new round-5 gates awaiting first rows — r6 window head -
-        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
-        "t57_bpe_batched": llmdata.t57_bpe_batched,
-        "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
-        "s2c_session_window_append": monitoring.s2c_session_window_append,
-        "t58_html_extract": llmdata.t58_html_extract,
-        "t59_card_pii": llmdata.t59_card_pii,
-        "t60_classifier_training": llmdata.t60_classifier_training,
-        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
-        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
-        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        # -- (d) fresh-green in round 4 — rotate back in round 6 --------
-        "t31_incremental_minhash": llmdata.t31_incremental_minhash,
-        "t32_pii_redaction": llmdata.t32_pii_redaction,
-        "s2b_session_window": monitoring.s2b_session_window,
-        "t41_segment_dedup": llmdata.t41_segment_dedup,
-        "t42_quality_classifier": llmdata.t42_quality_classifier,
-        "t43_bloom_prefilter": llmdata.t43_bloom_prefilter,
-        "t45_epoch_plan": corpus.t45_epoch_plan,
-        "t46_incremental_segment_dedup": llmdata.t46_incremental_segment_dedup,
-        "t47_domain_filter": llmdata.t47_domain_filter,
-        "t48_bpe_merges": llmdata.t48_bpe_merges,
-        "t49_bpe_encode": llmdata.t49_bpe_encode,
-        "t50_dataset_split": corpus.t50_dataset_split,
-        "s4_streaming_exact_dedup": monitoring.s4_streaming_exact_dedup,
-        "s5_streaming_curation": monitoring.s5_streaming_curation,
-        "s6_streaming_txtable_sink": monitoring.s6_streaming_txtable_sink,
-        "t42b_quality_classifier_table": llmdata.t42b_quality_classifier_table,
-        "t51_dataset_version_diff": llmdata.t51_dataset_version_diff,
-        "t52_length_profile": llmdata.t52_length_profile,
-        "t53_txtable_versions": llmdata.t53_txtable_versions,
-        "t54_duplicate_spans": llmdata.t54_duplicate_spans,
-        "t10_token_frequencies": extras.t10_token_frequencies,
-        "t11_keyword_search": extras.t11_keyword_search,
-        "t13_vocab_difference": extras.t13_vocab_difference,
-        "t16_deterministic_sample": extras.t16_deterministic_sample,
-        "t17_minhash_portable": extras.t17_minhash_portable,
-        "t18_simhash_portable": extras.t18_simhash_portable,
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
 }
 
 
