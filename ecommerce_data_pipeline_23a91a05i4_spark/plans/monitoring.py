@@ -435,7 +435,10 @@ def s7_streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     cents = sim.ivf_train(
-        corpus, k=SEMDEDUP_INC_GATE_K, iters=sim.SEMDEDUP_ITERS
+        corpus,
+        k=SEMDEDUP_INC_GATE_K,
+        iters=sim.SEMDEDUP_ITERS,
+        assign_bits=sim.assign_bits_for(SEMDEDUP_INC_GATE_K),
     )
     centroid_rows = [
         (r.cluster_id, [float(x) for x in r.centroid]) for r in cents.collect()

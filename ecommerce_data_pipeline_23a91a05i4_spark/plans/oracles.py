@@ -2021,16 +2021,25 @@ def _semdedup_trained_oracle(
     emit_pairs: bool = False,
 ) -> str:
     """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
-    ivf_train k-means loop (k lowest-id seeds, per-iteration nearest-
-    centroid assignment with (cos DESC, cid ASC) tie-break, per-dim mean
-    as decimal-exact SUM cast to double then one IEEE division,
-    empty-cluster carryover), the final assignment, the >max_cluster
-    SRP sub-split with the SAME hyperplane literals as the operator, the
-    id-ordered chunk cap, and the drop-if-similar-to-any-lower-id-member
-    rule.  Every float op is a sequential fold or a single IEEE op, so
-    both engines agree bit-for-bit (the _srp_lsh_oracle discipline
-    extended to the training loop; tunables are the operator module's
-    own constants).
+    ivf_train k-means loop (k lowest-id seeds, per-iteration SRP-BUCKETED
+    nearest-centroid assignment, per-dim mean as decimal-exact SUM cast
+    to double then one IEEE division, empty-cluster carryover), the
+    final assignment, the >max_cluster SRP sub-split with the SAME
+    hyperplane literals as the operator, the id-ordered chunk cap, and
+    the drop-if-similar-to-any-lower-id-member rule.  Every float op is
+    a sequential fold or a single IEEE op, so both engines agree
+    bit-for-bit (the _srp_lsh_oracle discipline extended to the
+    training loop; tunables are the operator module's own constants).
+
+    The bucketed assignment (operators/similarity.
+    _assign_clusters_bucketed: candidates = centroids within Hamming 1
+    of the vector's assign-plane SRP key, exact argmax among them,
+    argmax over ALL centroids when no candidate) replays as ONE window:
+    ORDER BY (hamming(akey, asig) <= 1) DESC, cos DESC, cid ASC over
+    all (vector, centroid) pairs — when candidates exist one of them
+    outranks every non-candidate; when none, the fallback's global
+    order applies verbatim.  assign_bits comes from the operator's own
+    assign_bits_for(k).
 
     ``corpus_where`` filters the TRAINING set (seeds, assignment
     passes, means).  ``delta_where`` switches to the INCREMENTAL twin
@@ -2038,10 +2047,20 @@ def _semdedup_trained_oracle(
     are both assigned under the trained centroids with UNCONDITIONAL
     sub keys (the semdedup_assign store contract), and a delta vector
     drops when similar to ANY corpus group member or a LOWER-id delta
-    group member; output is the delta only."""
-    from ..operators.similarity import _hyperplanes
+    group member — witnesses capped to the max_group lowest-id rows
+    per (cluster, sub) group, the operator's degenerate-corpus bound;
+    output is the delta only."""
+    from ..operators.similarity import (
+        ASSIGN_SEED,
+        SEMDEDUP_MAX_CLUSTER,
+        _hyperplanes,
+        assign_bits_for,
+    )
 
     planes = _hyperplanes(dim, sub_bits, sub_seed)
+    assign_bits = assign_bits_for(k)
+    aplanes = _hyperplanes(dim, assign_bits, ASSIGN_SEED)
+    max_group = SEMDEDUP_MAX_CLUSTER
 
     def plane_lit(coeffs: list[float]) -> str:
         return "[" + ", ".join(repr(c) for c in coeffs) + "]"
@@ -2056,13 +2075,30 @@ def _semdedup_trained_oracle(
             for p in range(sub_bits)
         )
 
+    def akey_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_dot(col, plane_lit(aplanes[p]))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(assign_bits)
+        )
+
+    # the bucketed-assignment window order (see docstring)
+    def asg_order(cos_sql: str) -> str:
+        return (
+            "(CASE WHEN bit_count(xor(CAST(vc.akey AS BIGINT), "
+            "CAST(c.asig AS BIGINT))) <= 1 THEN 1 ELSE 0 END) DESC, "
+            f"{cos_sql} DESC, c.cid ASC"
+        )
+
     ctes = [
         "v AS (SELECT vec_id, embedding, "
-        f"sqrt({_dot('embedding', 'embedding')}) AS nrm FROM embeddings)",
+        f"sqrt({_dot('embedding', 'embedding')}) AS nrm, "
+        f"{akey_expr('embedding')} AS akey FROM embeddings)",
         f"vc AS (SELECT * FROM v {corpus_where})",
         # seeds: the k lowest-id TRAINING vectors, cluster ids 0..k-1
         "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
-        "embedding AS cvec, nrm AS cnrm "
+        "embedding AS cvec, nrm AS cnrm, "
+        f"{akey_expr('embedding')} AS asig "
         f"FROM vc ORDER BY vec_id LIMIT {k})",
     ]
     for r in range(1, iters + 1):
@@ -2071,7 +2107,7 @@ def _semdedup_trained_oracle(
         ctes.append(
             f"a{r} AS (SELECT vec_id, cid AS cluster_id FROM ("
             f"SELECT vc.vec_id, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY vc.vec_id ORDER BY {asg_cos} DESC, c.cid ASC"
+            f"PARTITION BY vc.vec_id ORDER BY {asg_order(asg_cos)}"
             f") AS rn FROM vc CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         # multiple unnests in one SELECT zip positionally (both lists
@@ -2086,21 +2122,22 @@ def _semdedup_trained_oracle(
             "GROUP BY cluster_id, dim)"
         )
         ctes.append(
-            f"c{r} AS (SELECT p.cid, "
-            "COALESCE(n.centroid, p.cvec) AS cvec, "
-            f"sqrt({_dot('COALESCE(n.centroid, p.cvec)', 'COALESCE(n.centroid, p.cvec)')}) AS cnrm "
+            f"c{r} AS (SELECT cid, cvec, "
+            f"sqrt({_dot('cvec', 'cvec')}) AS cnrm, "
+            f"{akey_expr('cvec')} AS asig FROM ("
+            f"SELECT p.cid, COALESCE(n.centroid, p.cvec) AS cvec "
             f"FROM {prev} p LEFT JOIN ("
             "SELECT cluster_id AS cid, list(m ORDER BY dim) AS centroid "
-            f"FROM u{r} GROUP BY cluster_id) n USING (cid))"
+            f"FROM u{r} GROUP BY cluster_id) n USING (cid)))"
         )
-    final_cos = cos("v.embedding", "v.nrm", "c.cvec", "c.cnrm")
+    final_cos = cos("vc.embedding", "vc.nrm", "c.cvec", "c.cnrm")
     if delta_where is None:
         # batch mode: assign EVERY vector; conditional sub-split + chunk
         ctes.append(
             f"af AS (SELECT vec_id, cid AS cluster_id FROM ("
-            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
-            f") AS rn FROM v CROSS JOIN c{iters} c) WHERE rn = 1)"
+            f"SELECT vc.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY vc.vec_id ORDER BY {asg_order(final_cos)}"
+            f") AS rn FROM v vc CROSS JOIN c{iters} c) WHERE rn = 1)"
         )
         ctes.append(
             "sz AS (SELECT cluster_id, COUNT(*) AS csz FROM af "
@@ -2142,14 +2179,22 @@ def _semdedup_trained_oracle(
             f"{name} AS (SELECT q.vec_id, q.cluster_id, s.embedding, "
             f"s.nrm, {sub_expr('s.embedding')} AS sub FROM ("
             f"SELECT vec_id, cid AS cluster_id FROM ("
-            f"SELECT v.vec_id, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid ASC"
-            f") AS rn FROM v CROSS JOIN c{iters} c {where}) WHERE rn = 1"
+            f"SELECT vc.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY vc.vec_id ORDER BY {asg_order(final_cos)}"
+            f") AS rn FROM v vc CROSS JOIN c{iters} c {where}) WHERE rn = 1"
             f") q JOIN v s USING (vec_id))"
         )
 
     ctes.append(assign_sub("mc", corpus_where))
     ctes.append(assign_sub("md", delta_where))
+    # witness caps: only the max_group LOWEST-id rows per (cluster, sub)
+    # group can testify against a delta vector (semdedup_incremental /
+    # semdedup_stream's degenerate-corpus bound)
+    ctes.append(
+        "mcw AS (SELECT * FROM (SELECT mc.*, ROW_NUMBER() OVER ("
+        "PARTITION BY cluster_id, sub ORDER BY vec_id) AS grn FROM mc) "
+        f"WHERE grn <= {max_group})"
+    )
     pair_cos = cos("a.embedding", "a.nrm", "b.embedding", "b.nrm")
     if emit_pairs:
         # s7: the (delta, corpus) near-dup PAIRS themselves, cosine
@@ -2164,7 +2209,7 @@ def _semdedup_trained_oracle(
            a.vec_id AS corpus_id,
            {SQL_QUANT(cos('b.embedding', 'b.nrm', 'a.embedding', 'a.nrm'), 6)}
                AS cosine_sim
-    FROM md b JOIN mc a
+    FROM md b JOIN mcw a
       ON a.cluster_id = b.cluster_id AND a.sub = b.sub
     WHERE {SQL_QUANT(cos('b.embedding', 'b.nrm', 'a.embedding', 'a.nrm'), 6)}
           >= {threshold}
@@ -2172,12 +2217,17 @@ def _semdedup_trained_oracle(
 """
         )
     ctes.append(
+        "mdw AS (SELECT * FROM (SELECT md.*, ROW_NUMBER() OVER ("
+        "PARTITION BY cluster_id, sub ORDER BY vec_id) AS grn FROM md) "
+        f"WHERE grn <= {max_group})"
+    )
+    ctes.append(
         "dropped AS ("
-        "SELECT DISTINCT b.vec_id FROM md b JOIN mc a "
+        "SELECT DISTINCT b.vec_id FROM md b JOIN mcw a "
         "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
         f"WHERE {pair_cos} >= {threshold} "
         "UNION "
-        "SELECT DISTINCT b.vec_id FROM md b JOIN md a "
+        "SELECT DISTINCT b.vec_id FROM md b JOIN mdw a "
         "ON a.cluster_id = b.cluster_id AND a.sub = b.sub "
         "AND a.vec_id < b.vec_id "
         f"WHERE {pair_cos} >= {threshold})"

@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -328,6 +328,7 @@ def semdedup_stream(
     centroid_rows: list[tuple[int, list[float]]],
     threshold: float = 0.999,
     ndigits: int = 6,
+    max_group: int | None = None,
 ) -> DataFrame:
     """STREAMING semantic dedup of incoming vectors against the
     persisted corpus state — the semdedup member of the in-flight
@@ -339,10 +340,20 @@ def semdedup_stream(
     candidate.  Emits (vec_id, cluster_id, corpus_id, cosine_sim)
     append-mode rows for every corpus member the incoming vector
     near-duplicates; zero streaming state, so memory is flat at any
-    stream length."""
+    stream length.
+
+    ``max_group`` (default similarity.SEMDEDUP_MAX_CLUSTER) bounds the
+    STATIC side like semdedup_incremental's cap: only the max_group
+    lowest-id store rows per (cluster_id, sub) group are joinable, so
+    a degenerate corpus (one giant SRP-agreeing group) cannot make the
+    per-row stream join O(N) — pairs against beyond-cap (high-id)
+    group members are the documented residual.  The cap is a one-time
+    batch window on the static store, not stream state."""
     from ..functions.exprs import quant
     from ..operators import similarity as sim
 
+    if max_group is None:
+        max_group = sim.SEMDEDUP_MAX_CLUSTER
     assigned = vectors.select(
         "vec_id",
         "embedding",
@@ -355,11 +366,17 @@ def semdedup_stream(
         F.col("a.cluster_id").alias("cluster_id"),
         F.col("a.sub").alias("sub"),
     )
-    store = corpus_store.select(
-        F.col("id").alias("corpus_id"),
-        "cluster_id",
-        "sub",
-        F.col("vec").alias("cvec"),
+    wg = Window.partitionBy("cluster_id", "sub").orderBy("corpus_id")
+    store = (
+        corpus_store.select(
+            F.col("id").alias("corpus_id"),
+            "cluster_id",
+            "sub",
+            F.col("vec").alias("cvec"),
+        )
+        .withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= max_group)
+        .drop("_rn")
     )
     return (
         assigned.join(store, ["cluster_id", "sub"])

@@ -298,3 +298,193 @@ def test_semdedup_incremental_asymmetric_rule_and_store_contract(spark):
     again = sim.semdedup_assign(corpus, cents, dim=3).drop("vec").collect()
     first = store.drop("vec").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_bucketed_assignment_equals_windowed_candidate_rule(spark):
+    """The SRP-bucketed assigner's CONTRACT, proven against an
+    independent formulation: for every vector, the assignment equals
+    the argmax over ALL centroids ranked by (hamming(vkey, csig) <= 1)
+    DESC, cos DESC, cid ASC — i.e. 'nearest Hamming-<=1 bucket
+    candidate, else nearest overall'.  This is exactly how the DuckDB
+    oracles replay the bucketed join+fallback, so this test pins the
+    equivalence the t44/t61/s7 gates rest on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    k, bits = 16, sim.assign_bits_for(16)
+    cents = sim.ivf_train(emb, k=k, iters=1, assign_bits=bits)
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    got = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters_bucketed(v, cents, bits).collect()
+    }
+    planes = sim._hyperplanes(64, bits, sim.ASSIGN_SEED)
+    ref_rows = (
+        v.withColumn("vkey", sim.lsh_signature(F.col("vec"), planes))
+        .crossJoin(
+            cents.withColumn(
+                "csig", sim.lsh_signature(F.col("centroid"), planes)
+            )
+        )
+        .select(
+            "id",
+            "cluster_id",
+            F.bit_count(
+                F.col("vkey").bitwiseXOR(F.col("csig"))
+            ).alias("ham"),
+            sim.cosine(F.col("vec"), F.col("centroid")).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.desc((F.col("ham") <= 1).cast("int")),
+                    F.desc("cos"),
+                    F.asc("cluster_id"),
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    ref = {r.id: r.cluster_id for r in ref_rows}
+    assert got == ref and len(got) == emb.count()
+
+
+def test_bucketed_assignment_work_is_bucket_bounded(spark):
+    """VERDICT r5 ask #2's boundedness evidence: the hit path scores
+    each vector only against centroids sharing its SRP bucket (an
+    equi-join on bkey — never a vectors-x-centroids nested loop), so
+    scored candidate pairs are far below the brute-force N*k; the one
+    nested-loop join in the plan is the residual fallback whose probe
+    side is the anti-joined misses only."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    k = max(1, -(-n // sim.SEMDEDUP_TARGET_CLUSTER))
+    bits = sim.assign_bits_for(k)
+    cents = sim.ivf_train(emb, k=k, iters=1, assign_bits=bits)
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+
+    planes = sim._hyperplanes(64, bits, sim.ASSIGN_SEED)
+    vk = v.select(sim.lsh_signature(F.col("vec"), planes).alias("bkey"))
+    cb = sim._centroid_bucket_keys(cents, bits, sim.ASSIGN_SEED, 64)
+    scored_pairs = vk.join(cb, "bkey").count()
+    assert scored_pairs < 0.6 * n * k, (
+        f"bucketing barely prunes: {scored_pairs} vs brute {n * k}"
+    )
+    # every vector still gets exactly one assignment (hit + fallback)
+    out = sim._assign_clusters_bucketed(v, cents, bits)
+    assert out.count() == n
+    assert out.select("id").distinct().count() == n
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # formatted output names each node twice (tree + details); count the
+    # unique "(id) NodeName" detail headers
+    import re
+
+    nl_joins = re.findall(
+        r"^\(\d+\) (?:BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+        re.M,
+    )
+    assert len(nl_joins) <= 1, (
+        f"more than the one residual fallback nested-loop join: {nl_joins}"
+    )
+    assert "bkey" in plan, "hit path does not join on the bucket key"
+
+
+def test_bucketed_assignment_fallback_is_exact_argmax(spark):
+    """A vector whose bucket covers no centroid (Hamming > 1 from every
+    centroid key) must fall back to the exact argmax over ALL
+    centroids — nothing is ever left unassigned."""
+    from pyspark.sql import functions as F
+
+    # 1 centroid + wide keyspace (bits=6 over dim=8): most random
+    # vectors miss the centroid's 7 covered keys out of 64
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    v = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)],
+        "cluster_id int, centroid array<double>",
+    )
+    bits = 6
+    planes = sim._hyperplanes(8, bits, sim.ASSIGN_SEED)
+    vk = v.select("id", sim.lsh_signature(F.col("vec"), planes).alias("bkey"))
+    cb = sim._centroid_bucket_keys(cents, bits, sim.ASSIGN_SEED, 8)
+    n_miss = vk.join(cb.select("bkey").distinct(), "bkey", "left_anti").count()
+    assert n_miss > 0, "fixture failed to produce any bucket miss"
+
+    got = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters_bucketed(v, cents, bits, dim=8).collect()
+    }
+    assert len(got) == 60
+    # independent exact argmax for every vector
+    exact = {
+        r.id: r.cluster_id
+        for r in sim._assign_clusters(v, cents).collect()
+    }
+    miss_ids = {r.id for r in vk.join(
+        cb.select("bkey").distinct(), "bkey", "left_anti").collect()}
+    for i in miss_ids:
+        assert got[i] == exact[i], f"fallback vector {i} not exact argmax"
+
+
+def test_semdedup_incremental_witness_cap_bounds_degenerate_groups(spark):
+    """ADVICE r5 #4: a degenerate corpus (every vector identical ->
+    one (cluster, sub) group) must not make the per-batch join
+    O(|delta| x N): only the max_group lowest-id store rows act as
+    drop witnesses.  The observable contract: results are identical
+    whether the store holds max_group or 50x max_group identical rows
+    (the capped witnesses already testify), and a delta vector similar
+    to the group still drops."""
+    from pyspark.sql import functions as F
+
+    n_store = 200
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25]) for i in range(n_store)],
+        "vec_id int, embedding array<float>",
+    )
+    small = spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25]) for i in range(4)],
+        "vec_id int, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [(1000, [1.0, 0.5, 0.2500001]), (1001, [-1.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    cents = sim.ivf_train(small, k=1, iters=1)
+    big_store = sim.semdedup_assign(corpus, cents, dim=3)
+    small_store = sim.semdedup_assign(small, cents, dim=3)
+    out_big = {
+        r.id: r.dropped
+        for r in sim.semdedup_incremental(
+            big_store, delta, cents, threshold=0.999, dim=3, max_group=4
+        ).collect()
+    }
+    out_small = {
+        r.id: r.dropped
+        for r in sim.semdedup_incremental(
+            small_store, delta, cents, threshold=0.999, dim=3, max_group=4
+        ).collect()
+    }
+    assert out_big == out_small == {1000: True, 1001: False}
