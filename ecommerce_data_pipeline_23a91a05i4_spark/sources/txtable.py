@@ -314,19 +314,28 @@ class TxTable:
         base_version: int | None,
         schema: StructType,
         partition_by: str | None,
+        stream_floor: int | None = None,
     ) -> int:
+        """``stream_floor`` — the highest stream batch id ever committed
+        (TxTableStreamSink's durable exactly-once floor): a monotone
+        scalar EVERY commit carries forward from its parent (pass None
+        to inherit), so vacuum() can never erase the sink's idempotence
+        memory — any retained manifest knows it.  The sink passes
+        max(parent floor, batch_id) on its own commits."""
         version = (base_version or 0) + 1
-        self._try_commit(
-            {
-                "version": version,
-                "parent": base_version,
-                "op": op,
-                "schema": json.dumps(schema.jsonValue()),
-                "partition_by": partition_by,
-                "files": entries,
-            },
-            version,
-        )
+        if stream_floor is None and base_version is not None:
+            stream_floor = self.manifest(base_version).get("stream_floor")
+        manifest = {
+            "version": version,
+            "parent": base_version,
+            "op": op,
+            "schema": json.dumps(schema.jsonValue()),
+            "partition_by": partition_by,
+            "files": entries,
+        }
+        if stream_floor is not None:
+            manifest["stream_floor"] = int(stream_floor)
+        self._try_commit(manifest, version)
         return version
 
     @staticmethod
@@ -524,14 +533,13 @@ class TxTable:
         pass 0 only when no writer can be mid-commit (tests, single-
         writer maintenance windows).
 
-        Streaming-sink coupling: pruning old manifests also prunes the
-        ``stream_append:<batch_id>`` ops TxTableStreamSink uses for
-        replay dedup — after a vacuum, the sink only remembers batch ids
-        committed in the retained versions.  That is safe for the normal
-        restart path (Structured Streaming replays the LATEST unconfirmed
-        batch, whose manifest is always retained), but keep
-        ``keep_versions`` larger than the deepest replay the checkpoint
-        can issue if the stream's checkpoint can lag several commits."""
+        Streaming-sink coupling: pruning old manifests prunes their
+        ``stream_append:<batch_id>`` ops, but the sink's idempotence
+        memory survives regardless — every commit carries the monotone
+        ``stream_floor`` (max committed batch id) forward, so whatever
+        manifest remains after a vacuum still rejects any replayed
+        batch_id <= floor, even for a brand-new sink instance replaying
+        a batch older than the retention window."""
         import time
 
         vs = self.versions()
@@ -706,15 +714,24 @@ class TxTableStreamSink:
             if op.startswith("stream_append:"):
                 self._seen_ids.add(int(op.split(":", 1)[1]))
             self._scanned.add(v)
-        # NOTE: ids learned from a manifest later pruned by vacuum() stay
-        # cached for this sink instance; a NEW sink instance only sees the
-        # retained manifests (see vacuum()'s streaming-sink coupling note)
+        # ids learned from a manifest later pruned by vacuum() stay
+        # cached for this sink instance; a NEW sink instance relies on
+        # the stream_floor every retained manifest carries (the durable
+        # half of the dedup — see __call__)
         return self._seen_ids
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.committed_batch_ids():
-            return  # replayed micro-batch: already committed, skip
         base = self.table.manifest()
+        # Durable exactly-once floor: every manifest carries the highest
+        # stream batch id ever committed (monotone, carried forward by
+        # EVERY commit), so even after vacuum() pruned all
+        # stream_append manifests, a restarted stream (fresh sink
+        # instance, no cached ids) replaying an old batch still sees
+        # batch_id <= floor and no-ops.  The per-op id set handles the
+        # (impossible under monotone batch ids, cheap to keep) gap case.
+        floor = int(base.get("stream_floor", -1))
+        if batch_id <= floor or batch_id in self.committed_batch_ids():
+            return  # replayed micro-batch: already committed, skip
         pcol = base.get("partition_by")
         self.table._check_schema(
             df, StructType.fromJson(json.loads(base["schema"]))
@@ -730,7 +747,11 @@ class TxTableStreamSink:
                 base["version"],
                 StructType.fromJson(json.loads(base["schema"])),
                 pcol,
+                stream_floor=max(floor, batch_id),
             )
         except CommitConflict:
-            if batch_id not in self.committed_batch_ids():
+            if (
+                batch_id not in self.committed_batch_ids()
+                and batch_id > int(self.table.manifest().get("stream_floor", -1))
+            ):
                 raise

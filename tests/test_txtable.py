@@ -523,3 +523,40 @@ def test_stream_sink_is_exactly_once_on_replayed_batches(spark, tmp_path):
     assert sink.committed_batch_ids() == {0, 1}
     assert len(sink._scanned) == n_before
     assert TxTableStreamSink(t).committed_batch_ids() == {0, 1}
+
+
+def test_stream_floor_survives_vacuum_for_new_sink_instances(spark, tmp_path):
+    """VERDICT r5 ask #3: vacuum() pruning every stream_append manifest
+    must NOT reopen the exactly-once hole for a restarted stream — the
+    monotone stream_floor is carried forward by EVERY commit (including
+    non-stream appends and compactions), so a brand-new sink instance
+    replaying a batch older than the retention window still no-ops."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, []))
+    sink = TxTableStreamSink(t)
+    sink(_df(spark, [(1, "a")]), 0)
+    sink(_df(spark, [(2, "b")]), 1)
+    # non-stream commits on top: both must CARRY the floor forward
+    t.append(_df(spark, [(3, "c")]))
+    t.compact(1)
+    assert t.manifest()["stream_floor"] == 1
+    # vacuum away every stream_append manifest (keep only the latest)
+    t.vacuum(keep_versions=1, min_age_seconds=0.0)
+    assert [h["op"] for h in t.history()] == ["compact"]
+    before = sorted((r.k, r.v) for r in t.snapshot().collect())
+    # a brand-new sink (fresh process after restart) replays old batches
+    fresh = TxTableStreamSink(t)
+    assert fresh.committed_batch_ids() == set()  # ops are gone...
+    fresh(_df(spark, [(1, "a")]), 0)   # ...but the floor remembers
+    fresh(_df(spark, [(2, "b")]), 1)
+    assert sorted((r.k, r.v) for r in t.snapshot().collect()) == before
+    # genuinely new batches still append, and the floor advances
+    fresh(_df(spark, [(4, "d")]), 2)
+    assert sorted((r.k, r.v) for r in t.snapshot().collect()) == sorted(
+        before + [(4, "d")]
+    )
+    assert t.manifest()["stream_floor"] == 2
