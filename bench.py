@@ -353,13 +353,15 @@ def run_curation_scale_probe(
 def run_bpe_scale_probe(
     spark, sf_dir: str, factors: tuple[int, ...] = (8,), n_merges: int = 4
 ) -> dict:
-    """BPE-training scale probe (VERDICT r4 ask #4's probe point): the
-    BATCHED trainer (operators/bpe.learn_bpe_merges_batched) timed at 1x
-    and ``factors``x corpus volume, reporting merges/sec and the pass
-    count.  Per-pass cost is one pair-count shuffle over the corpus, so
-    merges/sec should fall roughly with corpus volume while the pass
-    count stays put — that pair of numbers is what supports 'vocab size
-    bounds passes, corpus size bounds pass cost'."""
+    """BPE-training scale probe: the BATCHED trainer under its SAMPLED
+    contract (operators/bpe.learn_bpe_merges_batched(sample_docs=...),
+    VERDICT r5 ask #4) timed at 1x and ``factors``x corpus volume with a
+    CONSTANT sample target (the 1x corpus size) — so every pass scans a
+    bounded sample whatever the corpus volume and merges/sec should stay
+    roughly FLAT (the residual growth is the one COUNT pass + the
+    pushed-down sample filter's scan, both linear but trivial).  The 1x
+    point trains on the unsalted fixture (ADVICE r5: _r=0 keeps its
+    original text, like the other probes)."""
     import shutil
     import tempfile
 
@@ -373,16 +375,21 @@ def run_bpe_scale_probe(
     try:
         points: dict[str, dict] = {}
         base_sec = None
+        sample_docs = docs.count()
         for fac in (1, *factors):
             d_path = os.path.join(tmp, f"docs_{fac}x.parquet")
             rep = _with_replicas(docs, fac).select(
-                F.concat_ws(" r", F.col("text"), F.col("_r")).alias("text")
+                F.when(F.col("_r") == 0, F.col("text"))
+                .otherwise(F.concat_ws(" r", F.col("text"), F.col("_r")))
+                .alias("text")
             )
             docs_fac = _materialize(spark, rep, d_path, n_files)
-            bpe.learn_bpe_merges_batched(docs_fac, "text", n_merges)  # warm
+            bpe.learn_bpe_merges_batched(
+                docs_fac, "text", n_merges, sample_docs=sample_docs
+            )  # warm
             t0 = time.perf_counter()
             merges, passes = bpe.learn_bpe_merges_batched(
-                docs_fac, "text", n_merges
+                docs_fac, "text", n_merges, sample_docs=sample_docs
             )
             sec = time.perf_counter() - t0
             if fac == 1:
@@ -391,6 +398,7 @@ def run_bpe_scale_probe(
                 "sec": round(sec, 4),
                 "n_merges": len(merges),
                 "n_passes": passes,
+                "sample_docs": sample_docs,
                 "merges_per_sec": round(len(merges) / max(sec, 1e-9), 2),
                 "slowdown_vs_1x": round(sec / max(base_sec, 1e-9), 2),
             }

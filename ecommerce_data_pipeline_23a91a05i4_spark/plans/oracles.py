@@ -2389,7 +2389,7 @@ LLMDATA_ORACLES["t47_domain_filter"] = f"""
 """
 
 
-def _bpe_round_ctes(n: int, with_doc_id: bool) -> list[str]:
+def _bpe_round_ctes(n: int, with_doc_id: bool, where: str = "") -> list[str]:
     """The ``n`` unrolled BPE training rounds (operators/bpe.py) as
     chained CTEs with scalar-subquery merge literals — ONE generator
     shared by the t48 (merge list) and t49 (train-then-encode) oracles
@@ -2410,7 +2410,7 @@ def _bpe_round_ctes(n: int, with_doc_id: bool) -> list[str]:
     ctes = [
         f"c0 AS MATERIALIZED (SELECT {did}chr(31) || array_to_string(string_split("
         + NORM
-        + ", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents)"
+        + f", ' '), chr(31)||chr(31)) || chr(31) AS w FROM documents {where})"
     ]
     for r in range(1, n + 1):
         prev = f"c{r-1}"
@@ -2483,6 +2483,64 @@ LLMDATA_ORACLES["t49_bpe_encode"] = _bpe_encode_oracle(4)
 # t57 runs the BATCHED trainer but its oracle unrolls the SEQUENTIAL
 # loop — the gate pins batched == sequential on this corpus.
 LLMDATA_ORACLES["t57_bpe_batched"] = _bpe_merge_oracle(8)
+
+
+def _bpe_sampled_encode_oracle(n: int, sample_docs: int) -> str:
+    """t57b: TRAIN the n unrolled rounds on the deterministic md5-bucket
+    sample (operators/bpe.learn_bpe_merges_batched's sample_docs
+    contract: bucket % max(1, COUNT(*) // sample_docs) == 0 — the
+    modulus is computed IN SQL from the same COUNT the operator takes,
+    so one oracle string is exact at every scale factor), then ENCODE
+    the FULL corpus with the learned merges via a second e0..e{n}
+    replace chain — the sample-train / full-encode production shape."""
+    pred = (
+        "WHERE (('0x' || substr(md5(text), 1, 8))::BIGINT) % "
+        f"(SELECT GREATEST(1, COUNT(*) // {sample_docs}) FROM documents)"
+        " = 0"
+    )
+    ctes = _bpe_round_ctes(n, with_doc_id=False, where=pred)
+    ctes.append(
+        "e0 AS MATERIALIZED (SELECT doc_id, chr(31) || array_to_string("
+        "string_split(" + NORM + ", ' '), chr(31)||chr(31)) || chr(31) "
+        "AS w FROM documents)"
+    )
+    for r in range(1, n + 1):
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT doc_id, replace(w, "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(31) || chr(31) || "
+            f"(SELECT b FROM top{r}) || chr(31), "
+            f"chr(31) || (SELECT a FROM top{r}) || chr(30) || "
+            f"(SELECT b FROM top{r}) || chr(31)) AS w FROM e{r-1})"
+        )
+    n_bpe = (
+        "len(string_split(substr(e.w, 2, length(e.w) - 2), "
+        "chr(31)||chr(31)))"
+    )
+    n_ws = "len(string_split(" + NORM.replace("text", "d.text") + ", ' '))"
+    ratio = f"CAST({n_bpe} AS DOUBLE) / {n_ws}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT d.doc_id,
+           CAST({n_ws} AS BIGINT) AS n_tokens_ws,
+           CAST({n_bpe} AS BIGINT) AS n_tokens_bpe,
+           {SQL_QUANT(ratio, 6)} AS compression
+    FROM documents d JOIN e{n} e USING (doc_id)
+    ORDER BY d.doc_id
+"""
+    )
+
+
+def _t57b_oracle() -> str:
+    from .llmdata import BPE_SAMPLED_GATE_MERGES, BPE_SAMPLED_GATE_DOCS
+
+    return _bpe_sampled_encode_oracle(
+        BPE_SAMPLED_GATE_MERGES, BPE_SAMPLED_GATE_DOCS
+    )
+
+
+LLMDATA_ORACLES["t57b_bpe_sampled"] = _t57b_oracle()
 
 
 CORPUS_ORACLES["t50_dataset_split"] = f"""
