@@ -2689,6 +2689,21 @@ LLMDATA_ORACLES["t62_txtable_data_skipping"] = """
     ORDER BY source
 """
 
+LLMDATA_ORACLES["t62b_txtable_multicol_skipping"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BIGINT) AS files_scanned_both,
+           CAST(2 AS BIGINT) AS files_scanned_id,
+           CAST(2 AS BIGINT) AS files_scanned_chars,
+           CAST(3 AS BIGINT) AS files_total
+    FROM documents
+    WHERE doc_id BETWEEN 0 AND (SELECT COUNT(*) // 2 - 1 FROM documents)
+      AND n_chars BETWEEN 0 AND 127
+    GROUP BY source
+    ORDER BY source
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

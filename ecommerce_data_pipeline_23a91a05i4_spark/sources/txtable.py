@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import uuid
 from urllib.parse import unquote
 
@@ -67,6 +68,23 @@ DATA_DIR = "data"
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this transaction targeted."""
+
+
+_COMMIT_DIR_RE = re.compile(r"/(c-[0-9a-f]{32})/")
+
+
+def _commit_rel(path: str) -> str:
+    """A file path reduced to its ``c-<uuid>/...`` suffix — the
+    globally-unique key shared by manifest entries (``data/c-…/rel``)
+    and decoded input_file_name URIs (``…/table/data/c-…/rel``).  The
+    LAST commit-dir component wins, so a table rooted under a path that
+    itself contains a look-alike segment cannot confuse it."""
+    last = None
+    for last in _COMMIT_DIR_RE.finditer(path):
+        pass
+    if last is None:
+        return path
+    return path[last.start() + 1 :]
 
 
 def _manifest_name(version: int) -> str:
@@ -86,21 +104,30 @@ class TxTable:
         spark: SparkSession,
         path: str,
         fs=None,
-        stats_col: str | None = None,
+        stats_col: str | list[str] | None = None,
     ) -> None:
         """``stats_col`` turns on DATA SKIPPING: every staged file's
-        manifest entry records that column's [min, max] (one extra
-        distributed pass over the freshly staged files, grouped by
-        input_file_name), and ``snapshot(prune=(col, lo, hi))`` skips
-        files whose range cannot intersect — the per-file-stats design
-        Delta/Iceberg manifests use.  Entries staged without stats
-        (older commits, other writers) are always read: pruning is
-        strictly safe.  Numeric or string columns only (the values
-        must round-trip JSON)."""
+        manifest entry records that column's — or, given a list, EVERY
+        named column's — [min, max] (ONE extra distributed pass over
+        the freshly staged files whatever the column count, grouped by
+        input_file_name), and ``snapshot(prune=(col, lo, hi))`` (or a
+        list of such triples, ANDed) skips files whose ranges cannot
+        intersect — the per-file-stats design Delta/Iceberg manifests
+        use.  Entries staged without stats (older commits, other
+        writers) are always read: pruning is strictly safe.  Numeric or
+        string columns only (the values must round-trip JSON).
+        Multi-column skipping pays off most after a Z-order rewrite
+        (operators/zorder.py), which gives every recorded column
+        locality at once."""
         self.spark = spark
         self.path = str(path).rstrip("/")
         self.fs = fs if fs is not None else filesystem_for(spark, self.path)
-        self.stats_col = stats_col
+        if stats_col is None:
+            self.stats_cols: list[str] = []
+        elif isinstance(stats_col, str):
+            self.stats_cols = [stats_col]
+        else:
+            self.stats_cols = list(stats_col)
 
     # ------------------------------------------------------------- log
     @property
@@ -141,31 +168,57 @@ class TxTable:
     # ----------------------------------------------------------- reads
     @staticmethod
     def _prune_entries(
-        entries: list[dict], col: str, lo, hi
+        entries: list[dict], conds: list[tuple]
     ) -> list[dict]:
-        """Entries that may hold rows with ``col`` in [lo, hi]: a file
-        whose recorded [min, max] is disjoint from the range is skipped;
-        entries without stats for the column are kept (prune is strictly
-        safe)."""
+        """Entries that may hold rows satisfying EVERY (col, lo, hi)
+        range in ``conds``: a file whose recorded [min, max] for any
+        condition's column is disjoint from that range is skipped;
+        entries without stats for a column are kept (prune is strictly
+        safe).  A recorded-vs-predicate TYPE mismatch (string stats
+        against numeric bounds, or vice versa — a silently-lexicographic
+        or raising comparison either way) fails loudly, naming the
+        entry (ADVICE r5)."""
         kept = []
         for e in entries:
-            st = (e.get("stats") or {}).get(col)
-            if (
-                st is not None
-                and st[0] is not None
-                and (st[1] < lo or st[0] > hi)
-            ):
-                continue
-            kept.append(e)
+            skip = False
+            for col, lo, hi in conds:
+                st = (e.get("stats") or {}).get(col)
+                if st is None or st[0] is None:
+                    continue
+                if isinstance(st[0], str) != isinstance(lo, str) or isinstance(
+                    st[1], str
+                ) != isinstance(hi, str):
+                    raise TypeError(
+                        f"data-skipping type mismatch on column {col!r} of "
+                        f"entry {e['path']!r}: recorded stats "
+                        f"[{type(st[0]).__name__}, {type(st[1]).__name__}] "
+                        f"vs predicate bounds "
+                        f"[{type(lo).__name__}, {type(hi).__name__}]"
+                    )
+                if st[1] < lo or st[0] > hi:
+                    skip = True
+                    break
+            if not skip:
+                kept.append(e)
         return kept
 
+    @staticmethod
+    def _norm_prune(prune) -> list[tuple]:
+        """(col, lo, hi) or a list of such triples → list of triples."""
+        if prune and isinstance(prune[0], str):
+            return [tuple(prune)]
+        return [tuple(p) for p in prune]
+
     def prune_counts(
-        self, col: str, lo, hi, version: int | None = None
+        self, col, lo=None, hi=None, version: int | None = None
     ) -> tuple[int, int]:
-        """(files_scanned, files_total) for a [lo, hi] range read —
-        the data-skipping observability number."""
+        """(files_scanned, files_total) for a range read — the
+        data-skipping observability number.  ``col`` is a column name
+        with [lo, hi] bounds, or a list of (col, lo, hi) triples
+        (ANDed, like snapshot(prune=...))."""
+        conds = self._norm_prune((col, lo, hi) if isinstance(col, str) else col)
         entries = self.manifest(version)["files"]
-        return len(self._prune_entries(entries, col, lo, hi)), len(entries)
+        return len(self._prune_entries(entries, conds)), len(entries)
 
     def snapshot(
         self,
@@ -178,12 +231,12 @@ class TxTable:
         per-file value (files are grouped by value — bounded by the
         partition cardinality, e.g. n_buckets).
 
-        ``prune=(col, lo, hi)`` applies manifest-stats data skipping
-        (see ``stats_col``): only files whose recorded range can
-        intersect [lo, hi] are read.  Skipping is a FILE-set reduction,
-        not a row filter — apply the actual predicate on top; rows
-        outside the range may still appear from partially-overlapping
-        files.
+        ``prune=(col, lo, hi)`` — or a LIST of such triples, ANDed —
+        applies manifest-stats data skipping (see ``stats_col``): only
+        files whose recorded ranges can intersect every [lo, hi] are
+        read.  Skipping is a FILE-set reduction, not a row filter —
+        apply the actual predicate on top; rows outside the range may
+        still appear from partially-overlapping files.
 
         ``_with_file`` (internal, used by :meth:`delete`) appends a
         ``_tx_file`` column holding each row's source file URI."""
@@ -192,7 +245,7 @@ class TxTable:
         pcol = m.get("partition_by")
         entries = m["files"]
         if prune is not None:
-            entries = self._prune_entries(entries, *prune)
+            entries = self._prune_entries(entries, self._norm_prune(prune))
         cols = [f.name for f in schema.fields] + (
             ["_tx_file"] if _with_file else []
         )
@@ -263,34 +316,50 @@ class TxTable:
             entries.append(
                 {"path": posixpath.join(rel_commit, rel), "part": part}
             )
-        if self.stats_col is not None and entries and self.stats_col in df.columns:
-            # one distributed pass over the freshly staged files: per-file
-            # min/max of the stats column, keyed back to entries by path
-            # suffix (NULLs are ignored by min/max, which is prune-safe:
-            # a BETWEEN predicate never matches NULL rows)
+        scols = [c for c in self.stats_cols if c in df.columns]
+        if scols and entries:
+            # ONE distributed pass over the freshly staged files whatever
+            # the column count: per-file min/max of every stats column
+            # (NULLs are ignored by min/max, which is prune-safe: a
+            # BETWEEN predicate never matches NULL rows; an all-NULL
+            # file records [null, null] and is always read)
+            aggs = []
+            for c in scols:
+                aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+                aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
             stats_rows = (
                 self.spark.read.parquet(commit_dir)
-                .select(
-                    F.input_file_name().alias("_f"), F.col(self.stats_col)
-                )
+                .select(F.input_file_name().alias("_f"), *map(F.col, scols))
                 .groupBy("_f")
-                .agg(
-                    F.min(self.stats_col).alias("mn"),
-                    F.max(self.stats_col).alias("mx"),
-                )
+                .agg(*aggs)
                 .collect()
             )
-            # decode the URI side once (see delete()'s note): the
-            # manifest path is the raw on-disk name
-            stripped = [
-                (unquote(r._f.split("://", 1)[-1]), (r.mn, r.mx))
-                for r in stats_rows
-            ]
+            # O(1) lookups keyed by the path under the (uuid-unique)
+            # commit dir — decode the URI side once (see delete()'s
+            # note); the manifest path is the raw on-disk name (ADVICE
+            # r5: the nested endswith scan was O(entries × files))
+            cbase = posixpath.basename(commit_dir)
+            by_rel: dict[str, dict] = {}
+            for r in stats_rows:
+                dec = unquote(r._f.split("://", 1)[-1])
+                rel = dec.split("/" + cbase + "/", 1)[1]
+                by_rel[rel] = {
+                    c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in scols
+                }
+            kept = []
             for e in entries:
-                for f, (mn, mx) in stripped:
-                    if f.endswith("/" + e["path"]):
-                        e["stats"] = {self.stats_col: [mn, mx]}
-                        break
+                rel = e["path"].split("/" + cbase + "/", 1)[1]
+                st = by_rel.get(rel)
+                if st is None:
+                    # ZERO-ROW file (an empty coalesce/partition write):
+                    # no group row, nothing to record — and nothing to
+                    # read; drop it from the manifest rather than carry
+                    # a permanently-unprunable entry (ADVICE r5)
+                    self.fs.delete(posixpath.join(self.path, e["path"]))
+                    continue
+                e["stats"] = st
+                kept.append(e)
+            entries = kept
         return entries
 
     def _try_commit(self, manifest: dict, version: int) -> None:
@@ -471,21 +540,23 @@ class TxTable:
             ]
             if not hit_uris:
                 return m["version"]
-            # map URIs back to manifest entries by relative-path suffix —
-            # commit dirs are uuid-named, so the suffix is unambiguous.
-            # input_file_name URI-ENCODES the on-disk path (a literal
-            # space becomes %20, a literal %20 becomes %2520), while the
-            # manifest stores the raw on-disk name; decode the URI side
-            # ONCE and leave the manifest side untouched, or any
-            # partition value with an encodable character makes every
-            # delete miss its entries and raise
-            stripped = [unquote(u.split("://", 1)[-1]) for u in hit_uris]
+            # map URIs back to manifest entries by their path under the
+            # uuid-named commit dir (globally unique, so the key is
+            # unambiguous — and a dict beats the former O(entries×files)
+            # nested suffix scan, ADVICE r5).  input_file_name
+            # URI-ENCODES the on-disk path (a literal space becomes %20,
+            # a literal %20 becomes %2520), while the manifest stores
+            # the raw on-disk name; decode the URI side ONCE and leave
+            # the manifest side untouched, or any partition value with
+            # an encodable character makes every delete miss its
+            # entries and raise
+            hit_keys = {
+                _commit_rel(unquote(u.split("://", 1)[-1])) for u in hit_uris
+            }
             carry = [
-                e
-                for e in m["files"]
-                if not any(s.endswith("/" + e["path"]) for s in stripped)
+                e for e in m["files"] if _commit_rel(e["path"]) not in hit_keys
             ]
-            if len(carry) + len(stripped) != len(m["files"]):
+            if len(carry) + len(hit_keys) != len(m["files"]):
                 raise RuntimeError(
                     f"delete on {self.path}: scanned file set does not "
                     "match the manifest (concurrent vacuum?)"

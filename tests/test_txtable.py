@@ -560,3 +560,32 @@ def test_stream_floor_survives_vacuum_for_new_sink_instances(spark, tmp_path):
         before + [(4, "d")]
     )
     assert t.manifest()["stream_floor"] == 2
+
+
+def test_multicol_stats_zero_row_drop_and_type_mismatch(spark, tmp_path):
+    """Multi-column stats (VERDICT r5 ask #7) + the two ADVICE r5
+    stats fixes: a zero-row staged file never enters the manifest (and
+    its bytes are gone), every stats column records per-file min/max in
+    the one pass, and a predicate whose bound type disagrees with the
+    recorded stats type raises a descriptive error naming the entry
+    instead of comparing lexicographically."""
+    import pytest
+
+    t = TxTable(spark, str(tmp_path / "t"), stats_col=["k", "v"])
+    df = spark.createDataFrame([(1, "a"), (9, "z")], "k int, v string")
+    t.init(df.coalesce(1))
+    t.append(
+        spark.createDataFrame([], "k int, v string").coalesce(1)
+    )  # zero rows
+    m = t.manifest()
+    assert len(m["files"]) == 1  # the empty file was dropped
+    st = m["files"][0]["stats"]
+    assert st["k"] == [1, 9] and st["v"] == ["a", "z"]
+    # conjunctive prune across both columns
+    assert t.prune_counts([("k", 0, 5), ("v", "a", "b")]) == (1, 1)
+    assert t.prune_counts([("k", 10, 20), ("v", "a", "b")]) == (0, 1)
+    # type mismatch fails loudly, naming the entry
+    with pytest.raises(TypeError, match="data-skipping type mismatch"):
+        t.prune_counts("v", 0, 5)
+    with pytest.raises(TypeError, match=m["files"][0]["path"].split("/")[-1][:8]):
+        t.prune_counts("k", "a", "b")
