@@ -95,6 +95,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (b) new round-6 gates (zero rows) ---------------------------
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
+        "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         # -- (c) round-4-green gates, least-recently-checked first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
@@ -133,9 +134,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q20_orders_without_items": extras.q20_orders_without_items,
         "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) r4-green gates that didn't fit — ROUND-7 window head ---
+        "q22_price_percentiles": extras.q22_price_percentiles,
         "q23_monthly_growth": relational.q23_monthly_growth,
         "q24_brand_type_cube": relational.q24_brand_type_cube,
         "q11_referential_integrity": monitoring.q11_referential_integrity,

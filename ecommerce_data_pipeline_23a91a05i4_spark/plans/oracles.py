@@ -2723,6 +2723,21 @@ LLMDATA_ORACLES["t56_dedup_index_cascade"] = _segment_dedup_oracle(
     corpus_where="WHERE doc_id % 5 = 0 OR doc_id % 7 != 0",
 )
 
+# t63: t56's recompute-from-(raw minus deleted) contract, run through
+# the real table lifecycle (delete -> time-travel cascade -> vacuum ->
+# incremental), plus the pinned lifecycle facts.
+LLMDATA_ORACLES["t63_takedown_lifecycle"] = (
+    "SELECT q.*, CAST(1 AS BIGINT) AS n_versions_after_vacuum, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents "
+    "WHERE doc_id % 5 != 0 AND doc_id % 7 != 0) AS n_docs_post_delete, "
+    "TRUE AS vacuum_removed_some FROM ("
+    + _segment_dedup_oracle(
+        where="WHERE doc_id % 5 = 0",
+        corpus_where="WHERE doc_id % 5 = 0 OR doc_id % 7 != 0",
+    )
+    + ") q ORDER BY q.doc_id"
+)
+
 LLMDATA_ORACLES["t54_duplicate_spans"] = f"""
     WITH toks AS (
         SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
