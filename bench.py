@@ -546,20 +546,24 @@ def main() -> None:
         probe["semdedup"] = run_semdedup_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__semdedup_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    headline_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         try:
             df = fn(spark, sf_dir)
             df.collect()  # warm: codegen compile, footer reads, page cache
-            # headline queries: best-of-3 (the baseline-comparison number
-            # must not carry scheduler noise); the rest: one timed run,
-            # keeping family totals comparable round-over-round without
-            # tripling the suite's wall time
-            best = float("inf")
-            for _ in range(3 if name in ref10_names else 1):
+            # headline queries: best-of-5 with every run kept (VERDICT r5
+            # ask #5 — the acceptance metric carries a published
+            # min/median and jitter band, not a single noisy best); the
+            # rest: one timed run, keeping family totals comparable
+            # round-over-round without quintupling the suite's wall time
+            runs = []
+            for _ in range(5 if name in ref10_names else 1):
                 t0 = time.perf_counter()
                 df.collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
+            if name in ref10_names:
+                headline_runs[name] = runs
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -568,6 +572,27 @@ def main() -> None:
     # (q11+) and LLM-data (t*) suites are timed in "queries" but kept out
     # of the headline so the comparison stays apples-to-apples.
     total, failed_headline = headline_total(queries, timings, errors)
+
+    # Jitter band (VERDICT r5 ask #5): the queries run in a FIXED order
+    # (registry order) with 5 kept runs each, so run i across all 10
+    # queries is a same-session repeat of the whole suite — min/median
+    # of those 5 suite totals plus their spread is the published
+    # protocol; a future round's headline move inside the band is noise.
+    headline_stats: dict = {}
+    if not failed_headline and len(headline_runs) == len(ref10_names):
+        import statistics
+
+        suite_runs = [
+            round(sum(headline_runs[n][i] for n in headline_runs), 4)
+            for i in range(5)
+        ]
+        mn, md = min(suite_runs), statistics.median(suite_runs)
+        headline_stats = {
+            "suite_runs_sec": suite_runs,
+            "min_sec": round(mn, 4),
+            "median_sec": round(md, 4),
+            "jitter_pct": round(100.0 * (max(suite_runs) - mn) / mn, 1),
+        }
 
     # End-to-end pipeline at the reference's exact scale (1000 customers /
     # 500 products / 10k transactions) — per-step seconds comparable to
@@ -614,6 +639,7 @@ def main() -> None:
         "metric": "ref_analytics10_total_seconds",
         "value": total,
         "unit": "sec",
+        "headline_protocol": headline_stats,
         "queries": timings,
         "capstone_sec": capstone_sec,
         "family_totals_sec": {k: round(v, 4) for k, v in fam.items()},
@@ -646,6 +672,9 @@ def main() -> None:
         "ratio_vs_baseline_4.44s": (
             round(total / 4.44, 4) if total is not None else None
         ),
+        "headline_min_sec": headline_stats.get("min_sec"),
+        "headline_median_sec": headline_stats.get("median_sec"),
+        "headline_jitter_pct": headline_stats.get("jitter_pct"),
         "headline_incomplete": bool(failed_headline),
         "sf": sf,
     }
