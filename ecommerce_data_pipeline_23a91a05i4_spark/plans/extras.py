@@ -476,3 +476,77 @@ def t19_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_pairs(docs, "doc_id", "text", k=16, window=8, min_shared=20, portable=True)
         .orderBy("id_a", "id_b")
     )
+
+
+def t64_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database interop end-to-end (reference S2, the PostgreSQL leg:
+    ingest_to_staging.py loads tables into the database,
+    staging_to_production.py:138-141 reads them back).  The gate runs
+    the full round trip against an embedded Derby database (the JDBC
+    driver pyspark itself ships): customer and nation are written over
+    JDBC in batched inserts, customer is read back as a PARTITIONED
+    read — 4 concurrent range queries on c_custkey with bounds fetched
+    server-side by partition_bounds() — then joined and aggregated
+    per nation.  The oracle computes the same aggregate straight from
+    the parquet tables, so any value lost or mangled in either JDBC
+    direction (types, batching, range-partition edges, the broadcast
+    join on the read-back side) fails the hash.  The partitioned-read
+    shape is asserted (4 input partitions), so the gate also pins the
+    scale posture: a silent fall-back to a single-connection read
+    fails loudly."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.jdbc import (
+        derby_url,
+        partition_bounds,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = tempfile.mkdtemp(prefix=f"t64_{_uuid.uuid4().hex[:8]}_")
+    url = derby_url(base + "/db")
+    try:
+        write_jdbc(cust, url, "customer", mode="overwrite")
+        write_jdbc(nation, url, "nation", mode="overwrite")
+        lo, hi = partition_bounds(spark, url, "customer", "c_custkey")
+        c = read_jdbc(
+            spark,
+            url,
+            "customer",
+            partition_column="c_custkey",
+            lower_bound=lo,
+            upper_bound=hi,
+            num_partitions=4,
+        )
+        if c.rdd.getNumPartitions() != 4:
+            raise AssertionError(
+                "partitioned JDBC read did not yield 4 partitions"
+            )
+        n = read_jdbc(spark, url, "nation")
+        rows = (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.count_distinct("c_mktsegment")
+                .cast("long")
+                .alias("n_segments"),
+                F.min("c_acctbal").alias("min_acctbal"),
+                F.max("c_acctbal").alias("max_acctbal"),
+            )
+            .orderBy("n_name")
+            .collect()  # materialize BEFORE the database dir is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "n_name string, n_customers long, n_segments long, "
+            "min_acctbal double, max_acctbal double",
+        ).orderBy("n_name")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

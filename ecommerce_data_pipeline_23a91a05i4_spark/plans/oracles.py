@@ -1247,6 +1247,21 @@ EXTRAS_ORACLES["t14_event_session_ranges"] = f"""
 """
 
 
+# t64: the aggregate the Spark side computes AFTER a write→partitioned-
+# read round trip through an embedded Derby database; DuckDB computes it
+# straight from parquet, so the hash proves JDBC lost/mangled nothing.
+EXTRAS_ORACLES["t64_jdbc_roundtrip"] = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
 EXTRAS_ORACLES["t16_deterministic_sample"] = """
     SELECT lang,
            COUNT(*) AS n_docs,

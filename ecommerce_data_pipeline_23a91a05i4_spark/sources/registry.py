@@ -8,8 +8,8 @@ options:
     read(spark, "csv", path, schema=...)   # S1 — schema-enforced, header
     read(spark, "parquet", path)           # S2 — lakehouse default
     read(spark, "json", path)              # report/JSON-lines ingest
-    read(spark, "jdbc", url, table=...)    # S2 Postgres interop (gated:
-                                           #   needs a JDBC driver jar)
+    read(spark, "jdbc", url, table=...)    # S2 database interop — full
+                                           #   impl in sources/jdbc.py
     write(df, "parquet", path, mode=...)   # S4/S5
     write(df, "csv_single", path)          # S6/S7 single-file golden CSVs
 
@@ -62,24 +62,15 @@ def read(
             reader = reader.schema(schema)
         return reader.options(**options).json(path)
     if fmt == "jdbc":
-        # Postgres interop kept API-compatible with the reference's server
-        # leg; needs a JDBC driver jar on the classpath, absent here.
+        # S2: the reference's Postgres leg (staging_to_production.py:
+        # 138-141 reads whole staging tables over one connection).  Full
+        # partitioned/pushdown implementation in sources/jdbc.py; tested
+        # end-to-end against pyspark's bundled embedded Derby driver.
+        from .jdbc import read_jdbc
+
         table = options.pop("table", None)
-        if table is None:
-            raise ValueError("jdbc source requires table=...")
-        try:
-            return (
-                spark.read.format("jdbc")
-                .option("url", path)
-                .option("dbtable", table)
-                .options(**options)
-                .load()
-            )
-        except Exception as e:  # noqa: BLE001
-            raise NotImplementedError(
-                "JDBC source requires a database driver jar "
-                "(spark.jars); not available in this environment"
-            ) from e
+        query = options.pop("query", None)
+        return read_jdbc(spark, path, table, query=query, **options)
     raise KeyError(f"unknown source format {fmt!r}")
 
 
@@ -191,6 +182,16 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options
         return
     if fmt == "json":
         df.write.mode(mode).options(**options).json(path)
+        return
+    if fmt == "jdbc":
+        # S2 write leg: `path` is the JDBC URL, table= names the target.
+        # Batched inserts, one connection per partition (sources/jdbc.py).
+        from .jdbc import write_jdbc
+
+        table = options.pop("table", None)
+        if table is None:
+            raise ValueError("jdbc sink requires table=...")
+        write_jdbc(df, path, table, mode=mode, **options)
         return
     if fmt == "txtable":
         # transactional manifest-log sink: "overwrite" commits a new
