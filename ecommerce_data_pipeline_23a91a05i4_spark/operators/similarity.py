@@ -456,11 +456,14 @@ def _assign_clusters_bucketed(
         .select(*out_cols)
     )
     # fallback: vectors whose bucket covers no centroid — residual-sized
-    # (the left-anti keeps only misses), so the broadcast is of the
-    # centroid relation against a near-empty probe side
+    # by construction (expected miss rate e^-(bits+1)).  Broadcast the
+    # MISS side, never the centroid relation: in the k ≈ N/32 regime the
+    # centroids are data-sized (re-broadcasting them would reintroduce
+    # the O(k) per-executor state this assigner exists to remove), while
+    # the residual is the small side by contract
     miss = vk.join(cb.select("bkey").distinct(), "bkey", "left_anti")
     fb = (
-        miss.crossJoin(F.broadcast(cents))
+        cents.crossJoin(F.broadcast(miss))
         .select(
             "id",
             "cluster_id",
