@@ -505,6 +505,50 @@ LLMDATA_ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
     """,
+    # t65: the full int8 quantization pipeline replayed in SQL — the
+    # same order-independent max-|x| fold, the same floor(x/scale+0.5)
+    # round-half-up code, and dots over integral doubles (exact in
+    # IEEE), so ranks match the Spark side bit-for-bit.  127 is
+    # operators/quantize.QUANT_LEVELS (import-checked in tests).
+    "t65_quantized_knn": f"""
+        WITH s0 AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       (a, b) -> greatest(a, b)) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                        ELSE list_transform(
+                            embedding,
+                            x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+                   END AS qvec
+            FROM s0
+        ),
+        v AS (
+            SELECT vec_id, qvec, sqrt({_dot('qvec', 'qvec')}) AS nrm FROM qv
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   {SQL_QUANT(_dot('q.qvec', 'c.qvec') + ' / (q.nrm * c.nrm)', 6)}
+                       AS qcosine_sim
+            FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, qcosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine_sim DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, qcosine_sim
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
     "t7_embedding_neardup": f"""
         WITH v AS (
             SELECT vec_id, embedding,

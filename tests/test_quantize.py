@@ -1,0 +1,112 @@
+"""Int8 embedding quantization (operators/quantize.py).
+
+The t65 gate proves cross-engine bit-identity of the whole pipeline;
+these tests pin the numeric CONTRACTS the gate can't see: the
+reconstruction-error bound, the recall-vs-exact trade, edge vectors
+(all-zero), the code range/dtype that justifies the 8x storage claim,
+and partitioning independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.operators import quantize as qz
+from ecommerce_data_pipeline_23a91a05i4_spark.operators import similarity as sim
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_codes_fit_tinyint_and_schema(spark):
+    q = qz.quantize_embeddings(_emb(spark))
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    bounds = q.select(
+        F.aggregate(
+            "qvec",
+            F.lit(0),
+            lambda acc, c: F.greatest(acc, F.abs(c.cast("int"))),
+        ).alias("m")
+    ).agg(F.max("m")).first()[0]
+    assert bounds <= qz.QUANT_LEVELS
+
+
+def test_reconstruction_error_bounded(spark):
+    """|x - code*scale| <= scale/2 per element (round-half-up bound)."""
+    e = _emb(spark)
+    q = qz.quantize_embeddings(e)
+    joined = e.join(q, e.vec_id == q.vec_id).select(
+        "scale",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                qz.dequantize(F.col("qvec"), F.col("scale")),
+                lambda x, r: F.abs(x.cast("double") - r),
+            ),
+            F.lit(0.0),
+            lambda acc, d: F.greatest(acc, d),
+        ).alias("max_err"),
+    )
+    bad = joined.filter(
+        F.col("max_err") > F.col("scale") / 2.0 + 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_recall_vs_exact_knn(spark):
+    """Quantized top-10 must recover >= 90% of the exact top-10."""
+    e = _emb(spark)
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(queries, e, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in qz.knn_quantized(queries, e, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_zero_vector_is_safe(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in qz.quantize_embeddings(df).collect()}
+    assert rows[0].scale == 0.0 and list(rows[0].qvec) == [0, 0, 0]
+    # max element maps to +-levels exactly
+    assert max(abs(c) for c in rows[1].qvec) == qz.QUANT_LEVELS
+    # (a zero-NORM vector makes cosine itself 0/0 — an ANSI error on
+    # the exact path and the quantized path alike; the quantizer's own
+    # contract is just: no division blow-up producing the codes)
+
+
+def test_partitioning_independence(spark):
+    e = _emb(spark)
+    a = sorted(
+        (r.vec_id, r.scale, tuple(r.qvec))
+        for r in qz.quantize_embeddings(e).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.scale, tuple(r.qvec))
+        for r in qz.quantize_embeddings(e.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_oracle_levels_in_sync():
+    """The t65 oracle hardcodes 127.0 (SQL literal); pin it to the
+    operator constant so a drift fails here, not at the driver."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans.oracles import (
+        LLMDATA_ORACLES,
+    )
+
+    assert (
+        f"/ {float(qz.QUANT_LEVELS)} AS scale"
+        in LLMDATA_ORACLES["t65_quantized_knn"]
+    )
