@@ -2763,6 +2763,68 @@ LLMDATA_ORACLES["t62b_txtable_multicol_skipping"] = """
     ORDER BY source
 """
 
+# t66: the CDC lifecycle replayed relationally — rebuild the change
+# feed with the gate's exact planting arithmetic, collapse it latest-
+# wins (one row_number window), merge it (corpus anti-join winners ∪
+# non-delete winners), and aggregate per band; the transaction facts
+# (2 versions, op 'merge', 3-of-4 band files carried by reference) are
+# pinned as literals.
+LLMDATA_ORACLES["t66_txtable_cdc_merge"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(doc_id % 4 AS VARCHAR) AS band
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    changes AS (
+        SELECT doc_id, 'stale' AS text, lang, source,
+               CAST(5 AS BIGINT) AS n_chars,
+               CAST(doc_id % 4 AS VARCHAR) AS band, 'U' AS op,
+               CAST(1 AS BIGINT) AS seq
+        FROM documents
+        WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, text || ' [rev2]', lang, source,
+               CAST(length(text || ' [rev2]') AS BIGINT),
+               CAST(doc_id % 4 AS VARCHAR), 'U', CAST(2 AS BIGINT)
+        FROM documents
+        WHERE doc_id % 4 = 1 AND doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(doc_id % 4 AS VARCHAR), 'D', CAST(3 AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 1 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 'new doc ' || CAST(doc_id AS VARCHAR), lang, 'cdc',
+               CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+               CAST(doc_id % 4 AS VARCHAR), 'I', CAST(1 AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 1 AND doc_id % 3 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT c.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY seq DESC) AS rn
+            FROM changes c
+        ) r WHERE rn = 1
+    ),
+    merged AS (
+        SELECT doc_id, text, n_chars, band FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        UNION ALL
+        SELECT doc_id, text, n_chars, band FROM latest WHERE op <> 'D'
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+           CAST(SUM(CASE WHEN text LIKE '% [rev2]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rev2,
+           CAST(2 AS BIGINT) AS n_versions,
+           'merge' AS latest_op,
+           CAST(3 AS BIGINT) AS n_files_carried
+    FROM merged GROUP BY band ORDER BY band
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -50,13 +50,15 @@ X6.
 
 from __future__ import annotations
 
+import functools
 import json
 import posixpath
 import re
 import uuid
+from operator import or_
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -584,6 +586,136 @@ class TxTable:
             f"delete on {self.path} lost {max_retries} commit races"
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        delete_col: str | None = None,
+        insert_unmatched: bool = True,
+        max_retries: int = 5,
+    ) -> int:
+        """Keyed MERGE (the Delta ``MERGE INTO`` / CDC-apply shape —
+        the one DML verb the table lacked after delete()): for each
+        source row, a target row with the same ``on`` key is REPLACED
+        by the source row (whole-row upsert), or REMOVED when the
+        source row's ``delete_col`` is true; source rows matching
+        nothing are INSERTED (unless ``insert_unmatched=False`` or
+        delete-flagged — an unmatched delete is a no-op, the standard
+        CDC tolerance for deletes of never-seen keys).  Returns the
+        committed version, or the current version unchanged when the
+        merge would alter nothing.
+
+        The source must be UNIQUE on the key and key columns must be
+        non-null — both enforced loudly up front, because a duplicate
+        key makes "the" replacement row ambiguous (Delta raises the
+        same error) and a NULL key never equi-joins, silently turning
+        an update into an insert.  Modulo ``delete_col`` (consumed
+        here, never stored), the source must match the table schema
+        exactly — same rule, and same reason, as append().
+
+        File-granular like delete(): only target files CONTAINING a
+        matched key are read twice and rewritten (matched rows swapped
+        for their source version, the rest carried within the rewrite);
+        every untouched file carries into the child manifest by
+        reference, and inserts stage as fresh files.  Cost is therefore
+        O(hit files + |source|), not O(table) — the property that makes
+        minute-cadence CDC apply viable on a 100 TB table where almost
+        every batch touches a tiny key range.  Old versions still
+        time-travel to the pre-merge data until vacuum().
+
+        Concurrent commits are absorbed by recompute-and-retry (the
+        delete() discipline: the hit-file set must be re-derived
+        against the new base)."""
+        keys = [on] if isinstance(on, str) else list(on)
+        if not keys:
+            raise ValueError("merge: 'on' must name at least one key column")
+        for k in keys:
+            if k not in source.columns:
+                raise ValueError(f"merge: key column {k!r} not in source")
+        if delete_col is not None and delete_col not in source.columns:
+            raise ValueError(f"merge: delete_col {delete_col!r} not in source")
+        is_del = (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        )
+        src = source.localCheckpoint(eager=True)  # one plan, many passes
+        null_keys = src.filter(
+            functools.reduce(or_, (F.col(k).isNull() for k in keys))
+        ).count()
+        if null_keys:
+            raise ValueError(
+                f"merge: {null_keys} source rows have NULL in a key column "
+                f"{keys} — a NULL key never matches, which would silently "
+                "turn updates into inserts"
+            )
+        dupes = (
+            src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dupes:
+            raise ValueError(
+                f"merge: source is not unique on {keys} — ambiguous which "
+                "row should win; pre-aggregate (see apply_cdc's latest-wins "
+                "by sequence column)"
+            )
+        m0 = self.manifest()
+        schema = StructType.fromJson(json.loads(m0["schema"]))
+        data_cols = [f.name for f in schema.fields]
+        self._check_schema(src.drop(*([delete_col] if delete_col else [])), schema)
+        upserts = src.filter(~is_del).select(data_cols)
+        ups_empty = upserts.isEmpty()
+        src_keys = src.select(keys).distinct()
+        for _ in range(max_retries):
+            m = self.manifest()
+            pcol = m.get("partition_by")
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            snap = self.snapshot(m["version"], _with_file=True)
+            hit_uris = [
+                r._tx_file
+                for r in snap.join(src_keys, on=keys, how="leftsemi")
+                .select("_tx_file")
+                .distinct()
+                .collect()
+            ]
+            if not hit_uris and (ups_empty or not insert_unmatched):
+                return m["version"]  # nothing matched, nothing to insert
+            hit_keys = {
+                _commit_rel(unquote(u.split("://", 1)[-1])) for u in hit_uris
+            }
+            carry = [
+                e for e in m["files"] if _commit_rel(e["path"]) not in hit_keys
+            ]
+            if len(carry) + len(hit_keys) != len(m["files"]):
+                raise RuntimeError(
+                    f"merge on {self.path}: scanned file set does not "
+                    "match the manifest (concurrent vacuum?)"
+                )
+            # survivors: unmatched rows of the hit files only (matched
+            # rows are replaced by their source version or dropped)
+            survivors = (
+                snap.filter(F.col("_tx_file").isin(hit_uris))
+                .join(src_keys, on=keys, how="left_anti")
+                .select(data_cols)
+            )
+            if pcol is None and hit_uris:
+                # narrow coalesce, same reason as delete(): without it
+                # the scan's partitioning stages empty part files
+                survivors = survivors.coalesce(max(1, len(hit_uris)))
+            staged = self._stage(survivors, pcol) if hit_uris else []
+            if not ups_empty:
+                ins = upserts
+                if not insert_unmatched:
+                    ins = ins.join(snap.select(keys), on=keys, how="leftsemi")
+                staged += self._stage(ins, pcol)
+            try:
+                self._commit(carry + staged, "merge", m["version"], schema, pcol)
+                return m["version"] + 1
+            except CommitConflict:
+                continue  # re-derive against the new snapshot
+        raise CommitConflict(
+            f"merge on {self.path} lost {max_retries} commit races"
+        )
+
     # ------------------------------------------------------ maintenance
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 24 * 3600.0
@@ -656,6 +788,63 @@ class TxTable:
         for v in vs[: -max(1, keep_versions)]:
             self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
         return removed
+
+
+# ----------------------------------------------------------- CDC apply
+
+def apply_cdc(
+    table: TxTable,
+    changes: DataFrame,
+    on: str | list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    max_retries: int = 5,
+) -> int:
+    """Apply a CDC change FEED (possibly many events per key) to the
+    table in one merge commit: per key, the event with the highest
+    ``seq_col`` wins — insert/update events upsert the row, a
+    ``delete_op`` event removes it.  This is the standard latest-wins
+    collapse (Debezium/Delta ``APPLY CHANGES`` semantics): a key that
+    was inserted, updated twice, then deleted within the batch nets out
+    to a delete; feeds replayed out of order converge because ordering
+    comes from ``seq_col``, not arrival.
+
+    ``(key, seq)`` must be unique — enforced loudly, because two
+    different events at the same sequence number have no defined winner
+    and row_number() would pick one silently (the correctness failure
+    CDC pipelines are least likely to notice).  Payload columns of
+    delete events are free to be NULL; they are never stored.  Returns
+    the committed version (or the current one on a net-no-op batch).
+
+    The collapse is one window over the BATCH (delta-sized, not
+    table-sized); the apply inherits merge()'s file-granular cost —
+    O(hit files + batch), the property that makes minute-cadence CDC
+    viable at 100 TB."""
+    keys = [on] if isinstance(on, str) else list(on)
+    amb = (
+        changes.groupBy(*keys, seq_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if amb:
+        raise ValueError(
+            f"apply_cdc: ({keys} + {seq_col!r}) is not unique in the change "
+            "feed — concurrent events at one sequence number have no "
+            "defined winner"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_cdc_rn", F.row_number().over(w))
+        .filter(F.col("_cdc_rn") == 1)
+        .withColumn("_cdc_delete", F.col(op_col) == F.lit(delete_op))
+        .drop("_cdc_rn", op_col, seq_col)
+    )
+    return table.merge(
+        latest, on, delete_col="_cdc_delete", max_retries=max_retries
+    )
 
 
 # ------------------------------------------------- transactional SCD2 merge

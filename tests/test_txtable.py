@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
     CommitConflict,
     TxTable,
+    apply_cdc,
     scd2_merge_tx,
 )
 
@@ -589,3 +590,111 @@ def test_multicol_stats_zero_row_drop_and_type_mismatch(spark, tmp_path):
         t.prune_counts("v", 0, 5)
     with pytest.raises(TypeError, match=m["files"][0]["path"].split("/")[-1][:8]):
         t.prune_counts("k", "a", "b")
+
+
+# --------------------------------------------------- MERGE / CDC apply
+
+
+def test_merge_upsert_delete_insert_and_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (9, "i", False)],
+        "k long, v string, dead boolean",
+    )
+    v = t.merge(src, "k", delete_col="dead")
+    assert v == 2
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {
+        (1, "a"), (2, "B"), (9, "i"),
+    }
+    # pre-merge version still time-travels
+    assert {(r.k, r.v) for r in t.snapshot(version=1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    assert t.history()[-1]["op"] == "merge"
+
+
+def test_merge_is_file_granular_on_partitioned_tables(spark, tmp_path):
+    """A merge touching only one partition's keys must carry every
+    other partition's file entries BY REFERENCE (identical paths)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "lo" if i < 50 else "hi", f"v{i}") for i in range(100)],
+        "k long, band string, v string",
+    )
+    t.init(df.repartition(1), partition_by="band")
+    src = spark.createDataFrame(
+        [(7, "lo", "V7", False), (8, "lo", None, True)],
+        "k long, band string, v string, dead boolean",
+    )
+    t.merge(src, "k", delete_col="dead")
+    e1 = {e["path"] for e in t.manifest(1)["files"]}
+    e2 = {e["path"] for e in t.manifest(2)["files"]}
+    hi_files = {
+        e["path"] for e in t.manifest(1)["files"] if e["part"] == "hi"
+    }
+    assert hi_files and hi_files <= e2, "untouched partition must carry"
+    lo_files = e1 - hi_files
+    assert not (lo_files & e2), "hit partition files must be replaced"
+    got = {(r.k, r.v) for r in t.snapshot().filter("k in (7, 8, 9)").collect()}
+    assert got == {(7, "V7"), (9, "v9")}
+
+
+def test_merge_validations_are_loud(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(_df(spark, [(1, "x"), (1, "y")]), "k")
+    with pytest.raises(ValueError, match="NULL in a key"):
+        t.merge(_df(spark, [(None, "x")]), "k")
+    with pytest.raises(ValueError, match="not in source"):
+        t.merge(_df(spark, [(1, "x")]), "missing")
+    with pytest.raises(ValueError, match="delete_col"):
+        t.merge(_df(spark, [(1, "x")]), "k", delete_col="missing")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(
+            spark.createDataFrame([(1, 2.0)], "k long, v double"), "k"
+        )
+
+
+def test_merge_noop_and_insert_unmatched_false(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    # unmatched delete alone: net no-op, no new version
+    noop = spark.createDataFrame(
+        [(99, None, True)], "k long, v string, dead boolean"
+    )
+    assert t.merge(noop, "k", delete_col="dead") == 1
+    assert t.latest_version() == 1
+    # update-only mode drops unmatched rows instead of inserting
+    src = _df(spark, [(1, "A"), (42, "ghost")])
+    assert t.merge(src, "k", insert_unmatched=False) == 2
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {(1, "A")}
+
+
+def test_apply_cdc_latest_wins_and_ambiguity(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    ch = spark.createDataFrame(
+        [
+            # key 1: update then delete -> net delete
+            (1, "A", "U", 10), (1, None, "D", 20),
+            # key 2: out-of-order feed, seq 30 wins
+            (2, "B2", "U", 30), (2, "B1", "U", 25),
+            # key 5: insert then update -> upsert of seq 2
+            (5, "e1", "I", 1), (5, "e2", "U", 2),
+            # key 6: delete of a never-seen key -> tolerated no-op
+            (6, None, "D", 1),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    apply_cdc(t, ch, "k")
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {
+        (2, "B2"), (5, "e2"),
+    }
+    dup = spark.createDataFrame(
+        [(7, "x", "U", 1), (7, "y", "U", 1)],
+        "k long, v string, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        apply_cdc(t, dup, "k")
