@@ -1,0 +1,189 @@
+"""Portable HyperLogLog distinct-count sketch — COUNT(DISTINCT) for
+the 100 TB tier.
+
+Exact COUNT(DISTINCT) is the worst shuffle in an analytics engine: every
+distinct value crosses the wire and the reduce side must hold the whole
+distinct set.  The published HyperLogLog estimator (Flajolet, Fusy,
+Gandouet, Meunier 2007 — the algorithm behind Spark's own
+``approx_count_distinct`` HLL++ and Postgres/BigQuery sketches) replaces
+it with ``m = 2^p`` one-byte registers per group: the shuffle carries at
+most ``m`` (register, max-rank) rows per group whatever the cardinality,
+map-side partial ``MAX`` combine does almost all the work, and sketches
+are MERGEABLE (register-wise max) — the property that makes distinct
+counts composable across shards, days, and streams without ever
+re-reading raw data.  A register relation is an ordinary DataFrame, so a
+persisted sketch (e.g. in a TxTable) is incrementally maintainable: union
+the new shard's registers and re-max.
+
+Everything is engine-portable on purpose (the repo's cross-engine
+discipline, so the t67 oracle replays the WHOLE estimator in DuckDB):
+
+- the hash is md5 (lower-hex in both engines), split positionally:
+  ``p/4`` hex chars of register index + 15 hex chars (60 bits) of rank
+  material — ``p`` must be a multiple of 4 for the clean split;
+- the rank (leading-zero count + 1) is PURE string/CASE arithmetic on
+  hex digits — no log2, no engine bit intrinsics;
+- the harmonic sum ``sum(2^-rank)`` is scaled by 2^61 into exact
+  integers and summed as decimal (order-independent), with ONE final
+  cast-to-double and ONE IEEE division — bit-identical across engines;
+- the bias constant ``alpha_m * m^2 * 2^61`` is folded to a single
+  Python double so both engines consume one identical literal.
+
+Zero UDFs, zero driver state; unlike Spark's built-in
+``approx_count_distinct`` the sketch here is a first-class relation the
+caller can store, merge, and audit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, quant
+
+#: rank material: 15 hex chars = 60 bits after the index prefix; an
+#: all-zero suffix gets rank 61.  Scaling by 2^61 keeps every term
+#: 2^(61-rank) an exact bigint.
+RANK_HEX_CHARS = 15
+RANK_SCALE_BITS = 61
+TWO_61 = 1 << RANK_SCALE_BITS
+
+
+def hll_alpha(m: int) -> float:
+    """The published HLL bias correction alpha_m (m >= 16 form)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> int:
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(
+            f"hll: p must be a multiple of 4 in [4, 16] (got {p}) — the "
+            "register index is split from the md5 hex string a nibble "
+            "at a time"
+        )
+    return 1 << p
+
+
+def hll_rank(w_hex: Column) -> Column:
+    """Leading-zero-bits(w)+1 over a 15-hex-char string, as portable
+    string/CASE arithmetic: 4 bits per leading '0' char, plus the
+    leading zeros WITHIN the first nonzero hex digit."""
+    z = F.length(F.regexp_extract(w_hex, "^0*", 0))
+    first_nz = F.substring(F.regexp_replace(w_hex, "^0*", ""), 1, 1)
+    in_char = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return (
+        F.when(z == RANK_HEX_CHARS, F.lit(4 * RANK_HEX_CHARS + 1))
+        .otherwise(z * 4 + in_char + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Build the sketch: (group_by..., ridx int, rmax int) with at most
+    ``2^p`` register rows per group.  ONE shuffle on (group, ridx) with
+    map-side partial MAX — the full distinct set never moves.  Rows
+    with a NULL in any counted column are ignored (multi-column
+    COUNT(DISTINCT) semantics)."""
+    _check_p(p)
+    group_by = list(group_by or [])
+    not_null = functools.reduce(
+        Column.__and__, (F.col(c).isNotNull() for c in cols)
+    )
+    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    hexd = F.md5(val)
+    idx = F.conv(F.substring(hexd, 1, p // 4), 16, 10).cast("int")
+    w = F.substring(hexd, p // 4 + 1, RANK_HEX_CHARS)
+    return (
+        df.filter(not_null)
+        .select(*group_by, idx.alias("ridx"), hll_rank(w).alias("rmax"))
+        .groupBy(*group_by, "ridx")
+        .agg(F.max("rmax").alias("rmax"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_by: list[str] | None = None) -> DataFrame:
+    """Union register relations and re-max: the lossless sketch union
+    (estimate(merge(A, B)) == estimate(sketch of A ∪ B), exactly —
+    pinned by test).  This is how shard/day/stream sketches compose
+    without touching raw data."""
+    group_by = list(group_by or [])
+    u = functools.reduce(DataFrame.unionByName, sketches)
+    return u.groupBy(*group_by, "ridx").agg(F.max("rmax").alias("rmax"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_by: list[str] | None = None,
+    p: int = 12,
+    correction: bool = True,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group cardinality estimate from a register relation:
+    (group_by..., approx_distinct double).  The harmonic-mean path is
+    exact-integer up to one final division, so it replays bit-identical
+    in any SQL engine; ``correction=True`` additionally applies the
+    published small-range linear counting branch (E <= 2.5m with empty
+    registers -> m*ln(m/V)) whose ``ln`` is the one operation engines
+    MAY round differently — leave it on for accuracy, and pick gate
+    data that exercises the harmonic branch when cross-engine
+    bit-equality is the requirement."""
+    m = _check_p(p)
+    group_by = list(group_by or [])
+    term = F.expr(
+        f"shiftleft(cast(1 as bigint), {RANK_SCALE_BITS} - rmax)"
+    )
+    agg = regs.groupBy(*group_by).agg(
+        dsum(term, "decimal(38,0)").alias("_z_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    v = (F.lit(m) - F.col("_n_present")).cast("long")
+    z = (
+        F.col("_z_present")
+        + v.cast("decimal(38,0)") * F.lit(TWO_61).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    # one double literal both engines share verbatim (repr round-trips)
+    const = hll_alpha(m) * (m * m) * float(TWO_61)
+    e_harm = F.lit(const) / z.cast("double")
+    if correction:
+        est = F.when(
+            (e_harm <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(e_harm)
+    else:
+        est = e_harm
+    return agg.select(
+        *group_by, quant(est, ndigits).alias("approx_distinct")
+    )
+
+
+def approx_count_distinct_portable(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+    p: int = 12,
+    correction: bool = True,
+    ndigits: int = 4,
+) -> DataFrame:
+    """One-call sketch-then-estimate (the COUNT(DISTINCT) drop-in).
+    Relative error ~ 1.04/sqrt(2^p): p=12 -> ~1.6% with 4096 register
+    rows per group in flight — vs every distinct value for the exact
+    form."""
+    return hll_estimate(
+        hll_registers(df, cols, group_by, p),
+        group_by,
+        p,
+        correction=correction,
+        ndigits=ndigits,
+    )

@@ -550,3 +550,53 @@ def t64_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("n_name")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def t67_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch (operators/sketch.py
+    — COUNT(DISTINCT) without shuffling the distinct set; p=4 → 16
+    registers, so at most 16 rows per group cross the wire however
+    large the corpus).  Distinct parts per return flag, three ways:
+    the exact count (context for the error), the sketch estimate, and
+    the estimate from MERGING two half-sketches built on disjoint
+    order halves — ``merge_exact`` pins the estimator's defining
+    algebraic property (register-wise max is a lossless union) as a
+    value equality, not a tolerance.  The oracle replays the WHOLE
+    estimator in SQL — md5 nibble split, string-arithmetic ranks,
+    2^61-scaled exact harmonic sum, one shared bias literal — so a
+    green row proves the sketch math is engine-portable bit-for-bit.
+    Gate data keeps E > 2.5m, the harmonic branch: the linear-counting
+    branch's ln() is the one op engines may round apart (documented in
+    hll_estimate)."""
+    from ..operators import sketch as sk
+
+    li = table(spark, sf_dir, "lineitem")
+    g = ["l_returnflag"]
+    exact = li.groupBy(*g).agg(
+        F.count_distinct("l_partkey").cast("long").alias("n_exact")
+    )
+    est = sk.hll_estimate(
+        sk.hll_registers(li, ["l_partkey"], g, p=4), g, p=4
+    ).withColumnRenamed("approx_distinct", "approx_parts")
+    halves = [
+        sk.hll_registers(
+            li.filter(F.col("l_orderkey") % 2 == i), ["l_partkey"], g, p=4
+        )
+        for i in (0, 1)
+    ]
+    merged = sk.hll_estimate(
+        sk.hll_merge(*halves, group_by=g), g, p=4
+    ).withColumnRenamed("approx_distinct", "approx_merged")
+    return (
+        exact.join(est, g)
+        .join(merged, g)
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "approx_parts",
+            (F.col("approx_parts") == F.col("approx_merged")).alias(
+                "merge_exact"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1306,6 +1306,66 @@ EXTRAS_ORACLES["t64_jdbc_roundtrip"] = """
 """
 
 
+# t67: the ENTIRE HyperLogLog estimator replayed in SQL — md5 nibble
+# split, string-arithmetic leading-zero ranks, register-wise MAX,
+# 2^61-scaled exact harmonic sum (DuckDB sums BIGINT into HUGEINT, so
+# 16·2^61 never overflows), and ONE shared bias literal computed by the
+# same Python expression the operator uses.  merge_exact pins TRUE: the
+# Spark side computes it by actually comparing the merged-halves
+# estimate to the full one.
+def _t67_oracle() -> str:
+    from ..operators.sketch import TWO_61, hll_alpha
+
+    m = 16  # p=4, the gate's register count
+    const = hll_alpha(m) * (m * m) * float(TWO_61)
+    return f"""
+    WITH vals AS (
+        SELECT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    parts AS (
+        SELECT g,
+               strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS ridx,
+               length(regexp_extract(substr(h, 2, 15), '^0*')) AS z,
+               substr(regexp_replace(substr(h, 2, 15), '^0*', ''), 1, 1) AS c
+        FROM vals
+    ),
+    ranked AS (
+        SELECT g, ridx,
+               CASE WHEN z = 15 THEN 61
+                    ELSE 4 * z + CASE WHEN c = '1' THEN 3
+                                      WHEN c IN ('2', '3') THEN 2
+                                      WHEN c IN ('4', '5', '6', '7') THEN 1
+                                      ELSE 0 END + 1 END AS r
+        FROM parts
+    ),
+    regs AS (SELECT g, ridx, MAX(r) AS rmax FROM ranked GROUP BY g, ridx),
+    agg AS (
+        SELECT g,
+               SUM(CAST(1 AS BIGINT) << (61 - rmax)) AS zsum,
+               COUNT(*) AS npres
+        FROM regs GROUP BY g
+    ),
+    finals AS (
+        SELECT g,
+               {const!r} / CAST(zsum + ({m} - npres)
+                   * CAST({TWO_61} AS HUGEINT) AS DOUBLE) AS e
+        FROM agg
+    )
+    SELECT f.g AS l_returnflag,
+           CAST(x.n AS BIGINT) AS n_exact,
+           {SQL_QUANT('f.e', 4)} AS approx_parts,
+           TRUE AS merge_exact
+    FROM finals f
+    JOIN (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n
+          FROM lineitem GROUP BY 1) x ON f.g = x.g
+    ORDER BY l_returnflag
+"""
+
+
+EXTRAS_ORACLES["t67_hll_distinct"] = _t67_oracle()
+
+
 EXTRAS_ORACLES["t16_deterministic_sample"] = """
     SELECT lang,
            COUNT(*) AS n_docs,
