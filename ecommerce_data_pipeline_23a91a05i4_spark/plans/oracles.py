@@ -2885,6 +2885,28 @@ LLMDATA_ORACLES["t66_txtable_cdc_merge"] = """
     FROM merged GROUP BY band ORDER BY band
 """
 
+# t68: the MV's final state recomputed relationally — base after
+# append ∪ init (= all orders), minus %7 deletes, with %11 prices
+# doubled by the merge — summed in DECIMAL exactly as the MV
+# accumulates; incremental_exact pins TRUE because the Spark side
+# computes it by comparing the maintained MV to a real recompute.
+LLMDATA_ORACLES["t68_incremental_matview"] = """
+    WITH final AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS px
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(CAST(SUM(CAST(px AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS incremental_exact,
+           CAST(4 AS BIGINT) AS mv_versions
+    FROM final GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

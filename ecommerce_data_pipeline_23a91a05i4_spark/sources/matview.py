@@ -1,0 +1,179 @@
+"""Incremental materialized aggregates over the transactional table —
+change-data-feed diffs from the manifest log, and MV refresh that
+touches only changed groups.
+
+The 100 TB problem: a dashboard aggregate (revenue per segment, docs
+per domain, tokens per shard) over a petabyte base table cannot be
+recomputed from scratch every time a CDC batch lands.  The published
+answer (Delta's Change Data Feed + "apply changes into" / classic
+incremental view maintenance) has two parts, both of which the manifest
+log already pays for:
+
+- **table_changes(t, from, to)** — an EXACT row-multiset diff between
+  two versions, read from the files that changed and nothing else.
+  Because data files are immutable and every commit lists its file set,
+  ``rows(to) = rows(from) − rows(removed files) + rows(added files)``
+  holds by construction: no change journal is stored, no tombstones,
+  no extra write-path cost — the diff falls out of the log.  Cost is
+  O(changed files), not O(table).
+- **mv_init / mv_refresh** — maintain a SUM/COUNT aggregate table (the
+  self-maintainable aggregate class: deletes are handled by
+  subtraction, which min/max famously cannot do) by aggregating ONLY
+  the diff, adding it to the affected groups' old values, and
+  upserting through :meth:`TxTable.merge` — so the MV commit rewrites
+  only the files containing touched groups, and a group whose row
+  count reaches zero is deleted.  Measures accumulate in DECIMAL, so
+  incremental state equals a from-scratch recompute EXACTLY (bit-equal,
+  not approximately) — the property the t68 gate and its oracle pin.
+
+Refresh cost is O(changed base files + touched MV groups); a daily 1 GB
+CDC batch against a 100 TB base costs the same whether the base is 1 TB
+or 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.exprs import DEC
+from .txtable import TxTable
+
+#: change-type tags in the table_changes feed (Delta CDF vocabulary)
+CHANGE_INSERT = "insert"
+CHANGE_DELETE = "delete"
+
+
+def table_changes(
+    t: TxTable, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level diff between two versions as a DataFrame with a
+    ``_change_type`` column (``insert`` / ``delete``), satisfying
+    ``snapshot(to) == snapshot(from) ⊎ inserts ∖ deletes`` as
+    multisets.  Reads ONLY files present in one manifest but not the
+    other; a version gap spanning many commits collapses to one
+    net diff (intermediate states are never materialized).  Rewritten
+    files (delete/merge/compact) contribute their surviving rows to
+    BOTH sides; downstream consumers that aggregate the diff see those
+    cancel exactly.  Raises across a schema change — a diff between
+    incompatible row types has no single row shape."""
+    m_to = t.manifest(to_version)
+    m_from = t.manifest(from_version)
+    if m_to["schema"] != m_from["schema"]:
+        raise ValueError(
+            f"table_changes on {t.path}: versions {m_from['version']} and "
+            f"{m_to['version']} have different schemas — diff rows have no "
+            "single shape; rebuild consumers from the new snapshot instead"
+        )
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    paths_from = {e["path"] for e in m_from["files"]}
+    paths_to = {e["path"] for e in m_to["files"]}
+    added = [e for e in m_to["files"] if e["path"] not in paths_from]
+    removed = [e for e in m_from["files"] if e["path"] not in paths_to]
+    ins = t._read_entries(schema, m_to.get("partition_by"), added)
+    rem = t._read_entries(schema, m_from.get("partition_by"), removed)
+    return ins.withColumn("_change_type", F.lit(CHANGE_INSERT)).unionByName(
+        rem.withColumn("_change_type", F.lit(CHANGE_DELETE))
+    )
+
+
+def _signed_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+    dec: str,
+    sign,
+) -> DataFrame:
+    aggs = [
+        F.sum(F.expr(expr).cast(dec) * sign).cast(dec).alias(name)
+        for name, expr in measures.items()
+    ]
+    aggs.append(F.sum(sign).cast("long").alias("n_rows"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def mv_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+    dec: str = DEC,
+) -> DataFrame:
+    """The MV's defining aggregation over an arbitrary row set — what
+    mv_init materializes, and what a from-scratch recompute produces
+    for equality checks against incrementally maintained state."""
+    return _signed_agg(df, group_cols, measures, dec, F.lit(1))
+
+
+def mv_init(
+    mv: TxTable,
+    base_rows: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+    dec: str = DEC,
+    partition_by: str | None = None,
+) -> int:
+    """Create the aggregate table from a full base snapshot:
+    (group_cols..., <measure> decimal..., n_rows long).  ``measures``
+    maps output names to SQL expressions summed per group — the
+    self-maintainable class (SUM of an expression; COUNT(*) is
+    ``"1"``).  DECIMAL accumulation makes later incremental refreshes
+    exactly equal to this full aggregation, not approximately."""
+    return mv.init(
+        _signed_agg(base_rows, group_cols, measures, dec, F.lit(1)),
+        partition_by=partition_by,
+    )
+
+
+def mv_refresh(
+    mv: TxTable,
+    base: TxTable,
+    group_cols: list[str],
+    measures: dict[str, str],
+    from_version: int,
+    to_version: int | None = None,
+    dec: str = DEC,
+) -> int:
+    """Advance the MV by the base diff ``(from_version, to_version]``:
+    aggregate the change feed with ±1 signs, add it to the affected
+    groups' stored values, and upsert via merge — groups whose row
+    count reaches zero are deleted, groups never touched are never
+    read twice nor rewritten (merge's file-granular contract).  No-op
+    diffs (a pure compact, an empty gap) commit nothing.  Returns the
+    committed MV version — the CALLER tracks which base version the MV
+    now reflects (explicit state, like the incremental dedup
+    operators)."""
+    ch = table_changes(base, from_version, to_version)
+    sign = F.when(F.col("_change_type") == CHANGE_INSERT, 1).otherwise(-1)
+    delta = _signed_agg(ch, group_cols, measures, dec, sign)
+    # rewritten-but-unchanged groups (compact, carried survivors)
+    # net to zero — dropping them keeps the merge from rewriting
+    # untouched MV files
+    nonzero = F.col("n_rows") != 0
+    for name in measures:
+        nonzero = nonzero | (F.col(name) != 0)
+    delta = delta.filter(nonzero)
+    old = mv.snapshot()
+    renames = {name: f"_old_{name}" for name in [*measures, "n_rows"]}
+    for src, dst in renames.items():
+        old = old.withColumnRenamed(src, dst)
+    joined = delta.join(old, on=group_cols, how="left")
+    zero = F.lit(0).cast(dec)
+    new_cols = [
+        (
+            F.coalesce(F.col(f"_old_{name}"), zero) + F.col(name)
+        ).cast(dec).alias(name)
+        for name in measures
+    ]
+    new_n = (
+        F.coalesce(F.col("_old_n_rows"), F.lit(0)) + F.col("n_rows")
+    ).cast("long")
+    source = joined.select(
+        *group_cols,
+        *new_cols,
+        new_n.alias("n_rows"),
+        (new_n == 0).alias("_mv_dead"),
+    )
+    return mv.merge(source, on=group_cols, delete_col="_mv_dead")

@@ -248,6 +248,19 @@ class TxTable:
         entries = m["files"]
         if prune is not None:
             entries = self._prune_entries(entries, self._norm_prune(prune))
+        return self._read_entries(schema, pcol, entries, _with_file)
+
+    def _read_entries(
+        self,
+        schema: StructType,
+        pcol: str | None,
+        entries: list[dict],
+        _with_file: bool = False,
+    ) -> DataFrame:
+        """Read an arbitrary SUBSET of manifest file entries with the
+        partition-column reinjection snapshot() uses — also the engine
+        under matview.table_changes, which diffs entry sets between
+        versions and reads only the changed files."""
         cols = [f.name for f in schema.fields] + (
             ["_tx_file"] if _with_file else []
         )
