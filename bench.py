@@ -489,6 +489,84 @@ def run_semdedup_scale_probe(
     return {"sf_dir": sf_dir, "points": points}
 
 
+def run_sketch_scale_probe(
+    spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)
+) -> dict:
+    """Distinct-count scale probe (operators/sketch.py): lineitem is
+    replicated with REMAPPED part keys, so the distinct cardinality
+    grows with the factor — the regime where exact COUNT(DISTINCT)
+    must shuffle an ever-larger distinct set while the HLL sketch's
+    shuffle stays capped at 2^p register rows per group.  Both paths
+    are timed per factor; the claim under test is that the sketch
+    scales scan-bound (slowdown ≈ replication cost) and its advantage
+    over exact widens as the distinct set grows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        sketch as sk,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_returnflag", "l_partkey", "l_orderkey"
+    )
+    max_pk = li.agg(F.max("l_partkey")).collect()[0][0]
+    if max_pk is None:
+        raise RuntimeError(
+            f"sketch scale probe: lineitem table at {sf_dir} is empty"
+        )
+    span = max_pk + 1
+    tmp = tempfile.mkdtemp(prefix="bench_sketch_probe_")
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        base_rows = li.count()
+        points: dict[str, dict] = {}
+        base_sketch = base_exact = None
+        for fac in (1, *factors):
+            d_path = os.path.join(tmp, f"li_{fac}x.parquet")
+            rep = _with_replicas(li, fac).select(
+                "l_returnflag",
+                (
+                    F.col("l_partkey") + F.col("_r").cast("long") * span
+                ).alias("l_partkey"),
+            )
+            li_fac = _materialize(spark, rep, d_path, n_files)
+
+            def run_sketch():
+                return sk.approx_count_distinct_portable(
+                    li_fac, ["l_partkey"], ["l_returnflag"], p=12
+                ).collect()
+
+            def run_exact():
+                return (
+                    li_fac.groupBy("l_returnflag")
+                    .agg(F.count_distinct("l_partkey"))
+                    .collect()
+                )
+
+            s_sec = _best_of(run_sketch)
+            e_sec = _best_of(run_exact)
+            if fac == 1:
+                base_sketch, base_exact = s_sec, e_sec
+            points[f"{fac}x"] = {
+                "sketch_sec": round(s_sec, 4),
+                "exact_sec": round(e_sec, 4),
+                "rows": base_rows * fac,
+                "sketch_slowdown_vs_1x": round(
+                    s_sec / max(base_sketch, 1e-9), 2
+                ),
+                "exact_slowdown_vs_1x": round(
+                    e_sec / max(base_exact, 1e-9), 2
+                ),
+                "exact_over_sketch": round(e_sec / max(s_sec, 1e-9), 2),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -546,6 +624,10 @@ def main() -> None:
         probe["semdedup"] = run_semdedup_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__semdedup_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["sketch"] = run_sketch_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__sketch_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     headline_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         try:
@@ -693,6 +775,12 @@ def main() -> None:
     for k, v in probe.get("semdedup", {}).get("points", {}).items():
         if k != "1x":
             tail[f"scale_probe_semdedup_{k}_slowdown"] = v["slowdown_vs_1x"]
+    for k, v in probe.get("sketch", {}).get("points", {}).items():
+        if k != "1x":
+            tail[f"scale_probe_sketch_{k}_slowdown"] = v[
+                "sketch_slowdown_vs_1x"
+            ]
+            tail[f"sketch_{k}_exact_over_sketch"] = v["exact_over_sketch"]
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 

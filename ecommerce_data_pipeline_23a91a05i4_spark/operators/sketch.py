@@ -18,9 +18,11 @@ the new shard's registers and re-max.
 Everything is engine-portable on purpose (the repo's cross-engine
 discipline, so the t67 oracle replays the WHOLE estimator in DuckDB):
 
-- the hash is md5 (lower-hex in both engines), split positionally:
-  ``p/4`` hex chars of register index + 15 hex chars (60 bits) of rank
-  material — ``p`` must be a multiple of 4 for the clean split;
+- two hash paths, the repo's dual-hash discipline: xxhash64 (default —
+  JVM integer hash + bit ops, the fast production path) and md5
+  (lower-hex in both engines, split positionally: ``p/4`` hex chars of
+  register index + 15 hex chars of rank material — the path the oracle
+  replays); ``p`` must be a multiple of 4 for the clean nibble split;
 - the rank (leading-zero count + 1) is PURE string/CASE arithmetic on
   hex digits — no log2, no engine bit intrinsics;
 - the harmonic sum ``sum(2^-rank)`` is scaled by 2^61 into exact
@@ -66,12 +68,14 @@ def _check_p(p: int) -> int:
     return 1 << p
 
 
-def hll_rank(w_hex: Column) -> Column:
-    """Leading-zero-bits(w)+1 over a 15-hex-char string, as portable
-    string/CASE arithmetic: 4 bits per leading '0' char, plus the
-    leading zeros WITHIN the first nonzero hex digit."""
-    z = F.length(F.regexp_extract(w_hex, "^0*", 0))
-    first_nz = F.substring(F.regexp_replace(w_hex, "^0*", ""), 1, 1)
+def hll_rank(w_hex: Column, hex_chars: int = RANK_HEX_CHARS) -> Column:
+    """Leading-zero-bits(w)+1 over a ``hex_chars``-long hex string, as
+    portable string/CASE arithmetic: 4 bits per leading '0' char
+    (counted by TRIM LEADING — no per-row regex in the hot path), plus
+    the leading zeros WITHIN the first nonzero hex digit."""
+    stripped = F.ltrim(w_hex, F.lit("0"))
+    z = F.lit(hex_chars) - F.length(stripped)
+    first_nz = F.substring(stripped, 1, 1)
     in_char = (
         F.when(first_nz == "1", 3)
         .when(first_nz.isin("2", "3"), 2)
@@ -79,7 +83,7 @@ def hll_rank(w_hex: Column) -> Column:
         .otherwise(0)
     )
     return (
-        F.when(z == RANK_HEX_CHARS, F.lit(4 * RANK_HEX_CHARS + 1))
+        F.when(z == hex_chars, F.lit(4 * hex_chars + 1))
         .otherwise(z * 4 + in_char + 1)
         .cast("int")
     )
@@ -90,24 +94,47 @@ def hll_registers(
     cols: list[str],
     group_by: list[str] | None = None,
     p: int = 12,
+    hash: str = "xx",
 ) -> DataFrame:
     """Build the sketch: (group_by..., ridx int, rmax int) with at most
     ``2^p`` register rows per group.  ONE shuffle on (group, ridx) with
     map-side partial MAX — the full distinct set never moves.  Rows
     with a NULL in any counted column are ignored (multi-column
-    COUNT(DISTINCT) semantics)."""
+    COUNT(DISTINCT) semantics).
+
+    ``hash`` follows the repo's dual-hash discipline (dedup.py's
+    xxhash64/md5 split): ``"xx"`` (default) keys registers off
+    xxhash64 — a JVM integer hash plus bit ops, the fast production
+    path; ``"md5"`` derives everything from the md5 hex string — the
+    engine-portable path the t67 oracle replays verbatim in DuckDB.
+    Sketches built with different hashes have different register
+    contents and must not be merged with each other."""
     _check_p(p)
     group_by = list(group_by or [])
     not_null = functools.reduce(
         Column.__and__, (F.col(c).isNotNull() for c in cols)
     )
-    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
-    hexd = F.md5(val)
-    idx = F.conv(F.substring(hexd, 1, p // 4), 16, 10).cast("int")
-    w = F.substring(hexd, p // 4 + 1, RANK_HEX_CHARS)
+    if hash == "md5":
+        val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+        hexd = F.md5(val)
+        idx = F.conv(F.substring(hexd, 1, p // 4), 16, 10).cast("int")
+        w = F.substring(hexd, p // 4 + 1, RANK_HEX_CHARS)
+        rank = hll_rank(w, RANK_HEX_CHARS)
+    elif hash == "xx":
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        # top p bits -> register index; low 64-p bits -> rank window
+        # (p % 4 == 0 keeps the window a whole number of hex chars, so
+        # the same trim-based leading-zero count serves both paths)
+        idx = F.shiftrightunsigned(h, 64 - p).cast("int")
+        mask = (1 << (64 - p)) - 1
+        w_chars = (64 - p) // 4
+        w = F.lpad(F.lower(F.hex(h.bitwiseAND(F.lit(mask)))), w_chars, "0")
+        rank = hll_rank(w, w_chars)
+    else:
+        raise ValueError(f"hll: unknown hash {hash!r} (use 'xx' or 'md5')")
     return (
         df.filter(not_null)
-        .select(*group_by, idx.alias("ridx"), hll_rank(w).alias("rmax"))
+        .select(*group_by, idx.alias("ridx"), rank.alias("rmax"))
         .groupBy(*group_by, "ridx")
         .agg(F.max("rmax").alias("rmax"))
     )
@@ -175,13 +202,14 @@ def approx_count_distinct_portable(
     p: int = 12,
     correction: bool = True,
     ndigits: int = 4,
+    hash: str = "xx",
 ) -> DataFrame:
     """One-call sketch-then-estimate (the COUNT(DISTINCT) drop-in).
     Relative error ~ 1.04/sqrt(2^p): p=12 -> ~1.6% with 4096 register
     rows per group in flight — vs every distinct value for the exact
     form."""
     return hll_estimate(
-        hll_registers(df, cols, group_by, p),
+        hll_registers(df, cols, group_by, p, hash=hash),
         group_by,
         p,
         correction=correction,

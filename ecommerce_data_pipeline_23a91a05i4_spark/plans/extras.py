@@ -576,11 +576,15 @@ def t67_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").cast("long").alias("n_exact")
     )
     est = sk.hll_estimate(
-        sk.hll_registers(li, ["l_partkey"], g, p=4), g, p=4
+        sk.hll_registers(li, ["l_partkey"], g, p=4, hash="md5"), g, p=4
     ).withColumnRenamed("approx_distinct", "approx_parts")
     halves = [
         sk.hll_registers(
-            li.filter(F.col("l_orderkey") % 2 == i), ["l_partkey"], g, p=4
+            li.filter(F.col("l_orderkey") % 2 == i),
+            ["l_partkey"],
+            g,
+            p=4,
+            hash="md5",
         )
         for i in (0, 1)
     ]

@@ -21,8 +21,10 @@ def _li(spark):
     return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
 
 
-def test_accuracy_vs_exact(spark):
-    """p=12 (~1.6% sigma): estimate within 5% of the exact count."""
+@pytest.mark.parametrize("hash", ["xx", "md5"])
+def test_accuracy_vs_exact(spark, hash):
+    """p=12 (~1.6% sigma): estimate within 5% of the exact count, on
+    BOTH hash paths (fast xxhash64 and portable md5)."""
     li = _li(spark)
     exact = {
         (r.l_returnflag, r.n)
@@ -33,7 +35,7 @@ def test_accuracy_vs_exact(spark):
     est = {
         r.l_returnflag: r.approx_distinct
         for r in sk.approx_count_distinct_portable(
-            li, ["l_partkey"], ["l_returnflag"], p=12
+            li, ["l_partkey"], ["l_returnflag"], p=12, hash=hash
         ).collect()
     }
     for flag, n in exact:
@@ -121,6 +123,8 @@ def test_p_validation_is_loud(spark):
     for bad in (3, 6, 20):
         with pytest.raises(ValueError, match="multiple of 4"):
             sk.hll_registers(li, ["l_partkey"], p=bad)
+    with pytest.raises(ValueError, match="unknown hash"):
+        sk.hll_registers(li, ["l_partkey"], hash="sha9")
 
 
 def test_plan_is_jvm_side_with_partial_agg(spark):
