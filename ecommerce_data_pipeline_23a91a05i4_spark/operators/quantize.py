@@ -83,6 +83,65 @@ def dequantize(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda c: c.cast("double") * scale)
 
 
+def knn_lsh_quantized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    levels: int = QUANT_LEVELS,
+) -> DataFrame:
+    """ANN over the QUANTIZED corpus — the bucketed composition (the
+    FAISS IVF-SQ discipline: a coarse partitioner in front of one-byte
+    codes): SRP-bucket BOTH sides, join on bucket equality, rank by
+    int8-code cosine.  The signature is computed FROM THE CODES, so at
+    query time the store needs no float vectors at all — the scan,
+    shuffle, and cache footprint is the int8 corpus plus one long per
+    vector, and the per-query candidate set is a bucket, not the
+    corpus (the brute-force crossJoin term knn_quantized still pays).
+    Same deterministic SRP hyperplanes as similarity.knn_lsh (shared
+    seed/source of truth), same fold order both engines replay, so the
+    t69 oracle reproduces buckets AND ranks bit-for-bit.  Recall is
+    tuned by n_planes (fewer bits → bigger buckets → higher recall,
+    more compute); code quantization adds only sign-flips within
+    numerical noise of the hyperplane boundary on top of knn_lsh."""
+    from .similarity import _hyperplanes, lsh_signature
+
+    planes = _hyperplanes(dim, n_planes)
+    q = quantize_embeddings(queries, id_col, vec_col, levels).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_vec"),
+        lsh_signature(F.col("qvec"), planes).alias("bucket"),
+    )
+    c = quantize_embeddings(candidates, id_col, vec_col, levels).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_vec"),
+        lsh_signature(F.col("qvec"), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias(
+                "qcosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcosine_sim")
+    )
+
+
 def knn_quantized(
     queries: DataFrame,
     candidates: DataFrame,

@@ -642,6 +642,74 @@ def _srp_lsh_oracle(
     """
 
 
+# t69: t65's quantization CTEs + t7b's shared-hyperplane sign bits,
+# composed — buckets and ranks both replay bit-for-bit because every
+# dot is the same left-fold over double-cast int codes.
+def _t69_oracle() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4)  # knn_lsh_quantized's default seed 42
+
+    def plane_lit(coeffs: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+    bit_cols = ",\n                   ".join(
+        f"CASE WHEN {_dot('qvec', plane_lit(planes[p]))} > 0 "
+        f"THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(4)
+    )
+    bucket = " + ".join(f"bit{p} * {1 << p}" for p in range(4))
+    return f"""
+        WITH s0 AS (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       (a, b) -> greatest(a, b)) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                        ELSE list_transform(
+                            embedding,
+                            x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+                   END AS qvec
+            FROM s0
+        ),
+        v AS (
+            SELECT vec_id, qvec, sqrt({_dot('qvec', 'qvec')}) AS nrm,
+                   {bit_cols}
+            FROM qv
+        ),
+        sig AS (
+            SELECT vec_id, qvec, nrm, ({bucket}) AS bucket FROM v
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   {SQL_QUANT(_dot('q.qvec', 'c.qvec') + ' / (q.nrm * c.nrm)', 6)}
+                       AS qcosine_sim
+            FROM sig q JOIN sig c
+              ON q.bucket = c.bucket AND q.vec_id < 10
+                 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, qcosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine_sim DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, qcosine_sim
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+
+
+LLMDATA_ORACLES["t69_quantized_ann"] = _t69_oracle()
+
+
 LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
     threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7
 )

@@ -110,3 +110,51 @@ def test_oracle_levels_in_sync():
         f"/ {float(qz.QUANT_LEVELS)} AS scale"
         in LLMDATA_ORACLES["t65_quantized_knn"]
     )
+
+
+def test_lsh_quantized_identical_vector_always_recalled(spark):
+    """An exact duplicate quantizes to identical codes → identical
+    bucket → always rank 1 with qcosine 1.0 (the guarantee bucketed
+    ANN does make; moderate-similarity recall is a tunable, same as
+    similarity.knn_lsh)."""
+    e = _emb(spark)
+    dup = e.filter(F.col("vec_id") == 42).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(dup)
+    q = corpus.filter(F.col("vec_id") == 100000)
+    top = qz.knn_lsh_quantized(q, corpus, k=3, n_planes=4).collect()
+    assert top and top[0].neighbor_id == 42 and top[0].qcosine_sim == 1.0
+
+
+def test_lsh_quantized_scores_agree_with_bruteforce(spark):
+    """Every (query, neighbor) the bucketed path returns must carry
+    EXACTLY the similarity the brute-force quantized path computes for
+    that pair — bucketing restricts candidates, never alters scores."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id): r.qcosine_sim
+        for r in qz.knn_quantized(q, e, k=10_000).collect()
+    }
+    for r in qz.knn_lsh_quantized(q, e, k=10, n_planes=4).collect():
+        assert brute[(r.query_id, r.neighbor_id)] == r.qcosine_sim
+
+
+def test_lsh_quantized_plan_is_bucket_hash_join(spark):
+    """The scale claim: candidates come from a bucket EQUIJOIN (hash
+    join), never a cartesian/nested-loop over the corpus (which is
+    what knn_quantized's crossJoin deliberately does)."""
+    import io
+    from contextlib import redirect_stdout
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    df = qz.knn_lsh_quantized(q, e, k=10, n_planes=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
