@@ -657,3 +657,60 @@ def s6_streaming_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("source")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT) with bounded state: hll_registers
+    (operators/sketch.py) applied to a file stream IS the stateful
+    operator — a (group, register) MAX aggregation whose state can
+    never exceed 2^p rows per group however many events flow, where
+    exact streaming distinct would hold one state row per distinct
+    value forever (the state blow-up that kills such queries at 100
+    TB/day).  Drained in complete mode, the final register state is
+    compared REGISTER-FOR-REGISTER to the batch sketch of the same
+    data (``stream_equals_batch`` — micro-batch splits must be
+    invisible, the max-merge algebra's defining property), then
+    estimated with the shared portable estimator; the oracle replays
+    sketch+estimate from raw events exactly as t67 does."""
+    import os
+    import uuid
+
+    from ..operators import sketch as sk
+    from ..streaming import ingest as st
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = st.stream_events(spark, path)
+    regs = sk.hll_registers(ev, ["event_id"], ["event_type"], p=4, hash="md5")
+    name = "s8_sketch_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_regs = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    batch = spark.read.parquet(path)
+    batch_regs = sk.hll_registers(
+        batch, ["event_id"], ["event_type"], p=4, hash="md5"
+    )
+    same = (
+        stream_regs.exceptAll(batch_regs).count() == 0
+        and batch_regs.exceptAll(stream_regs).count() == 0
+    )
+    est = sk.hll_estimate(stream_regs, ["event_type"], p=4)
+    exact = batch.groupBy("event_type").agg(
+        F.count_distinct("event_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("approx_distinct").alias("approx_events"),
+            F.lit(same).alias("stream_equals_batch"),
+        )
+        .orderBy("event_type")
+    )

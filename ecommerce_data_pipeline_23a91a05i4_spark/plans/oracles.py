@@ -1374,22 +1374,28 @@ EXTRAS_ORACLES["t64_jdbc_roundtrip"] = """
 """
 
 
-# t67: the ENTIRE HyperLogLog estimator replayed in SQL — md5 nibble
-# split, string-arithmetic leading-zero ranks, register-wise MAX,
-# 2^61-scaled exact harmonic sum (DuckDB sums BIGINT into HUGEINT, so
-# 16·2^61 never overflows), and ONE shared bias literal computed by the
-# same Python expression the operator uses.  merge_exact pins TRUE: the
-# Spark side computes it by actually comparing the merged-halves
-# estimate to the full one.
-def _t67_oracle() -> str:
+# The ENTIRE HyperLogLog estimator replayed in SQL — md5 nibble split,
+# string-arithmetic leading-zero ranks, register-wise MAX, 2^61-scaled
+# exact harmonic sum (DuckDB sums BIGINT into HUGEINT, so 16·2^61 never
+# overflows), and ONE shared bias literal computed by the same Python
+# expression the operator uses.  Shared by t67 (lineitem parts per
+# flag; merge_exact pins the Spark-side merged-halves comparison) and
+# s8 (streaming register state over events; stream_equals_batch pins
+# the Spark-side stream-vs-batch register comparison).
+def _hll_oracle(
+    from_sql: str,
+    bool_col: str,
+    est_name: str,
+    exact_sql: str,
+    group_name: str = "group_key",
+) -> str:
     from ..operators.sketch import TWO_61, hll_alpha
 
-    m = 16  # p=4, the gate's register count
+    m = 16  # p=4, the gates' register count
     const = hll_alpha(m) * (m * m) * float(TWO_61)
     return f"""
     WITH vals AS (
-        SELECT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS h
-        FROM lineitem WHERE l_partkey IS NOT NULL
+        {from_sql}
     ),
     parts AS (
         SELECT g,
@@ -1420,18 +1426,46 @@ def _t67_oracle() -> str:
                    * CAST({TWO_61} AS HUGEINT) AS DOUBLE) AS e
         FROM agg
     )
-    SELECT f.g AS l_returnflag,
+    SELECT f.g AS {group_name},
            CAST(x.n AS BIGINT) AS n_exact,
-           {SQL_QUANT('f.e', 4)} AS approx_parts,
-           TRUE AS merge_exact
+           {SQL_QUANT('f.e', 4)} AS {est_name},
+           TRUE AS {bool_col}
     FROM finals f
-    JOIN (SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n
-          FROM lineitem GROUP BY 1) x ON f.g = x.g
-    ORDER BY l_returnflag
+    JOIN ({exact_sql}) x ON f.g = x.g
+    ORDER BY {group_name}
 """
 
 
-EXTRAS_ORACLES["t67_hll_distinct"] = _t67_oracle()
+EXTRAS_ORACLES["t67_hll_distinct"] = _hll_oracle(
+    from_sql=(
+        "SELECT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS h "
+        "FROM lineitem WHERE l_partkey IS NOT NULL"
+    ),
+    bool_col="merge_exact",
+    est_name="approx_parts",
+    exact_sql=(
+        "SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS n "
+        "FROM lineitem GROUP BY 1"
+    ),
+    group_name="l_returnflag",
+)
+
+# s8: identical estimator, events stream — the register state a drained
+# complete-mode stream leaves behind must equal the batch sketch, so
+# one batch replay oracles both.
+MONITORING_ORACLES["s8_streaming_distinct_sketch"] = _hll_oracle(
+    from_sql=(
+        "SELECT event_type AS g, md5(CAST(event_id AS VARCHAR)) AS h "
+        "FROM events WHERE event_id IS NOT NULL"
+    ),
+    bool_col="stream_equals_batch",
+    est_name="approx_events",
+    exact_sql=(
+        "SELECT event_type AS g, COUNT(DISTINCT event_id) AS n "
+        "FROM events GROUP BY 1"
+    ),
+    group_name="event_type",
+)
 
 
 EXTRAS_ORACLES["t16_deterministic_sample"] = """

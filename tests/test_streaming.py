@@ -590,3 +590,40 @@ def test_rowwise_assign_matches_batch_on_nan_cosines(spark):
     assert rowwise == batch
     assert batch[1] == 0  # NaN won the argmax at the smallest cid
     assert batch[2] == 1  # well-formed vector unaffected
+
+
+def test_streaming_sketch_state_is_register_bounded(spark):
+    """The s8 claim, measured: streaming distinct via HLL registers
+    holds AT MOST groups × 2^p state rows — here 5 event types × 16
+    registers = 80 — however many events flow (exact streaming
+    distinct on event_id would hold one row per event: 1000+)."""
+    import os
+    import uuid
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        sketch as sk,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming import (
+        ingest as st,
+    )
+
+    ev = st.stream_events(
+        spark, EVENTS
+    )
+    regs = sk.hll_registers(ev, ["event_id"], ["event_type"], p=4)
+    name = "s8_state_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = spark.read.parquet(
+        EVENTS
+    ).count()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    spark.catalog.dropTempView(name)
+    assert state_rows <= 5 * 16, state_rows
+    assert n_events > 5 * 16  # the bound is genuinely smaller than N
