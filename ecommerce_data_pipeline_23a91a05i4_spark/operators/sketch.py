@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dsum, quant
@@ -215,3 +215,184 @@ def approx_count_distinct_portable(
         correction=correction,
         ndigits=ndigits,
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+def cms_build(
+    df: DataFrame,
+    cols: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a counters
+    relation (d int, w int, cnt long): ``depth`` independent hash rows
+    of ``width`` counters each; every input row increments one counter
+    per hash row.  The frequency workhorse at 100 TB: exact per-key
+    counts shuffle every distinct key, the sketch shuffles at most
+    ``depth × width`` counter rows whatever the key cardinality, and
+    sketches MERGE by counter-wise sum (cms_merge) — composable across
+    shards/days like the HLL registers.  Hashing is md5 salted with
+    the row index (engine-portable, the repo's oracle discipline);
+    rows with a NULL in any counted column are ignored."""
+    not_null = functools.reduce(
+        Column.__and__, (F.col(c).isNotNull() for c in cols)
+    )
+    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    idxs = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), val)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(not_null)
+        .select(F.posexplode(idxs).alias("d", "w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Counter-wise sum — the lossless CMS union (estimates over the
+    merged sketch equal estimates over a sketch of the unioned data,
+    exactly; pinned by test)."""
+    u = functools.reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("d", "w").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    cols: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys`` (same
+    ``cols`` layout): (keys..., cms_count long) where cms_count =
+    min over hash rows of the addressed counter.  The published
+    guarantee: NEVER an undercount, and overcount ≤ e·N/width with
+    probability 1 − e^-depth — both pinned by test.  The lookup is a
+    broadcast-sized join against the ≤ depth×width counter relation,
+    never a scan of the data."""
+    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    idxs = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), val)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+    addressed = keys.select(
+        *cols, F.posexplode(idxs).alias("d", "w")
+    )
+    return (
+        addressed.join(F.broadcast(counters), ["d", "w"], "left")
+        .groupBy(*cols)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_count")
+        )
+    )
+
+
+# ------------------------------------------------- histogram quantiles
+
+def hist_build(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram sketch over ``[lo, hi]`` as (bin int,
+    cnt long) — the one-pass, mergeable (bin-wise sum) alternative to
+    exact percentiles, which at 100 TB need a full sort or a
+    full-width percentile_approx state.  Out-of-range values clamp to
+    the edge bins (they still count; their position error is the
+    documented trade).  Bin arithmetic is floor division over doubles
+    — deterministic and SQL-replayable."""
+    if bins < 1 or hi <= lo:
+        raise ValueError("hist_build: need bins >= 1 and hi > lo")
+    w = (float(hi) - float(lo)) / float(bins)
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int")
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Bin-wise sum — lossless histogram union."""
+    u = functools.reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Quantile estimates from the histogram: (q double, est double).
+    For each requested quantile the first bin whose cumulative count
+    reaches ``ceil(q·N)`` is chosen and its UPPER edge reported — a
+    deterministic rule (no within-bin interpolation, so the answer
+    depends only on integer counts and literal edges, replayable in
+    any engine).  Error ≤ one bin width by construction — pinned
+    against the exact percentile by test and gate."""
+    w = (float(hi) - float(lo)) / float(bins)
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qdf = None
+    for q in qs:
+        need = F.ceil(F.lit(float(q)) * F.col("total"))
+        hit = (
+            cum.filter(F.col("cum") >= need)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                quant(
+                    F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w),
+                    ndigits,
+                ).alias("est"),
+            )
+        )
+        qdf = hit if qdf is None else qdf.unionAll(hit)
+    return qdf

@@ -604,3 +604,75 @@ def t67_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def t71_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch over order totals
+    (operators/sketch.hist_build/hist_quantile — one scan + ≤bins
+    rows of state vs a full sort for exact percentiles; q22 is this
+    gate's exact counterpart).  p50/p90/p99 are estimated by the
+    deterministic first-bin-reaching-ceil(q·N) upper-edge rule the
+    oracle replays bit-for-bit; ``within_bin`` pins the construction
+    guarantee |est − exact order statistic| ≤ one bin width, computed
+    Spark-side against the true ceil(q·N)-th smallest value, and
+    ``merge_exact`` pins bin-wise-sum losslessness of the half-corpus
+    merge.  Range literals are part of the sketch spec (values clamp
+    to edge bins); in_range folds the no-clamping precondition into
+    within_bin."""
+    from ..operators import sketch as sk
+
+    lo, hi, bins = 0.0, 500000.0, 100
+    w = (hi - lo) / bins
+    orders = table(spark, sf_dir, "orders")
+    px = F.col("o_totalprice").cast("double")
+    hist = sk.hist_build(orders, "o_totalprice", lo, hi, bins)
+    hist = hist.localCheckpoint(eager=True)
+    halves = [
+        sk.hist_build(
+            orders.filter(F.col("o_orderkey") % 2 == i),
+            "o_totalprice",
+            lo,
+            hi,
+            bins,
+        )
+        for i in (0, 1)
+    ]
+    merged = sk.hist_merge(*halves)
+    same = (
+        merged.exceptAll(hist).count() == 0
+        and hist.exceptAll(merged).count() == 0
+    )
+    est = sk.hist_quantile(hist, [0.5, 0.9, 0.99], lo, hi, bins)
+    n = orders.count()
+    ranked = orders.select(
+        px.alias("v"),
+        F.row_number().over(Window.orderBy(px, "o_orderkey")).alias("rn"),
+    )
+    in_range = (
+        orders.filter((px < lo) | (px >= hi)).count() == 0
+    )
+    import math
+
+    checks = []
+    for q in (0.5, 0.9, 0.99):
+        v = (
+            ranked.filter(F.col("rn") == int(math.ceil(q * n)))
+            .select("v")
+            .first()[0]
+        )
+        checks.append((float(q), float(v)))
+    vdf = spark.createDataFrame(checks, "q double, exact_v double")
+    return (
+        est.join(vdf, "q")
+        .select(
+            "q",
+            "est",
+            (
+                F.lit(in_range)
+                & (F.col("exact_v") <= F.col("est"))
+                & (F.col("exact_v") > F.col("est") - F.lit(w))
+            ).alias("within_bin"),
+            F.lit(same).alias("merge_exact"),
+        )
+        .orderBy("q")
+    )

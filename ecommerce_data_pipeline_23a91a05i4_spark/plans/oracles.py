@@ -1450,6 +1450,98 @@ EXTRAS_ORACLES["t67_hll_distinct"] = _hll_oracle(
     group_name="l_returnflag",
 )
 
+# t70: the Count-Min pipeline replayed relationally — tokenize with the
+# shared NORM expression, address counters with the same depth-salted
+# md5 prefix (the repo's ('0x'||hex)::BIGINT idiom), rebuild the
+# counter relation, and point-estimate the same deterministic top-10
+# by min-over-rows; no_undercount is computed, not pinned.
+def _t70_oracle() -> str:
+    depth, width = 4, 256  # cms_build defaults, shared with the gate
+
+    def addr(token_expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+            f"{token_expr}), 1, 8))::BIGINT % {width} AS INT)"
+        )
+
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split({NORM}, ' ')) AS token FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY token
+    ),
+    top AS (
+        SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token
+        LIMIT 10
+    ),
+    ds(d) AS (VALUES {ds}),
+    hits AS (
+        SELECT d, {addr('token')} AS w FROM toks CROSS JOIN ds
+    ),
+    counters AS (
+        SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hits GROUP BY d, w
+    ),
+    lookups AS (
+        SELECT t.token, t.exact_n, ds.d AS d, {addr('t.token')} AS w
+        FROM top t CROSS JOIN ds
+    ),
+    est AS (
+        SELECT l.token, l.exact_n,
+               MIN(COALESCE(c.cnt, 0)) AS cms_n
+        FROM lookups l LEFT JOIN counters c ON l.d = c.d AND l.w = c.w
+        GROUP BY l.token, l.exact_n
+    )
+    SELECT token, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+           cms_n >= exact_n AS no_undercount, TRUE AS merge_exact
+    FROM est ORDER BY token
+"""
+
+
+LLMDATA_ORACLES["t70_cms_heavy_hitters"] = _t70_oracle()
+
+
+# t71: the histogram sketch + first-bin-reaching-ceil(q·N) upper-edge
+# rule replayed with the gate's literal [lo, hi]/bins spec; within_bin
+# and merge_exact pin TRUE (the Spark side computes both for real).
+def _t71_oracle() -> str:
+    lo, hi, bins = 0.0, 500000.0, 100  # the gate's sketch spec
+    w = (hi - lo) / bins
+    return f"""
+    WITH vals AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    h AS (
+        SELECT LEAST(GREATEST(CAST(floor((x - {lo!r}) / {w!r}) AS INT),
+                              0), {bins - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM h
+    ),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))),
+    est AS (
+        SELECT q, MIN(bin) AS qbin FROM qs CROSS JOIN c
+        WHERE cum >= ceil(q * CAST(total AS DOUBLE))
+        GROUP BY q
+    )
+    SELECT q, {SQL_QUANT(f"{lo!r} + (qbin + 1) * {w!r}", 4)} AS est,
+           TRUE AS within_bin, TRUE AS merge_exact
+    FROM est ORDER BY q
+"""
+
+
+EXTRAS_ORACLES["t71_hist_quantiles"] = _t71_oracle()
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.

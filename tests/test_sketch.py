@@ -144,3 +144,93 @@ def test_plan_is_jvm_side_with_partial_agg(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_cms_conservation_and_no_undercount(spark):
+    """Each depth row's counters sum to exactly N (conservation — an
+    exact invariant, not probabilistic), and no key's estimate ever
+    undercounts (the published one-sided guarantee)."""
+    li = _li(spark)
+    keys = li.select(F.col("l_returnflag").alias("k"))
+    cms = sk.cms_build(keys, ["k"])
+    n = keys.count()
+    sums = {r.d: r.s for r in cms.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert sums == {0: n, 1: n, 2: n, 3: n}
+    exact = {r.k: r.n for r in keys.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.k: r.cms_count
+        for r in sk.cms_estimate(cms, keys.distinct(), ["k"]).collect()
+    }
+    for k, n_exact in exact.items():
+        assert est[k] >= n_exact, (k, est[k], n_exact)
+
+
+def test_cms_merge_is_lossless(spark):
+    li = _li(spark)
+    keys = li.select(F.col("l_partkey").alias("k"), "l_orderkey")
+    full = sk.cms_build(keys, ["k"])
+    halves = [
+        sk.cms_build(keys.filter(F.col("l_orderkey") % 2 == i), ["k"])
+        for i in (0, 1)
+    ]
+    merged = sk.cms_merge(*halves)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_cms_unseen_key_can_be_zero(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    cms = sk.cms_build(df, ["k"], depth=4, width=4096)
+    probe = spark.createDataFrame([("never-seen-key-xyz",)], "k string")
+    est = sk.cms_estimate(cms, probe, ["k"], width=4096).first().cms_count
+    assert est == 0  # wide sketch, 3 keys: no collision
+
+
+# ------------------------------------------------- histogram quantiles
+
+
+def test_hist_counts_everything_including_clamped(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in (-5, 0, 3, 9.99, 10, 25)], "x double"
+    )
+    h = sk.hist_build(df, "x", 0.0, 10.0, 10)
+    rows = {r.bin: r.cnt for r in h.collect()}
+    assert sum(rows.values()) == 6  # out-of-range values clamp, not drop
+    assert rows[0] == 2  # -5 clamps into bin 0 alongside 0
+    assert rows[9] == 3  # 9.99 plus the two >= hi clamps
+
+
+def test_hist_quantile_within_bin_of_exact(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lo, hi, bins = 0.0, 500000.0, 100
+    w = (hi - lo) / bins
+    h = sk.hist_build(orders, "o_totalprice", lo, hi, bins)
+    est = {
+        r.q: r.est
+        for r in sk.hist_quantile(h, [0.1, 0.5, 0.9, 0.99], lo, hi, bins).collect()
+    }
+    exact = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.1, 0.5, 0.9, 0.99))")
+    ).first()[0]
+    for q, x in zip((0.1, 0.5, 0.9, 0.99), exact):
+        assert abs(est[q] - x) <= w + 1e-9, (q, est[q], x)
+
+
+def test_hist_merge_and_validation(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    full = sk.hist_build(orders, "o_totalprice", 0.0, 500000.0, 50)
+    halves = [
+        sk.hist_build(
+            orders.filter(F.col("o_orderkey") % 2 == i),
+            "o_totalprice", 0.0, 500000.0, 50,
+        )
+        for i in (0, 1)
+    ]
+    merged = sk.hist_merge(*halves)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    with pytest.raises(ValueError, match="bins >= 1"):
+        sk.hist_build(orders, "o_totalprice", 10.0, 10.0, 5)
