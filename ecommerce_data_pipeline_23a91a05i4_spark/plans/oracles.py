@@ -3101,6 +3101,27 @@ LLMDATA_ORACLES["t68_incremental_matview"] = """
     ORDER BY o_orderpriority
 """
 
+# t72: the evolved table rebuilt relationally — even doc_ids carry a
+# NULL quality (written before the ADD COLUMN), odd ones the planted
+# value; the lifecycle literals are pinned.
+LLMDATA_ORACLES["t72_schema_evolution"] = """
+    WITH final AS (
+        SELECT lang,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(doc_id % 97 AS DOUBLE) END AS quality
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_quality,
+           CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality,
+           TRUE AS files_untouched,
+           CAST(3 AS BIGINT) AS n_versions,
+           'add_columns' AS evolution_op
+    FROM final GROUP BY lang ORDER BY lang
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -500,6 +500,51 @@ class TxTable:
             partition_by,
         )
 
+    def add_columns(
+        self, new_cols: dict[str, str], max_retries: int = 5
+    ) -> int:
+        """Metadata-only ADD COLUMN schema evolution: commit a manifest
+        whose schema gains the named (name -> Spark DDL type) columns —
+        NO data file is touched, so the commit is O(1) whatever the
+        table size (the Delta/Iceberg ADD COLUMN semantics).  Readers
+        of the new snapshot see NULL for the new columns in rows
+        written before the change: parquet is schema-on-read, and the
+        scan schema simply names columns the old footers lack.  New
+        columns are nullable by construction (a NOT NULL default would
+        require a rewrite or default-value metadata — out of scope,
+        loudly).  Subsequent appends must carry the evolved schema
+        (append()'s usual exact-match rule); the overwrite() path
+        remains the verb for any OTHER schema change (drop, retype,
+        rename), which genuinely requires restating the data."""
+        if not new_cols:
+            raise ValueError("add_columns: no columns given")
+        for _ in range(max_retries):
+            m = self.manifest()
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = {f.name for f in schema.fields}
+            dup = sorted(set(new_cols) & names)
+            if dup:
+                raise ValueError(
+                    f"add_columns: {dup} already exist in {self.path}; "
+                    "retyping goes through overwrite()"
+                )
+            evolved = StructType(list(schema.fields))
+            for c, t in new_cols.items():
+                evolved = evolved.add(c, t, True)
+            try:
+                return self._commit(
+                    m["files"],
+                    "add_columns",
+                    m["version"],
+                    evolved,
+                    m.get("partition_by"),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"add_columns on {self.path} lost {max_retries} commit races"
+        )
+
     def compact(self, n_files: int) -> int:
         """Rewrite the current snapshot into ``n_files`` files (the
         manifest-log replacement for maintenance.compact_parquet: old

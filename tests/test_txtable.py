@@ -698,3 +698,49 @@ def test_apply_cdc_latest_wins_and_ambiguity(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not unique"):
         apply_cdc(t, dup, "k")
+
+
+# ------------------------------------------------- ADD COLUMN evolution
+
+
+def test_add_columns_is_metadata_only_and_null_backfills(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.add_columns({"score": "double"})
+    assert v2 == 2
+    # byte-identical file entries: nothing was rewritten
+    assert t.manifest(1)["files"] == t.manifest(2)["files"]
+    assert t.history()[-1]["op"] == "add_columns"
+    # pre-evolution rows read back NULL in the new column
+    assert {(r.k, r.score) for r in t.snapshot().collect()} == {
+        (1, None), (2, None),
+    }
+    # appends must now carry the evolved schema — old shape is refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, [(3, "c")]))
+    t.append(
+        spark.createDataFrame([(3, "c", 0.5)], "k long, v string, score double")
+    )
+    got = {(r.k, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, 0.5)}
+    # time travel still reads the pre-evolution schema
+    assert "score" not in t.snapshot(version=1).columns
+
+
+def test_add_columns_validations_and_dml_interplay(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    with pytest.raises(ValueError, match="no columns"):
+        t.add_columns({})
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"v": "double"})
+    t.add_columns({"score": "double"})
+    # DELETE and MERGE keep working across mixed old/new files
+    t.delete(F.col("k") == 1)
+    src = spark.createDataFrame(
+        [(2, "B", 0.9, False), (9, "i", 0.1, False)],
+        "k long, v string, score double, dead boolean",
+    )
+    t.merge(src, "k", delete_col="dead")
+    got = {(r.k, r.v, r.score) for r in t.snapshot().collect()}
+    assert got == {(2, "B", 0.9), (3, "c", None), (9, "i", 0.1)}
