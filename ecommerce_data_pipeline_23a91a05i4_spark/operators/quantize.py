@@ -27,7 +27,7 @@ Determinism contract (the repo-wide cross-engine discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import quant
@@ -108,7 +108,7 @@ def knn_lsh_quantized(
     tuned by n_planes (fewer bits → bigger buckets → higher recall,
     more compute); code quantization adds only sign-flips within
     numerical noise of the hyperplane boundary on top of knn_lsh."""
-    from .similarity import _hyperplanes, lsh_signature
+    from .similarity import _hyperplanes, lsh_signature, rank_topk
 
     planes = _hyperplanes(dim, n_planes)
     q = quantize_embeddings(queries, id_col, vec_col, levels).select(
@@ -132,14 +132,7 @@ def knn_lsh_quantized(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("qcosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "qcosine_sim")
-    )
+    return rank_topk(scored, k, "qcosine_sim")
 
 
 def knn_quantized(
@@ -167,6 +160,8 @@ def knn_quantized(
     c = quantize_embeddings(candidates, id_col, vec_col, levels).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_vec")
     )
+    from .similarity import rank_topk
+
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -178,11 +173,4 @@ def knn_quantized(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("qcosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "qcosine_sim")
-    )
+    return rank_topk(scored, k, "qcosine_sim")

@@ -48,6 +48,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def rank_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Per-query top-k from a (query_id, neighbor_id, <score>) relation:
+    rank is a per-query window on the score with id tie-break — the ONE
+    definition of kNN rank semantics, shared by every kNN variant
+    (brute/LSH × float/int8) so a tie-break change cannot drift between
+    them."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", score_col)
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -80,14 +96,7 @@ def knn_bruteforce(
             quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return rank_topk(scored, k, "cosine_sim")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -144,14 +153,7 @@ def knn_lsh(
             quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return rank_topk(scored, k, "cosine_sim")
 
 
 def embedding_neardup_pairs(

@@ -167,6 +167,7 @@ def hll_estimate(
     data that exercises the harmonic branch when cross-engine
     bit-equality is the requirement."""
     m = _check_p(p)
+    _check_geometry(regs, "ridx", m, "hll_estimate")
     group_by = list(group_by or [])
     term = F.expr(
         f"shiftleft(cast(1 as bigint), {RANK_SCALE_BITS} - rmax)"
@@ -219,6 +220,45 @@ def approx_count_distinct_portable(
 
 # ------------------------------------------------------ count-min sketch
 
+def _cms_addresses(cols: list[str], depth: int, width: int) -> Column:
+    """The depth-salted md5 counter addresses for one key, as an array
+    column — ONE definition shared by build and estimate, because any
+    drift between the two silently addresses the wrong cells (estimates
+    collapse toward 0 with no error)."""
+    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), val)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def _check_geometry(df: DataFrame, col: str, bound: int, what: str) -> None:
+    """Raise if any ``col`` value exceeds its geometry bound — the
+    detectable half of a build/estimate parameter mismatch (a sketch
+    built WIDER than the reader assumes addresses cells past the
+    reader's modulus; the opposite direction is mathematically
+    indistinguishable from an unlucky sketch and stays the caller's
+    contract)."""
+    top = df.agg(F.max(F.col(col))).first()[0]
+    if top is not None and top >= bound:
+        raise ValueError(
+            f"{what}: sketch has {col}={top} but the estimate was called "
+            f"with a bound of {bound} — build and estimate must share the "
+            "same geometry parameters"
+        )
+
+
 def cms_build(
     df: DataFrame,
     cols: list[str],
@@ -238,25 +278,9 @@ def cms_build(
     not_null = functools.reduce(
         Column.__and__, (F.col(c).isNotNull() for c in cols)
     )
-    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
-    idxs = F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{d}:"), val)), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).cast("int")
-            for d in range(depth)
-        ]
-    )
     return (
         df.filter(not_null)
-        .select(F.posexplode(idxs).alias("d", "w"))
+        .select(F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w"))
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -283,25 +307,13 @@ def cms_estimate(
     guarantee: NEVER an undercount, and overcount ≤ e·N/width with
     probability 1 − e^-depth — both pinned by test.  The lookup is a
     broadcast-sized join against the ≤ depth×width counter relation,
-    never a scan of the data."""
-    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
-    idxs = F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{d}:"), val)), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            ).cast("int")
-            for d in range(depth)
-        ]
-    )
+    never a scan of the data.  ``depth``/``width`` MUST match the
+    build's (the addressing is parameter-dependent); the detectable
+    mismatch direction fails loudly."""
+    _check_geometry(counters, "w", width, "cms_estimate")
+    _check_geometry(counters, "d", depth, "cms_estimate")
     addressed = keys.select(
-        *cols, F.posexplode(idxs).alias("d", "w")
+        *cols, F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w")
     )
     return (
         addressed.join(F.broadcast(counters), ["d", "w"], "left")
@@ -334,8 +346,14 @@ def hist_build(
         raise ValueError("hist_build: need bins >= 1 and hi > lo")
     w = (float(hi) - float(lo)) / float(bins)
     x = F.col(col).cast("double")
-    b = F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int")
-    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    # clamp BEFORE the int cast: a far outlier's raw index can exceed
+    # int range, and under ANSI mode (Spark 4 default) the cast would
+    # then kill the job instead of clamping as documented
+    b = F.floor((x - F.lit(float(lo))) / F.lit(w))
+    bin_ = F.least(
+        F.greatest(b, F.lit(0).cast("long")),
+        F.lit(bins - 1).cast("long"),
+    ).cast("int")
     return (
         df.filter(x.isNotNull())
         .select(bin_.alias("bin"))

@@ -653,15 +653,19 @@ def t71_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    checks = []
-    for q in (0.5, 0.9, 0.99):
-        v = (
-            ranked.filter(F.col("rn") == int(math.ceil(q * n)))
-            .select("v")
-            .first()[0]
-        )
-        checks.append((float(q), float(v)))
-    vdf = spark.createDataFrame(checks, "q double, exact_v double")
+    targets = {float(q): int(math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
+    # ONE global sort, all three order statistics in one job (not one
+    # full sort per quantile)
+    by_rn = {
+        r.rn: r.v
+        for r in ranked.filter(
+            F.col("rn").isin(list(targets.values()))
+        ).collect()
+    }
+    vdf = spark.createDataFrame(
+        [(q, float(by_rn[rn])) for q, rn in targets.items()],
+        "q double, exact_v double",
+    )
     return (
         est.join(vdf, "q")
         .select(
@@ -670,7 +674,9 @@ def t71_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(in_range)
                 & (F.col("exact_v") <= F.col("est"))
-                & (F.col("exact_v") > F.col("est") - F.lit(w))
+                # inclusive: an order statistic exactly on the chosen
+                # bin's lower edge satisfies the <= one-bin-width bound
+                & (F.col("exact_v") >= F.col("est") - F.lit(w))
             ).alias("within_bin"),
             F.lit(same).alias("merge_exact"),
         )

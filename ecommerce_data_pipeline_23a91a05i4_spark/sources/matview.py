@@ -87,8 +87,16 @@ def _signed_agg(
     dec: str,
     sign,
 ) -> DataFrame:
+    # NULL measure values count as 0 BEFORE the sum (not SQL SUM's
+    # skip-NULLs): an all-NULL group must aggregate to 0, not NULL,
+    # or the incremental path (which adds coalesced deltas to
+    # coalesced state) and the from-scratch recompute would disagree
+    # on exactly those groups
+    zero = F.lit(0).cast(dec)
     aggs = [
-        F.sum(F.expr(expr).cast(dec) * sign).cast(dec).alias(name)
+        F.sum(F.coalesce(F.expr(expr).cast(dec), zero) * sign)
+        .cast(dec)
+        .alias(name)
         for name, expr in measures.items()
     ]
     aggs.append(F.sum(sign).cast("long").alias("n_rows"))
@@ -163,7 +171,8 @@ def mv_refresh(
     zero = F.lit(0).cast(dec)
     new_cols = [
         (
-            F.coalesce(F.col(f"_old_{name}"), zero) + F.col(name)
+            F.coalesce(F.col(f"_old_{name}"), zero)
+            + F.coalesce(F.col(name), zero)
         ).cast(dec).alias(name)
         for name in measures
     ]

@@ -717,7 +717,9 @@ class TxTable:
                 "by sequence column)"
             )
         m0 = self.manifest()
-        schema = StructType.fromJson(json.loads(m0["schema"]))
+        schema_json0 = m0["schema"]
+        pcol0 = m0.get("partition_by")
+        schema = StructType.fromJson(json.loads(schema_json0))
         data_cols = [f.name for f in schema.fields]
         self._check_schema(src.drop(*([delete_col] if delete_col else [])), schema)
         upserts = src.filter(~is_del).select(data_cols)
@@ -725,6 +727,16 @@ class TxTable:
         src_keys = src.select(keys).distinct()
         for _ in range(max_retries):
             m = self.manifest()
+            # the source was validated and projected against m0's layout;
+            # a concurrent add_columns/overwrite would make a retried
+            # commit silently drop the new columns' values from the
+            # rewritten files (append()'s rule, same reason)
+            if m["schema"] != schema_json0 or m.get("partition_by") != pcol0:
+                raise CommitConflict(
+                    f"merge on {self.path}: table layout changed "
+                    "concurrently (schema or partition column); restage "
+                    "the merge against the new layout"
+                )
             pcol = m.get("partition_by")
             schema = StructType.fromJson(json.loads(m["schema"]))
             snap = self.snapshot(m["version"], _with_file=True)

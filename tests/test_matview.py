@@ -92,3 +92,24 @@ def test_refresh_equals_recompute_exactly(spark, tmp_path):
         for r in mvx.mv_aggregate(t.snapshot(), ["g"], measures).collect()
     )
     assert got == want
+
+
+def test_null_measure_values_count_as_zero(spark, tmp_path):
+    """A CDC batch whose rows carry NULL measure values must not
+    poison the stored sums (NULLs aggregate as 0 on BOTH the init and
+    the delta path, keeping incremental == recompute exactly)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.init(_df(spark, [(1, "a", 10), (2, "b", None)]))
+    mv = TxTable(spark, str(tmp_path / "mv"))
+    measures = {"sx": "x"}
+    mvx.mv_init(mv, t.snapshot(), ["g"], measures)
+    v2 = t.append(_df(spark, [(3, "a", None), (4, "c", None)]))
+    mvx.mv_refresh(mv, t, ["g"], measures, v1, v2)
+    got = sorted(tuple(r) for r in mv.snapshot().collect())
+    want = sorted(
+        tuple(r)
+        for r in mvx.mv_aggregate(t.snapshot(), ["g"], measures).collect()
+    )
+    assert got == want
+    by_g = {r.g: (int(r.sx), r.n_rows) for r in mv.snapshot().collect()}
+    assert by_g == {"a": (10, 2), "b": (0, 1), "c": (0, 1)}

@@ -106,10 +106,10 @@ def test_oracle_levels_in_sync():
         LLMDATA_ORACLES,
     )
 
-    assert (
-        f"/ {float(qz.QUANT_LEVELS)} AS scale"
-        in LLMDATA_ORACLES["t65_quantized_knn"]
-    )
+    for gate in ("t65_quantized_knn", "t69_quantized_ann"):
+        assert (
+            f"/ {float(qz.QUANT_LEVELS)} AS scale" in LLMDATA_ORACLES[gate]
+        ), gate
 
 
 def test_lsh_quantized_identical_vector_always_recalled(spark):

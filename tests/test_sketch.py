@@ -234,3 +234,22 @@ def test_hist_merge_and_validation(spark):
     assert full.exceptAll(merged).count() == 0
     with pytest.raises(ValueError, match="bins >= 1"):
         sk.hist_build(orders, "o_totalprice", 10.0, 10.0, 5)
+
+
+def test_hist_far_outlier_clamps_instead_of_overflowing(spark):
+    """ANSI mode (Spark 4 default): a far outlier's raw bin index
+    exceeds int range — it must clamp to the edge bin, not kill the
+    job with a cast overflow."""
+    df = spark.createDataFrame([(0.5,), (3.0e17,), (-3.0e17,)], "x double")
+    rows = {r.bin: r.cnt for r in sk.hist_build(df, "x", 0.0, 1.0, 10).collect()}
+    assert rows == {0: 1, 5: 1, 9: 1}  # -3e17->bin 0; 0.5->bin 5; +3e17->bin 9
+
+
+def test_geometry_mismatch_fails_loudly(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    wide = sk.cms_build(df, ["k"], depth=4, width=4096)
+    with pytest.raises(ValueError, match="same geometry"):
+        sk.cms_estimate(wide, df.distinct(), ["k"], width=256)
+    regs = sk.hll_registers(df, ["k"], p=12)
+    with pytest.raises(ValueError, match="same geometry"):
+        sk.hll_estimate(regs, p=4)
