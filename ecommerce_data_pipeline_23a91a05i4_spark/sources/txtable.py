@@ -545,6 +545,33 @@ class TxTable:
             f"add_columns on {self.path} lost {max_retries} commit races"
         )
 
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (Delta's
+        RESTORE): the old version's file list, schema, and partition
+        column are re-committed at the head — metadata-only, O(1)
+        whatever the table size, and the bad intermediate versions
+        remain time-travelable for forensics until vacuum().  Only
+        versions whose manifest is still retained can be restored
+        (vacuum prunes old manifests together with their unreferenced
+        files, so a retained manifest's files are guaranteed live —
+        restoring can never resurrect dangling references)."""
+        src = self.manifest(version)  # raises if pruned/never existed
+        for _ in range(max_retries):
+            m = self.manifest()
+            try:
+                return self._commit(
+                    src["files"],
+                    "restore",
+                    m["version"],
+                    StructType.fromJson(json.loads(src["schema"])),
+                    src.get("partition_by"),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"restore on {self.path} lost {max_retries} commit races"
+        )
+
     def compact(self, n_files: int) -> int:
         """Rewrite the current snapshot into ``n_files`` files (the
         manifest-log replacement for maintenance.compact_parquet: old

@@ -744,3 +744,25 @@ def test_add_columns_validations_and_dml_interplay(spark, tmp_path):
     t.merge(src, "k", delete_col="dead")
     got = {(r.k, r.v, r.score) for r in t.snapshot().collect()}
     assert got == {(2, "B", 0.9), (3, "c", None), (9, "i", 0.1)}
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete(F.col("k") == 1)  # the "bad" change
+    t.append(_df(spark, [(3, "c")]))
+    v4 = t.restore(1)
+    assert v4 == 4 and t.history()[-1]["op"] == "restore"
+    # head equals version 1 exactly; the bad versions stay readable
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {(1, "a"), (2, "b")}
+    assert {r.k for r in t.snapshot(version=3).collect()} == {2, 3}
+    # metadata-only: restored entries are version 1's, byte-identical
+    assert t.manifest(4)["files"] == t.manifest(1)["files"]
+    # restore across a schema change brings the OLD schema back
+    t.overwrite(spark.createDataFrame([(1.5,)], "y double"))
+    t.restore(4)
+    assert t.snapshot().columns == ["k", "v"]
+    # a vacuumed-away version fails loudly
+    t.vacuum(keep_versions=1, min_age_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        t.restore(2)
