@@ -76,10 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # green gates, least-recently-checked order, filling the remaining
 # slots.  (d) past the window: the gates driver-green in round 5 plus
 # whatever r4 gates didn't fit — q3-q10 and q11 wait for ROUND 7 (and
-# t1-t7/q17/q20/q21, which the late additions of t64-t72 + s8 pushed
-# past slot 50).  ROUND-7 PLAN: window = t1-t7 + q17 + q20 + q21 +
-# q3-q10 + q11 (3 rounds stale by then) + any zero-row r6 leftovers
-# first, then the oldest of the r5-green block.
+# t19/t1-t7/q17/q20/q21, which the late additions of t64-t72 + s8/s9
+# pushed past slot 50).  ROUND-7 PLAN: window = t19 + t1-t7 + q17 +
+# q20 + q21 + q3-q10 + q11 (3 rounds stale by then) + any zero-row r6
+# leftovers first, then the oldest of the r5-green block.
 # With ~112 gates and a 50-slot window, full-registry freshness cycles
 # every ~2 rounds; the all-gate pytest twin runs every session.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -108,6 +108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t70_cms_heavy_hitters": llmdata.t70_cms_heavy_hitters,
         "t71_hist_quantiles": extras.t71_hist_quantiles,
         "t72_schema_evolution": llmdata.t72_schema_evolution,
+        "s9_streaming_cdc_apply": monitoring.s9_streaming_cdc_apply,
         # -- (c) round-4-green gates, least-recently-checked first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
@@ -135,9 +136,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
-        "t19_winnow_portable": extras.t19_winnow_portable,
         # ---- driver window ends after the 50th entry above ------------
         # -- (d) r4-green gates that didn't fit — ROUND-7 window head ---
+        "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
         "t3_quality_score": llmdata.t3_quality_score,

@@ -714,3 +714,110 @@ def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a change FEED arrives as files and each
+    micro-batch lands on the transactional table as ONE merge commit
+    (foreachBatch → sources/txtable.apply_cdc) — minute-cadence CDC
+    with file-granular cost, the streaming composition of t66.  The
+    feed is written as three files over DISJOINT key ranges
+    (doc_id % 9 bands), so the final table state is independent of
+    micro-batch boundaries and arrival order — which is what lets one
+    relational oracle replay it: corpus minus all touched keys, plus
+    the surviving events (within a batch, latest-seq-wins is still
+    exercised by planted superseded events).  maxFilesPerTrigger=1
+    under availableNow forces a real multi-batch drain; n_versions
+    pins that every batch committed exactly one merge (1 init + 3)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.txtable import TxTable, apply_cdc
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    data_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    corpus = docs.select(*data_cols).filter(did % 3 != 0)
+    upd_text = F.concat(F.col("text"), F.lit(" [cdc]"))
+    stale = docs.filter((did % 3 != 0) & (did % 5 == 0)).select(
+        "doc_id",
+        F.lit("stale").alias("text"),
+        "lang",
+        "source",
+        F.lit(5).cast("long").alias("n_chars"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    upd = docs.filter((did % 3 != 0) & (did % 5 == 0)).select(
+        "doc_id",
+        upd_text.alias("text"),
+        "lang",
+        "source",
+        F.length(upd_text).cast("long").alias("n_chars"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    dels = docs.filter(did % 7 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+    )
+    ins_text = F.concat(F.lit("cdc doc "), did.cast("string"))
+    ins = docs.filter(did % 3 == 0).select(
+        "doc_id",
+        ins_text.alias("text"),
+        "lang",
+        F.lit("cdc").alias("source"),
+        F.length(ins_text).cast("long").alias("n_chars"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    changes = stale.unionAll(upd).unionAll(dels).unionAll(ins)
+    root = tempfile.mkdtemp(prefix=f"s9_{uuid.uuid4().hex[:8]}_")
+    try:
+        t = TxTable(spark, root + "/docs")
+        t.init(corpus)
+        feed_dir = os.path.join(root, "feed")
+        os.makedirs(feed_dir)
+        # three files over disjoint doc_id % 9 bands = three micro-batches
+        for i, band in enumerate(((0, 1, 2), (3, 4, 5), (6, 7, 8))):
+            changes.filter((did % 9).isin(*band)).coalesce(1).write.parquet(
+                os.path.join(feed_dir, f"batch_{i}.parquet")
+            )
+        feed = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir + "/*")
+        )
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda batch, _bid: apply_cdc(t, batch, "doc_id") and None
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            t.snapshot()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                F.sum(
+                    F.when(F.col("text").endswith(" [cdc]"), 1).otherwise(0)
+                ).cast("long").alias("n_updated"),
+            )
+            .withColumn("n_versions", F.lit(len(t.versions())).cast("long"))
+            .orderBy("lang")
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

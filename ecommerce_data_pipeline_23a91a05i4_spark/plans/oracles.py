@@ -1542,6 +1542,55 @@ def _t71_oracle() -> str:
 EXTRAS_ORACLES["t71_hist_quantiles"] = _t71_oracle()
 
 
+# s9: the streamed CDC feed replayed relationally — because the feed's
+# files partition the keys (doc_id % 9 bands), micro-batch boundaries
+# are invisible to the final state, and one global latest-wins
+# collapse + merge reproduces it; n_versions=4 pins one merge commit
+# per micro-batch.
+MONITORING_ORACLES["s9_streaming_cdc_apply"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0
+    ),
+    changes AS (
+        SELECT doc_id, 'stale' AS text, lang, 'U' AS op,
+               CAST(1 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, text || ' [cdc]', lang, 'U', CAST(2 AS BIGINT)
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               'D', CAST(3 AS BIGINT)
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 'cdc doc ' || CAST(doc_id AS VARCHAR), lang,
+               'I', CAST(1 AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT c.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY seq DESC) AS rn
+            FROM changes c
+        ) r WHERE rn = 1
+    ),
+    merged AS (
+        SELECT doc_id, text, lang FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        UNION ALL
+        SELECT doc_id, text, lang FROM latest WHERE op <> 'D'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN text LIKE '% [cdc]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_updated,
+           CAST(4 AS BIGINT) AS n_versions
+    FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.

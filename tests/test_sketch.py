@@ -253,3 +253,23 @@ def test_geometry_mismatch_fails_loudly(spark):
     regs = sk.hll_registers(df, ["k"], p=12)
     with pytest.raises(ValueError, match="same geometry"):
         sk.hll_estimate(regs, p=4)
+
+
+def test_cms_estimate_plan_is_broadcast_lookup(spark):
+    """The lookup joins keys against the <= depth*width counter
+    relation as a broadcast hash join — never a shuffle of the keys
+    against data, never a cartesian."""
+    import io
+    from contextlib import redirect_stdout
+
+    li = _li(spark)
+    keys = li.select(F.col("l_partkey").alias("k")).distinct()
+    cms = sk.cms_build(li.select(F.col("l_partkey").alias("k")), ["k"])
+    df = sk.cms_estimate(cms, keys, ["k"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
