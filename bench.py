@@ -547,24 +547,27 @@ def run_sketch_scale_probe(
                 )
 
             s_sec = _best_of(run_sketch)
+            exact_rows = run_exact()  # doubles as _best_of's warm run
             e_sec = _best_of(run_exact)
             if fac == 1:
                 base_sketch, base_exact = s_sec, e_sec
             # the claim local[32] wall time CANNOT show (its shuffle is
-            # memory-speed): rows that must cross the exchange — the
-            # exact path moves every distinct (group, key) pair, the
-            # sketch at most groups × 2^p register rows, flat forever
-            exact_shuffle_rows = (
-                li_fac.select("l_returnflag", "l_partkey").distinct().count()
-            )
-            sketch_shuffle_rows = sk.hll_registers(
+            # memory-speed): the REDUCE-SIDE STATE each plan must hold —
+            # the exact path every distinct (group, key) pair, the
+            # sketch at most groups × 2^p register rows, flat forever.
+            # (Wire rows additionally scale with the map partition
+            # count on both plans; state is the honest, partition-free
+            # number.)  The exact figure is summed from a result the
+            # timed plan produces anyway, not a separate aggregation.
+            exact_state_rows = sum(r[1] for r in exact_rows)
+            sketch_state_rows = sk.hll_registers(
                 li_fac, ["l_partkey"], ["l_returnflag"], p=12
             ).count()
             points[f"{fac}x"] = {
                 "sketch_sec": round(s_sec, 4),
                 "exact_sec": round(e_sec, 4),
-                "exact_shuffle_rows": exact_shuffle_rows,
-                "sketch_shuffle_rows": sketch_shuffle_rows,
+                "exact_state_rows": exact_state_rows,
+                "sketch_state_rows": sketch_state_rows,
                 "rows": base_rows * fac,
                 "sketch_slowdown_vs_1x": round(
                     s_sec / max(base_sketch, 1e-9), 2
@@ -792,8 +795,8 @@ def main() -> None:
             tail[f"scale_probe_sketch_{k}_slowdown"] = v[
                 "sketch_slowdown_vs_1x"
             ]
-            tail[f"sketch_{k}_shuffle_rows_saved"] = round(
-                v["exact_shuffle_rows"] / max(v["sketch_shuffle_rows"], 1), 1
+            tail[f"sketch_{k}_state_rows_saved"] = round(
+                v["exact_state_rows"] / max(v["sketch_state_rows"], 1), 1
             )
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))

@@ -778,7 +778,12 @@ def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"),
         F.lit(1).cast("long").alias("seq"),
     )
-    changes = stale.unionAll(upd).unionAll(dels).unionAll(ins)
+    # one materialization: the 4-way union is re-read by each of the
+    # three band writes below (12 source scans otherwise)
+    changes = (
+        stale.unionAll(upd).unionAll(dels).unionAll(ins)
+        .localCheckpoint(eager=True)
+    )
     root = tempfile.mkdtemp(prefix=f"s9_{uuid.uuid4().hex[:8]}_")
     try:
         t = TxTable(spark, root + "/docs")

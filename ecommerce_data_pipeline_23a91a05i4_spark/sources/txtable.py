@@ -553,9 +553,27 @@ class TxTable:
         remain time-travelable for forensics until vacuum().  Only
         versions whose manifest is still retained can be restored
         (vacuum prunes old manifests together with their unreferenced
-        files, so a retained manifest's files are guaranteed live —
-        restoring can never resurrect dangling references)."""
+        files).
+
+        Operational rule, the same one Delta documents for RESTORE:
+        do not run restore concurrently with vacuum().  Restore is the
+        one verb that re-references files possibly OUTSIDE vacuum's
+        keep window, so a vacuum racing between the liveness check
+        below and the commit could still delete them; the check
+        catches the already-vacuumed case loudly instead of committing
+        a head that cannot be read."""
         src = self.manifest(version)  # raises if pruned/never existed
+        missing = [
+            e["path"]
+            for e in src["files"]
+            if not self.fs.exists(posixpath.join(self.path, e["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore({version}) on {self.path}: {len(missing)} data "
+                f"files already vacuumed (first: {missing[0]}); that "
+                "version is no longer restorable"
+            )
         for _ in range(max_retries):
             m = self.manifest()
             try:
