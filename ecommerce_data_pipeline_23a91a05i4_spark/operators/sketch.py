@@ -115,7 +115,10 @@ def hll_registers(
         Column.__and__, (F.col(c).isNotNull() for c in cols)
     )
     if hash == "md5":
-        val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+        # unit-separator join: ("ab","c") and ("a","bc") must hash as
+        # DIFFERENT keys (a separator-less concat collides them); one
+        # column passes through unchanged (t67/s8 oracles unaffected)
+        val = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
         hexd = F.md5(val)
         idx = F.conv(F.substring(hexd, 1, p // 4), 16, 10).cast("int")
         w = F.substring(hexd, p // 4 + 1, RANK_HEX_CHARS)
@@ -225,7 +228,11 @@ def _cms_addresses(cols: list[str], depth: int, width: int) -> Column:
     column — ONE definition shared by build and estimate, because any
     drift between the two silently addresses the wrong cells (estimates
     collapse toward 0 with no error)."""
-    val = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+    # unit-separator join: ("ab","c") and ("a","bc") must hash as
+    # DIFFERENT keys (a separator-less concat collides them).  For
+    # one column the value passes through unchanged, which is what
+    # keeps the single-column oracles (t67/s8) byte-identical.
+    val = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
     return F.array(
         *[
             (

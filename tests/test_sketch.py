@@ -273,3 +273,17 @@ def test_cms_estimate_plan_is_broadcast_lookup(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_multi_column_keys_do_not_concat_collide(spark):
+    """("ab","c") and ("a","bc") are DIFFERENT composite keys — the
+    join uses a unit separator (md5 path) / per-column hashing (xx
+    path), so the sketch must count 2, not 1."""
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc")], "x string, y string"
+    )
+    for hash in ("xx", "md5"):
+        est = sk.approx_count_distinct_portable(
+            df, ["x", "y"], p=12, hash=hash
+        ).first()[0]
+        assert abs(est - 2) < 0.1, (hash, est)

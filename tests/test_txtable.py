@@ -766,3 +766,19 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     t.vacuum(keep_versions=1, min_age_seconds=0.0)
     with pytest.raises(FileNotFoundError):
         t.restore(2)
+
+
+def test_merge_on_composite_key(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "b"), (2, "x", "c")],
+        "k1 long, k2 string, v string",
+    )
+    t.init(df)
+    src = spark.createDataFrame(
+        [(1, "x", "A", False), (2, "x", None, True), (3, "z", "n", False)],
+        "k1 long, k2 string, v string, dead boolean",
+    )
+    t.merge(src, ["k1", "k2"], delete_col="dead")
+    got = {(r.k1, r.k2, r.v) for r in t.snapshot().collect()}
+    assert got == {(1, "x", "A"), (1, "y", "b"), (3, "z", "n")}
