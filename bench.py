@@ -582,6 +582,89 @@ def run_sketch_scale_probe(
     return {"sf_dir": sf_dir, "points": points}
 
 
+def run_matview_scale_probe(
+    spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)
+) -> dict:
+    """Incremental-MV maintenance cost vs base size (the t68 claim
+    measured): a revenue-per-priority MV over a transactional base
+    table at 1x and ``factors``x rows receives the SAME fixed-size CDC
+    batch; mv_refresh reads only the diff's files and upserts only the
+    touched groups, so its wall should stay ~FLAT while the
+    full-recompute alternative (also timed) grows with the base.  Both
+    paths include their real I/O: refresh commits a merge version,
+    recompute scans the whole snapshot."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import (
+        matview as mvx,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    max_k = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    if max_k is None:
+        raise RuntimeError(
+            f"matview scale probe: orders table at {sf_dir} is empty"
+        )
+    span = max_k + 1
+    g = ["o_orderpriority"]
+    measures = {"revenue": "o_totalprice", "n_orders": "1"}
+    base_rows = orders.count()
+    # the FIXED CDC batch: the 1x table's keys shifted into a fresh
+    # range (pure inserts — same batch whatever the base factor)
+    delta = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1000 * span)
+    ).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="bench_matview_probe_")
+    try:
+        points: dict[str, dict] = {}
+        base_refresh = base_recompute = None
+        for fac in (1, *factors):
+            rep = _with_replicas(orders, fac).withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.col("_r").cast("long") * span,
+            ).drop("_r")
+            t = TxTable(spark, os.path.join(tmp, f"base_{fac}x"))
+            mv = TxTable(spark, os.path.join(tmp, f"mv_{fac}x"))
+            v1 = t.init(rep)
+            mvx.mv_init(mv, t.snapshot(), g, measures)
+            # warm refresh (codegen/footers) on a throwaway batch, so
+            # the timed one measures the steady-state CDC cadence
+            v1b = t.append(delta.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(2000 * span)
+            ))
+            mvx.mv_refresh(mv, t, g, measures, v1, v1b)
+            v2 = t.append(delta)
+            t0 = time.perf_counter()
+            mvx.mv_refresh(mv, t, g, measures, v1b, v2)
+            refresh_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            mvx.mv_aggregate(t.snapshot(), g, measures).collect()
+            recompute_sec = time.perf_counter() - t0
+            if fac == 1:
+                base_refresh, base_recompute = refresh_sec, recompute_sec
+            points[f"{fac}x"] = {
+                "refresh_sec": round(refresh_sec, 4),
+                "recompute_sec": round(recompute_sec, 4),
+                "base_rows": base_rows * fac,
+                "delta_rows": base_rows,
+                "refresh_slowdown_vs_1x": round(
+                    refresh_sec / max(base_refresh, 1e-9), 2
+                ),
+                "recompute_slowdown_vs_1x": round(
+                    recompute_sec / max(base_recompute, 1e-9), 2
+                ),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"sf_dir": sf_dir, "points": points}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -643,6 +726,10 @@ def main() -> None:
         probe["sketch"] = run_sketch_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__sketch_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["matview"] = run_matview_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__matview_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     headline_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         try:
@@ -798,6 +885,14 @@ def main() -> None:
             tail[f"sketch_{k}_state_rows_saved"] = round(
                 v["exact_state_rows"] / max(v["sketch_state_rows"], 1), 1
             )
+    for k, v in probe.get("matview", {}).get("points", {}).items():
+        if k != "1x":
+            tail[f"matview_{k}_refresh_slowdown"] = v[
+                "refresh_slowdown_vs_1x"
+            ]
+            tail[f"matview_{k}_recompute_slowdown"] = v[
+                "recompute_slowdown_vs_1x"
+            ]
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 
