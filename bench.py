@@ -730,6 +730,20 @@ def main() -> None:
         probe["matview"] = run_matview_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__matview_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    # RE-warm the headline right before timing it: seven probes now sit
+    # between the first warm pass and the suite, and their heap/
+    # checkpoint churn measurably degrades the first timed queries
+    # (observed: headline 0.42 -> 0.57 s after the matview probe was
+    # added; warm adjacency + an explicit JVM GC restore the band).
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — a hint, never load-bearing
+        pass
+    for name in headline_names(queries):
+        try:
+            queries[name](spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001 — the timed loop records it
+            pass
     headline_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         try:
