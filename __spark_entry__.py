@@ -69,21 +69,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-6 ordering (executing round
-# 5's plan exactly): (a) the ten round-5 gates with ZERO driver rows —
-# t56, t57, t54b, s2c, t58, t59, t60, t61, s7, t62 — go first; (b) new
-# round-6 gates (also zero rows) immediately after; (c) the round-4-
-# green gates, least-recently-checked order, filling the remaining
-# slots.  (d) past the window: the gates driver-green in round 5 plus
-# whatever r4 gates didn't fit — q3-q10 and q11 wait for ROUND 7 (and
-# t19/t1-t7/q17/q20/q21, which the late additions of t64-t72 + s8/s9
-# pushed past slot 50).  ROUND-7 PLAN: window = t19 + t1-t7 + q17 +
-# q20 + q21 + q3-q10 + q11 (3 rounds stale by then) + any zero-row r6
-# leftovers first, then the oldest of the r5-green block.
-# With ~112 gates and a 50-slot window, full-registry freshness cycles
-# every ~2 rounds; the all-gate pytest twin runs every session.
+# driver evidence must come first.  Round-7 ordering (executing round
+# 6's plan exactly): (a) the 23 gates last driver-checked in ROUND 4 —
+# t19, t1-t7, q17, q20-q24, q11, q7-q10, q3-q6 (eight of the ten
+# headline analytics queries among them) — go first; (b) t44/t61/s7,
+# whose semdedup path retrains under the NEW scale-safe ivf_train
+# seeding this round (hash-sampled seeds + distributed rank instead of
+# the single-partition k-row window), so their outputs changed and
+# need fresh driver rows; (c) new round-7 gates (zero driver rows);
+# (d) the oldest round-5-green gates filling the remaining slots.
+# (e) past the window: the r5-greens that didn't fit — q28-q30,
+# q12-q16, q18/q19/q22b, s1/s2, t7b/t8/t9, t12/t14/t15, t26/t29/t30,
+# q1/q2, t55 — wait for ROUND 8 (2 rounds stale by then), followed by
+# everything driver-checked in round 6.  ROUND-8 PLAN: window = those
+# 25 r5/r7-displaced gates first, then the oldest r6-green gates
+# (t56/t57/t54b/s2c/t58-t60/t62, then t57b..s9, then t31..t18) to
+# fill 50.  With ~126 gates and a 50-slot window, full-registry
+# freshness cycles every ~2.5 rounds; the all-gate pytest twin
+# (tests/test_oracle_parity.py) runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) round-5 gates awaiting first driver rows ---------------
+        # -- (a) round-4-stale gates: fresh driver rows required --------
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        # -- (b) retrained under the new ivf_train seeding ---------------
+        "t44_semdedup": llmdata.t44_semdedup,
+        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
+        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        # -- (d) oldest round-5-green gates ------------------------------
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
+        "t36_temperature_mix": corpus.t36_temperature_mix,
+        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
+        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
+        "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
+        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
+        "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
+        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
+        "q1_top_products": analytics.q1_top_products,
+        "q2_monthly_trend": analytics.q2_monthly_trend,
+        "t55_txtable_delete": llmdata.t55_txtable_delete,
+        # -- (f) driver-green in round 6 ---------------------------------
         "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
         "t57_bpe_batched": llmdata.t57_bpe_batched,
         "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
@@ -91,10 +176,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t58_html_extract": llmdata.t58_html_extract,
         "t59_card_pii": llmdata.t59_card_pii,
         "t60_classifier_training": llmdata.t60_classifier_training,
-        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
-        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
         "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        # -- (b) new round-6 gates (zero rows) ---------------------------
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
@@ -109,7 +191,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t71_hist_quantiles": extras.t71_hist_quantiles,
         "t72_schema_evolution": llmdata.t72_schema_evolution,
         "s9_streaming_cdc_apply": monitoring.s9_streaming_cdc_apply,
-        # -- (c) round-4-green gates, least-recently-checked first ------
         "t31_incremental_minhash": llmdata.t31_incremental_minhash,
         "t32_pii_redaction": llmdata.t32_pii_redaction,
         "s2b_session_window": monitoring.s2b_session_window,
@@ -136,82 +217,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (d) r4-green gates that didn't fit — ROUND-7 window head ---
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
-        # -- (e) driver-green in round 5 --------------------------------
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
-        "t34_decontamination": llmdata.t34_decontamination,
-        "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        "t36_temperature_mix": corpus.t36_temperature_mix,
-        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
-        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
-        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
-        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
-        "t21_neardup_clusters": corpus.t21_neardup_clusters,
-        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
-        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
-        "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
-        "q27_order_date_spine": relational.q27_order_date_spine,
-        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
-        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
-        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
-        "q13_freshness": monitoring.q13_freshness,
-        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
-        "q15_hourly_events": monitoring.q15_hourly_events,
-        "q16_user_sessions": monitoring.q16_user_sessions,
-        "q18_salted_event_stats": extras.q18_salted_event_stats,
-        "q19_props_json_stats": extras.q19_props_json_stats,
-        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
-        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
-        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
-        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
-        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
-        "t9_simhash": llmdata.t9_simhash,
-        "t12_event_asof_order": extras.t12_event_asof_order,
-        "t14_event_session_ranges": extras.t14_event_session_ranges,
-        "t15_winnow_dedup": extras.t15_winnow_dedup,
-        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
-        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
-        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
-        "q1_top_products": analytics.q1_top_products,
-        "q2_monthly_trend": analytics.q2_monthly_trend,
-        "t44_semdedup": llmdata.t44_semdedup,
-        "t55_txtable_delete": llmdata.t55_txtable_delete,
 }
 
 
