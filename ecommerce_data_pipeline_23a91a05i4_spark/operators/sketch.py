@@ -54,7 +54,17 @@ TWO_61 = 1 << RANK_SCALE_BITS
 
 
 def hll_alpha(m: int) -> float:
-    """The published HLL bias correction alpha_m (m >= 16 form)."""
+    """The published HLL bias correction alpha_m: the Flajolet et al.
+    2007 paper tabulates alpha_16 = 0.673, alpha_32 = 0.697,
+    alpha_64 = 0.709 and reserves the asymptotic 0.7213/(1 + 1.079/m)
+    form for m >= 128 (ADVICE r6: the asymptotic form at m = 16 added
+    ~0.4% systematic bias and the docstring misstated the paper)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
 
 
@@ -170,14 +180,18 @@ def hll_estimate(
     data that exercises the harmonic branch when cross-engine
     bit-equality is the requirement."""
     m = _check_p(p)
-    _check_geometry(regs, "ridx", m, "hll_estimate")
     group_by = list(group_by or [])
     term = F.expr(
         f"shiftleft(cast(1 as bigint), {RANK_SCALE_BITS} - rmax)"
     )
+    # geometry guard piggybacked on the estimate aggregation itself
+    # (ADVICE r6: a separate blocking agg(max) action here re-ran the
+    # whole register build when the sketch was an uncached lineage —
+    # doubling the cost of the operation the sketch exists to cut)
     agg = regs.groupBy(*group_by).agg(
         dsum(term, "decimal(38,0)").alias("_z_present"),
         F.count(F.lit(1)).alias("_n_present"),
+        F.max("ridx").alias("_max_ridx"),
     )
     v = (F.lit(m) - F.col("_n_present")).cast("long")
     z = (
@@ -194,9 +208,21 @@ def hll_estimate(
         ).otherwise(e_harm)
     else:
         est = e_harm
-    return agg.select(
-        *group_by, quant(est, ndigits).alias("approx_distinct")
-    )
+    guarded = F.when(
+        F.col("_max_ridx") >= F.lit(m),
+        F.raise_error(
+            F.concat(
+                F.lit("hll_estimate: sketch has ridx="),
+                F.col("_max_ridx").cast("string"),
+                F.lit(
+                    f" but the estimate was called with p={p} (m={m}) — "
+                    "build and estimate must share the same geometry "
+                    "parameters"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(quant(est, ndigits))
+    return agg.select(*group_by, guarded.alias("approx_distinct"))
 
 
 def approx_count_distinct_portable(
@@ -250,20 +276,31 @@ def _cms_addresses(cols: list[str], depth: int, width: int) -> Column:
     )
 
 
-def _check_geometry(df: DataFrame, col: str, bound: int, what: str) -> None:
-    """Raise if any ``col`` value exceeds its geometry bound — the
-    detectable half of a build/estimate parameter mismatch (a sketch
-    built WIDER than the reader assumes addresses cells past the
-    reader's modulus; the opposite direction is mathematically
-    indistinguishable from an unlucky sketch and stays the caller's
-    contract)."""
-    top = df.agg(F.max(F.col(col))).first()[0]
-    if top is not None and top >= bound:
-        raise ValueError(
-            f"{what}: sketch has {col}={top} but the estimate was called "
-            f"with a bound of {bound} — build and estimate must share the "
-            "same geometry parameters"
-        )
+def _geometry_guard(value: Column, bound: int, what: str) -> Column:
+    """In-plan geometry guard: NULL when ``value`` respects its bound,
+    raise_error otherwise — the detectable half of a build/estimate
+    parameter mismatch (a sketch built WIDER than the reader assumes
+    addresses cells past the reader's modulus; the opposite direction
+    is mathematically indistinguishable from an unlucky sketch and
+    stays the caller's contract).  Folded into the estimate's own plan
+    so validation costs ZERO extra jobs (ADVICE r6: the former eager
+    agg(max) action recomputed uncached sketch lineages a second time,
+    roughly doubling the operation the sketch exists to make cheap);
+    the mismatch now surfaces when the estimate is executed."""
+    return F.when(
+        value >= F.lit(bound),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: sketch addresses cell "),
+                value.cast("string"),
+                F.lit(
+                    f" but the estimate was called with a bound of "
+                    f"{bound} — build and estimate must share the same "
+                    "geometry parameters"
+                ),
+            )
+        ).cast("long"),
+    )
 
 
 def cms_build(
@@ -317,13 +354,22 @@ def cms_estimate(
     never a scan of the data.  ``depth``/``width`` MUST match the
     build's (the addressing is parameter-dependent); the detectable
     mismatch direction fails loudly."""
-    _check_geometry(counters, "w", width, "cms_estimate")
-    _check_geometry(counters, "d", depth, "cms_estimate")
+    # geometry guard evaluated while BUILDING the broadcast relation —
+    # every counter row passes through it, no separate validation job
+    checked = counters.select(
+        "d",
+        "w",
+        F.coalesce(
+            _geometry_guard(F.col("w"), width, "cms_estimate"),
+            _geometry_guard(F.col("d"), depth, "cms_estimate"),
+            F.col("cnt"),
+        ).alias("cnt"),
+    )
     addressed = keys.select(
         *cols, F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w")
     )
     return (
-        addressed.join(F.broadcast(counters), ["d", "w"], "left")
+        addressed.join(F.broadcast(checked), ["d", "w"], "left")
         .groupBy(*cols)
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0)))

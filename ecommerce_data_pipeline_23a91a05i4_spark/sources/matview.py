@@ -33,7 +33,9 @@ or 100 TB.
 
 from __future__ import annotations
 
+import functools
 import json
+from operator import or_
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -115,6 +117,31 @@ def mv_aggregate(
     return _signed_agg(df, group_cols, measures, dec, F.lit(1))
 
 
+def _reject_null_groups(
+    agg: DataFrame, group_cols: list[str], verb: str
+) -> DataFrame:
+    """Fail loudly on a NULL value in any group column (ADVICE r6):
+    merge() keys cannot be NULL, so an MV init that materialized a NULL
+    group would make EVERY later refresh raise — init and refresh must
+    agree, and they agree on rejection.  The check runs on the
+    already-aggregated relation (O(groups), not O(base)); callers with
+    genuinely NULL-able group expressions should encode a sentinel in
+    the group expression (e.g. ``coalesce(col, '∅')``) so both the MV
+    and its readers see one consistent value.  Returns the aggregate
+    localCheckpoint-ed, so validation and the subsequent write share
+    one materialization."""
+    agg = agg.localCheckpoint()
+    nullish = functools.reduce(or_, (F.col(c).isNull() for c in group_cols))
+    if agg.filter(nullish).limit(1).count():
+        raise ValueError(
+            f"{verb}: NULL value in a group column {group_cols} — "
+            "merge-keyed refresh cannot address NULL groups; encode a "
+            "sentinel in the group expression (e.g. coalesce(col, '∅')) "
+            "before materializing"
+        )
+    return agg
+
+
 def mv_init(
     mv: TxTable,
     base_rows: DataFrame,
@@ -128,11 +155,16 @@ def mv_init(
     maps output names to SQL expressions summed per group — the
     self-maintainable class (SUM of an expression; COUNT(*) is
     ``"1"``).  DECIMAL accumulation makes later incremental refreshes
-    exactly equal to this full aggregation, not approximately."""
-    return mv.init(
+    exactly equal to this full aggregation, not approximately.  NULL
+    group values are rejected up front (see
+    :func:`_reject_null_groups`) — previously they initialized fine
+    and then bricked every refresh at merge time."""
+    agg = _reject_null_groups(
         _signed_agg(base_rows, group_cols, measures, dec, F.lit(1)),
-        partition_by=partition_by,
+        group_cols,
+        "mv_init",
     )
+    return mv.init(agg, partition_by=partition_by)
 
 
 def mv_refresh(
@@ -162,7 +194,12 @@ def mv_refresh(
     nonzero = F.col("n_rows") != 0
     for name in measures:
         nonzero = nonzero | (F.col(name) != 0)
-    delta = delta.filter(nonzero)
+    # a NULL group arriving AFTER init fails with the same message as
+    # mv_init (init and refresh agree on rejection; ADVICE r6) instead
+    # of merge's generic NULL-key error
+    delta = _reject_null_groups(
+        delta.filter(nonzero), group_cols, "mv_refresh"
+    )
     old = mv.snapshot()
     renames = {name: f"_old_{name}" for name in [*measures, "n_rows"]}
     for src, dst in renames.items():

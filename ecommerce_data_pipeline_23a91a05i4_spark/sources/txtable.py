@@ -398,17 +398,21 @@ class TxTable:
         base_version: int | None,
         schema: StructType,
         partition_by: str | None,
-        stream_floor: int | None = None,
+        stream_floors: dict[str, int] | None = None,
     ) -> int:
-        """``stream_floor`` — the highest stream batch id ever committed
-        (TxTableStreamSink's durable exactly-once floor): a monotone
-        scalar EVERY commit carries forward from its parent (pass None
-        to inherit), so vacuum() can never erase the sink's idempotence
-        memory — any retained manifest knows it.  The sink passes
-        max(parent floor, batch_id) on its own commits."""
+        """``stream_floors`` — per-logical-stream highest committed
+        batch id (TxTableStreamSink's durable exactly-once floor, keyed
+        by the sink's ``app_id`` like Delta's txnAppId/txnVersion —
+        ADVICE r6: a single table-wide floor silently swallowed the
+        first batches of any NEW stream, whose fresh checkpoint restarts
+        batch ids at 0).  A monotone map EVERY commit carries forward
+        from its parent (pass None to inherit), so vacuum() can never
+        erase a sink's idempotence memory — any retained manifest knows
+        it.  The sink passes its own entry raised to max(floor,
+        batch_id) on its own commits."""
         version = (base_version or 0) + 1
-        if stream_floor is None and base_version is not None:
-            stream_floor = self.manifest(base_version).get("stream_floor")
+        if stream_floors is None and base_version is not None:
+            stream_floors = _stream_floors(self.manifest(base_version))
         manifest = {
             "version": version,
             "parent": base_version,
@@ -417,8 +421,10 @@ class TxTable:
             "partition_by": partition_by,
             "files": entries,
         }
-        if stream_floor is not None:
-            manifest["stream_floor"] = int(stream_floor)
+        if stream_floors:
+            manifest["stream_floors"] = {
+                app: int(v) for app, v in stream_floors.items()
+            }
         self._try_commit(manifest, version)
         return version
 
@@ -1051,33 +1057,85 @@ def scd2_merge_tx(
 
 # ------------------------------------------- exactly-once streaming sink
 
-def _batch_op(batch_id: int) -> str:
-    return f"stream_append:{batch_id}"
+#: app id used when the caller does not name its logical stream —
+#: pre-app-id manifests (bare ``stream_append:<batch>`` ops and the
+#: scalar ``stream_floor`` field) are read as this app's history
+DEFAULT_STREAM_APP = "default"
+
+
+def _stream_floors(manifest: dict) -> dict[str, int]:
+    """The per-app durable floors a manifest carries, folding the
+    legacy single-scalar ``stream_floor`` field (pre-ADVICE-r6 commits)
+    into the DEFAULT_STREAM_APP entry."""
+    floors = {
+        app: int(v) for app, v in (manifest.get("stream_floors") or {}).items()
+    }
+    legacy = manifest.get("stream_floor")
+    if legacy is not None:
+        floors[DEFAULT_STREAM_APP] = max(
+            int(legacy), floors.get(DEFAULT_STREAM_APP, -1)
+        )
+    return floors
+
+
+def _batch_op(app_id: str, batch_id: int) -> str:
+    return f"stream_append:{app_id}:{batch_id}"
+
+
+def _parse_batch_op(op: str) -> tuple[str, int] | None:
+    """(app_id, batch_id) for a stream_append op, legacy-tolerant:
+    ``stream_append:<batch>`` (pre-app-id) reads as the default app."""
+    if not op.startswith("stream_append:"):
+        return None
+    rest = op.split(":", 1)[1]
+    if ":" in rest:
+        app, bid = rest.rsplit(":", 1)
+        return app, int(bid)
+    return DEFAULT_STREAM_APP, int(rest)
 
 
 class TxTableStreamSink:
     """foreachBatch sink with EXACTLY-ONCE appends: Structured Streaming
     guarantees at-least-once foreachBatch invocation — after a failure a
     micro-batch is REPLAYED with the same batch_id — so the sink records
-    the batch_id in the manifest's op field and a replayed batch finds
-    its op already committed and becomes a no-op.  This is the classic
-    idempotent-commit pattern transactional formats ship (Delta's
-    txnAppId/txnVersion), built on the manifest log's existing
+    (app_id, batch_id) in the manifest's op field and a replayed batch
+    finds its op already committed and becomes a no-op.  This is the
+    classic idempotent-commit pattern transactional formats ship
+    (Delta's txnAppId/txnVersion), built on the manifest log's existing
     create-if-absent commit: duplicate suppression and atomicity come
     from the same mechanism.
 
+    ``app_id`` names the LOGICAL stream (ADVICE r6): batch ids are only
+    monotone within one streaming query's checkpoint, so a REPLACEMENT
+    pipeline (fresh checkpoint, batch ids restarting at 0) writing to a
+    table that already hosted a stream must use a NEW app_id — under a
+    single table-wide floor its first floor+1 batches were silently
+    swallowed.  Floors are kept per app, so distinct logical streams
+    (including several concurrent ones) never suppress each other;
+    reusing an app_id across checkpoints remains wrong and is now a
+    documented contract, with the fresh-app_id escape hatch replacing
+    any need to reset a floor.
+
     Usage::
 
-        sink = TxTableStreamSink(TxTable(spark, path))
+        sink = TxTableStreamSink(TxTable(spark, path), app_id="ingest_v2")
         stream.writeStream.foreachBatch(sink).start()
     """
 
-    def __init__(self, table: TxTable) -> None:
+    def __init__(
+        self, table: TxTable, app_id: str = DEFAULT_STREAM_APP
+    ) -> None:
+        if ":" in app_id or not app_id:
+            raise ValueError(
+                f"app_id {app_id!r} must be non-empty and ':'-free (it "
+                "is embedded in the manifest op field)"
+            )
         self.table = table
-        # (batch ids seen, versions already scanned) — the committed set
-        # only grows, so each micro-batch reads just the manifests NEWER
-        # than the last scan instead of re-parsing the whole log
-        # (O(versions) per batch → O(new versions); ADVICE r4)
+        self.app_id = app_id
+        # (batch ids seen for THIS app, versions already scanned) — the
+        # committed set only grows, so each micro-batch reads just the
+        # manifests NEWER than the last scan instead of re-parsing the
+        # whole log (O(versions) per batch → O(new versions); ADVICE r4)
         self._seen_ids: set[int] = set()
         self._scanned: set[int] = set()
 
@@ -1085,26 +1143,30 @@ class TxTableStreamSink:
         for v in self.table.versions():
             if v in self._scanned:
                 continue
-            op = self.table.manifest(v)["op"]
-            if op.startswith("stream_append:"):
-                self._seen_ids.add(int(op.split(":", 1)[1]))
+            parsed = _parse_batch_op(self.table.manifest(v)["op"])
+            if parsed is not None and parsed[0] == self.app_id:
+                self._seen_ids.add(parsed[1])
             self._scanned.add(v)
         # ids learned from a manifest later pruned by vacuum() stay
         # cached for this sink instance; a NEW sink instance relies on
-        # the stream_floor every retained manifest carries (the durable
-        # half of the dedup — see __call__)
+        # the per-app stream floor every retained manifest carries (the
+        # durable half of the dedup — see __call__)
         return self._seen_ids
+
+    def _floor(self, manifest: dict) -> int:
+        return _stream_floors(manifest).get(self.app_id, -1)
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         base = self.table.manifest()
-        # Durable exactly-once floor: every manifest carries the highest
-        # stream batch id ever committed (monotone, carried forward by
-        # EVERY commit), so even after vacuum() pruned all
+        # Durable exactly-once floor: every manifest carries each app's
+        # highest committed stream batch id (monotone, carried forward
+        # by EVERY commit), so even after vacuum() pruned all
         # stream_append manifests, a restarted stream (fresh sink
-        # instance, no cached ids) replaying an old batch still sees
-        # batch_id <= floor and no-ops.  The per-op id set handles the
-        # (impossible under monotone batch ids, cheap to keep) gap case.
-        floor = int(base.get("stream_floor", -1))
+        # instance, no cached ids, SAME app_id) replaying an old batch
+        # still sees batch_id <= floor and no-ops.  The per-op id set
+        # handles the (impossible under monotone batch ids, cheap to
+        # keep) gap case.
+        floor = self._floor(base)
         if batch_id <= floor or batch_id in self.committed_batch_ids():
             return  # replayed micro-batch: already committed, skip
         pcol = base.get("partition_by")
@@ -1112,21 +1174,23 @@ class TxTableStreamSink:
             df, StructType.fromJson(json.loads(base["schema"]))
         )
         staged = self.table._stage(df, pcol)
-        # single writer per stream by construction; a lost race here
-        # means another sink instance for the SAME stream committed this
-        # batch — re-check and drop out instead of double-appending
+        floors = _stream_floors(base)
+        floors[self.app_id] = max(floor, batch_id)
+        # single writer per (table, app_id) by construction; a lost race
+        # here means another sink instance for the SAME stream committed
+        # this batch — re-check and drop out instead of double-appending
         try:
             self.table._commit(
                 base["files"] + staged,
-                _batch_op(batch_id),
+                _batch_op(self.app_id, batch_id),
                 base["version"],
                 StructType.fromJson(json.loads(base["schema"])),
                 pcol,
-                stream_floor=max(floor, batch_id),
+                stream_floors=floors,
             )
         except CommitConflict:
             if (
                 batch_id not in self.committed_batch_ids()
-                and batch_id > int(self.table.manifest().get("stream_floor", -1))
+                and batch_id > self._floor(self.table.manifest())
             ):
                 raise

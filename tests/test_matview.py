@@ -113,3 +113,32 @@ def test_null_measure_values_count_as_zero(spark, tmp_path):
     assert got == want
     by_g = {r.g: (int(r.sx), r.n_rows) for r in mv.snapshot().collect()}
     assert by_g == {"a": (10, 2), "b": (0, 1), "c": (0, 1)}
+
+
+def test_null_group_rejected_at_init_and_refresh(spark, tmp_path):
+    """ADVICE r6: a NULL GROUP BY value used to initialize fine and
+    then brick every refresh at merge time ('NULL in a key column').
+    Init and refresh now agree: both reject loudly, pointing at the
+    sentinel-encoding fix."""
+    bad = _df(spark, [(1, None, 10), (2, "a", 20)])
+    mv = TxTable(spark, str(tmp_path / "mv"))
+    with pytest.raises(ValueError, match="mv_init: NULL value in a group"):
+        mvx.mv_init(mv, bad, ["g"], {"sx": "x"})
+
+    # NULL group arriving only AFTER a clean init → refresh rejects
+    # with the same message shape (not merge's generic NULL-key error)
+    base = TxTable(spark, str(tmp_path / "base"))
+    v1 = base.init(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    mv2 = TxTable(spark, str(tmp_path / "mv2"))
+    mvx.mv_init(mv2, base.snapshot(), ["g"], {"sx": "x"})
+    v2 = base.append(_df(spark, [(3, None, 30)]))
+    with pytest.raises(ValueError, match="mv_refresh: NULL value in a group"):
+        mvx.mv_refresh(mv2, base, ["g"], {"sx": "x"}, v1, v2)
+
+    # the documented fix works end-to-end: sentinel-encode the group
+    g_expr = "coalesce(g, '<null>')"
+    mv3 = TxTable(spark, str(tmp_path / "mv3"))
+    sent = base.snapshot().withColumn("g", F.expr(g_expr))
+    mvx.mv_init(mv3, sent, ["g"], {"sx": "x"})
+    rows = {r.g: r.sx for r in mv3.snapshot().collect()}
+    assert rows["<null>"] == 30

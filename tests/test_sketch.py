@@ -246,13 +246,39 @@ def test_hist_far_outlier_clamps_instead_of_overflowing(spark):
 
 
 def test_geometry_mismatch_fails_loudly(spark):
+    """Build/estimate geometry mismatches still fail loudly, but the
+    guard is now IN-PLAN (raise_error folded into the estimate's own
+    expressions) instead of an eager agg(max) action — ADVICE r6: the
+    eager check re-ran uncached sketch lineages a second time.  The
+    error therefore surfaces when the estimate executes."""
+    from pyspark.errors.exceptions.base import PySparkException
+
     df = spark.createDataFrame([("a",), ("b",)], "k string")
     wide = sk.cms_build(df, ["k"], depth=4, width=4096)
-    with pytest.raises(ValueError, match="same geometry"):
-        sk.cms_estimate(wide, df.distinct(), ["k"], width=256)
+    est = sk.cms_estimate(wide, df.distinct(), ["k"], width=256)  # lazy: no error yet
+    with pytest.raises(PySparkException, match="same geometry"):
+        est.collect()
     regs = sk.hll_registers(df, ["k"], p=12)
-    with pytest.raises(ValueError, match="same geometry"):
+    est2 = sk.hll_estimate(regs, p=4)
+    with pytest.raises(PySparkException, match="same geometry"):
+        est2.collect()
+
+
+def test_geometry_guard_adds_no_extra_job(spark):
+    """The guard must not launch a separate Spark job before the
+    estimate itself runs: building the estimate DataFrame is free."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    cms = sk.cms_build(df, ["k"])
+    regs = sk.hll_registers(df, ["k"], p=4)
+    sc.setJobGroup("geom_guard_probe", "estimate construction")
+    try:
+        sk.cms_estimate(cms, df.distinct(), ["k"])
         sk.hll_estimate(regs, p=4)
+        jobs = sc.statusTracker().getJobIdsForGroup("geom_guard_probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert not jobs, "estimate construction launched a Spark job"
 
 
 def test_cms_estimate_plan_is_broadcast_lookup(spark):

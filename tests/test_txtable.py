@@ -512,9 +512,9 @@ def test_stream_sink_is_exactly_once_on_replayed_batches(spark, tmp_path):
     rows = sorted((r.k, r.v) for r in t.snapshot().collect())
     assert rows == [(1, "a"), (2, "b")]
     assert sink.committed_batch_ids() == {0, 1}
-    # exactly one manifest per batch (plus init)
+    # exactly one manifest per batch (plus init), app-id-keyed ops
     assert [h["op"] for h in t.history()] == [
-        "init", "stream_append:0", "stream_append:1"
+        "init", "stream_append:default:0", "stream_append:default:1"
     ]
     # the committed-id scan is incremental: all versions are cached, so
     # another call re-parses no manifest (O(new versions), ADVICE r4) —
@@ -544,7 +544,7 @@ def test_stream_floor_survives_vacuum_for_new_sink_instances(spark, tmp_path):
     # non-stream commits on top: both must CARRY the floor forward
     t.append(_df(spark, [(3, "c")]))
     t.compact(1)
-    assert t.manifest()["stream_floor"] == 1
+    assert t.manifest()["stream_floors"] == {"default": 1}
     # vacuum away every stream_append manifest (keep only the latest)
     t.vacuum(keep_versions=1, min_age_seconds=0.0)
     assert [h["op"] for h in t.history()] == ["compact"]
@@ -560,7 +560,61 @@ def test_stream_floor_survives_vacuum_for_new_sink_instances(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.snapshot().collect()) == sorted(
         before + [(4, "d")]
     )
-    assert t.manifest()["stream_floor"] == 2
+    assert t.manifest()["stream_floors"] == {"default": 2}
+
+
+def test_stream_floor_is_per_app_so_new_logical_streams_are_not_swallowed(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): a REPLACEMENT pipeline writing through a
+    fresh checkpoint restarts batch ids at 0 — under the old table-wide
+    floor its first batches were silently discarded.  Floors are now
+    keyed by app_id (Delta's txnAppId/txnVersion): a new app_id starts
+    at floor -1 whatever other streams committed, while replay
+    suppression still works per app — including through vacuum and with
+    legacy scalar-floor manifests folded into the default app."""
+    import json as _json
+    import posixpath
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+        _manifest_name,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, []))
+    v1 = TxTableStreamSink(t, app_id="v1")
+    v1(_df(spark, [(1, "a")]), 0)
+    v1(_df(spark, [(2, "b")]), 1)
+    t.vacuum(keep_versions=1, min_age_seconds=0.0)
+    # the replacement pipeline: fresh checkpoint, batch ids restart at 0
+    v2 = TxTableStreamSink(t, app_id="v2")
+    v2(_df(spark, [(10, "x")]), 0)   # must NOT be swallowed
+    v2(_df(spark, [(10, "x")]), 0)   # its own replay still no-ops
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 10]
+    assert t.manifest()["stream_floors"] == {"v1": 1, "v2": 0}
+    # v1 replays (e.g. a zombie executor) remain suppressed post-vacuum
+    fresh_v1 = TxTableStreamSink(t, app_id="v1")
+    fresh_v1(_df(spark, [(1, "a")]), 1)
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 10]
+    # a legacy manifest (scalar stream_floor, bare stream_append op)
+    # reads as the default app's history
+    m = t.manifest()
+    m["stream_floor"] = 5
+    m["op"] = "stream_append:3"
+    v = t.latest_version() + 1
+    m["version"] = v
+    t.fs.write_text(
+        posixpath.join(t.path, "_txlog", _manifest_name(v)), _json.dumps(m)
+    )
+    legacy = TxTableStreamSink(t)  # default app
+    assert legacy.committed_batch_ids() == {3}
+    legacy(_df(spark, [(99, "z")]), 5)  # <= legacy floor: swallowed
+    legacy(_df(spark, [(42, "q")]), 6)  # above it: appends
+    assert sorted(r.k for r in t.snapshot().collect()) == [1, 2, 10, 42]
+    assert t.manifest()["stream_floors"] == {"v1": 1, "v2": 0, "default": 6}
+    with pytest.raises(ValueError, match="':'-free"):
+        TxTableStreamSink(t, app_id="a:b")
 
 
 def test_multicol_stats_zero_row_drop_and_type_mismatch(spark, tmp_path):
