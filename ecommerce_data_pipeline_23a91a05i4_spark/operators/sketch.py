@@ -39,6 +39,7 @@ caller can store, merge, and audit.
 from __future__ import annotations
 
 import functools
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -377,6 +378,69 @@ def cms_estimate(
             .alias("cms_count")
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    cols: list[str],
+    row_id: Column,
+    threshold: float,
+    sample_mod: int = 16,
+    depth: int = 4,
+    width: int = 2048,
+    counters: DataFrame | None = None,
+    n_total: int | None = None,
+) -> DataFrame:
+    """Heavy-hitter ENUMERATION over the Count-Min sketch (VERDICT r6
+    ask #5: :func:`cms_estimate` answers point queries for keys the
+    caller already knows; the operator a 100 TB user actually reaches
+    for — top tokens/domains/hosts without an exact global groupBy —
+    needs the candidate SET too).  The classic sampled+CMS composition:
+
+    1. **candidates** — a deterministic ROW sample (``row_id`` hashed
+       by the t16 md5-modulus discipline; pass a row-unique expression,
+       e.g. concat of the source row's natural key) keeps ~N/sample_mod
+       rows; the distinct keys appearing in it are the candidate set.
+       A key with true frequency f is absent with probability
+       (1 - 1/sample_mod)^f — vanishing for every key near the
+       threshold at scale (f >= threshold·N), which is the composition's
+       one probabilistic miss mode;
+    2. **estimate + filter** — candidates are estimated against the
+       FULL-data sketch (``counters`` — pass a prebuilt/merged sketch
+       to reuse one, e.g. a day's worth of cms_merge'd shards; built
+       from ``df`` when None) and kept when the estimate reaches
+       ``ceil(threshold · N)``.
+
+    The surviving guarantee is one-sided, inherited from CMS's
+    never-undercount: **every candidate whose true frequency >=
+    threshold·N is returned** (its estimate >= its true count >= the
+    bar) — no false negatives past the sampler.  False positives are
+    keys within the sketch's overcount (<= e·N/width with prob.
+    1 - e^-depth) of the bar; size ``width >> e/threshold`` to keep
+    them away from it.  Returns (cols..., cms_count) — candidates only,
+    so the output is ~N·threshold-ish rows, never the key universe.
+
+    Everything is deterministic for given data (md5 sampling, md5
+    addressing), hence engine-replayable — the t70b oracle re-runs the
+    whole composition in SQL.  ``n_total`` skips the one count action
+    when the caller already knows N."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"cms_heavy_hitters: threshold must be in (0, 1] (got "
+            f"{threshold})"
+        )
+    if sample_mod < 1:
+        raise ValueError("cms_heavy_hitters: sample_mod must be >= 1")
+    n = int(n_total) if n_total is not None else df.count()
+    need = math.ceil(threshold * n)
+    if counters is None:
+        counters = cms_build(df, cols, depth, width)
+    hkey = F.conv(
+        F.substring(F.md5(row_id.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    cand = df.filter(hkey % sample_mod == 0).select(*cols).distinct()
+    est = cms_estimate(counters, cand, cols, depth, width)
+    return est.filter(F.col("cms_count") >= F.lit(need))
 
 
 # ------------------------------------------------- histogram quantiles

@@ -1504,6 +1504,77 @@ def _t70_oracle() -> str:
 LLMDATA_ORACLES["t70_cms_heavy_hitters"] = _t70_oracle()
 
 
+# t70b: the full sampled+CMS heavy-hitter ENUMERATION — planted-skew
+# stream, md5-modulus row sample → candidates, depth-salted counters,
+# min-estimate, ceil(0.005·N) threshold — replayed relationally with
+# the gate's literal geometry (depth 4, width 8192, sample_mod 8).
+def _t70b_oracle() -> str:
+    depth, width, mod = 4, 8192, 8
+
+    def addr(key_expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {width} "
+            "AS INT)"
+        )
+
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_partkey % 1000 AS BIGINT) AS key,
+               l_orderkey AS ok, l_linenumber AS ln,
+               unnest(range(0, CASE WHEN (l_partkey % 1000) % 50 = 0
+                                    THEN 9 ELSE 1 END)) AS rep
+        FROM lineitem
+    ),
+    needq AS (
+        SELECT CAST(ceil(CAST(0.005 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                    AS BIGINT) AS need
+        FROM base
+    ),
+    ds(d) AS (VALUES {ds}),
+    counters AS (
+        SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT d, {addr('key')} AS w FROM base CROSS JOIN ds)
+        GROUP BY d, w
+    ),
+    cand AS (
+        SELECT DISTINCT key FROM base
+        WHERE ('0x' || substr(md5(CAST(ok AS VARCHAR) || chr(31) ||
+                    CAST(ln AS VARCHAR) || chr(31) ||
+                    CAST(rep AS VARCHAR)), 1, 8))::BIGINT % {mod} = 0
+    ),
+    est AS (
+        SELECT l.key, MIN(COALESCE(c.cnt, 0)) AS cms_n
+        FROM (SELECT cand.key, ds.d, {addr('cand.key')} AS w
+              FROM cand CROSS JOIN ds) l
+        LEFT JOIN counters c ON l.d = c.d AND l.w = c.w
+        GROUP BY l.key
+    ),
+    hh AS (
+        SELECT key, cms_n FROM est
+        WHERE cms_n >= (SELECT need FROM needq)
+    ),
+    exact AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM base GROUP BY key
+    ),
+    th AS (
+        SELECT key FROM exact WHERE exact_n >= (SELECT need FROM needq)
+    )
+    SELECT h.key, CAST(h.cms_n AS BIGINT) AS cms_n, e.exact_n,
+           e.exact_n >= (SELECT need FROM needq) AS truly_heavy,
+           CAST((SELECT COUNT(*) FROM th) AS BIGINT) AS n_true_heavies,
+           CAST((SELECT COUNT(*) FROM th
+                 WHERE key NOT IN (SELECT key FROM hh)) AS BIGINT)
+               AS n_missed_true_heavies
+    FROM hh h JOIN exact e USING (key) ORDER BY key
+"""
+
+
+LLMDATA_ORACLES["t70b_cms_heavy_hitter_set"] = _t70b_oracle()
+
+
 # t71: the histogram sketch + first-bin-reaching-ceil(q·N) upper-edge
 # rule replayed with the gate's literal [lo, hi]/bins spec; within_bin
 # and merge_exact pin TRUE (the Spark side computes both for real).

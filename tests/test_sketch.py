@@ -313,3 +313,55 @@ def test_multi_column_keys_do_not_concat_collide(spark):
             df, ["x", "y"], p=12, hash=hash
         ).first()[0]
         assert abs(est - 2) < 0.1, (hash, est)
+
+
+def test_cms_heavy_hitters_guarantee_direction(spark):
+    """The sampled+CMS composition's guarantee is ONE-SIDED: every
+    candidate whose true frequency reaches the bar is returned (CMS
+    never undercounts), so false negatives can only come from the row
+    sampler; false positives are bounded by the sketch overcount.
+    Pinned: (a) the returned set contains every truly-heavy key here,
+    (b) every returned estimate >= the true count, (c) returned keys
+    are candidates (subset of the sample's distinct keys)."""
+    import hashlib
+
+    rows = []
+    rid = 0
+    for key, cnt in [("hot", 400), ("warm", 40), ("cold", 4)]:
+        for _ in range(cnt):
+            rows.append((key, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "k string, rid long")
+    n = len(rows)
+    threshold = 0.5  # bar = 222: only "hot" qualifies
+    out = {
+        r.k: r.cms_count
+        for r in sk.cms_heavy_hitters(
+            df, ["k"], F.col("rid"), threshold, sample_mod=4, width=512
+        ).collect()
+    }
+    assert set(out) == {"hot"}
+    assert out["hot"] >= 400  # never an undercount
+    # candidates replayed in Python: md5-modulus over the row id
+    cand = {
+        k
+        for k, r in rows
+        if int(hashlib.md5(str(r).encode()).hexdigest()[:8], 16) % 4 == 0
+    }
+    assert set(out) <= cand
+    # a lower bar admits warm too — still never cold (40 >> overcount)
+    out2 = {
+        r.k
+        for r in sk.cms_heavy_hitters(
+            df, ["k"], F.col("rid"), 0.05, sample_mod=4, width=512
+        ).collect()
+    }
+    assert out2 == {"hot", "warm"}
+
+
+def test_cms_heavy_hitters_validates_parameters(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, rid long")
+    with pytest.raises(ValueError, match="threshold"):
+        sk.cms_heavy_hitters(df, ["k"], F.col("rid"), 0.0)
+    with pytest.raises(ValueError, match="sample_mod"):
+        sk.cms_heavy_hitters(df, ["k"], F.col("rid"), 0.5, sample_mod=0)
