@@ -118,6 +118,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
         # -- (c) new round-7 gates (zero driver rows) --------------------
         "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
+        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
         # -- (d) oldest round-5-green gates ------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
@@ -141,9 +142,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,
         "t28_shard_assignment": corpus.t28_shard_assignment,
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
         # ---- driver window ends after the 50th entry above ------------
         # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
         "q27_order_date_spine": relational.q27_order_date_spine,
         "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
         "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,

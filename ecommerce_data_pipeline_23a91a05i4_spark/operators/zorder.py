@@ -58,15 +58,17 @@ def zvalue(*bins: Column) -> Column:
     return reduce(lambda a, c: a.bitwiseOR(c), parts)
 
 
-def zorder_write(
-    df: DataFrame, path: str, cols: list[str], n_files: int = 8
-) -> None:
-    """Write `df` to parquet z-ordered on `cols` across n_files files.
-
-    One pass to collect per-column min/max (a single-row aggregate —
-    negligible), one range-shuffle on the z-value.  At 100 TB the range
-    partitioner's sampling is what spreads files evenly along the curve;
-    no driver-side data movement anywhere."""
+def zorder_frame(df: DataFrame, cols: list[str], n_files: int = 8) -> DataFrame:
+    """`df` re-clustered along the Z-curve over `cols`, as a DataFrame:
+    one pass to collect per-column min/max (a single-row aggregate —
+    negligible), one range-shuffle on the z-value, rows sorted by it
+    within each of the ``n_files`` output partitions.  At 100 TB the
+    range partitioner's sampling is what spreads files evenly along the
+    curve; no driver-side data movement anywhere.  This is the
+    composable half of :func:`zorder_write` — any writer that records
+    per-file stats over a partition-per-file layout (e.g.
+    ``TxTable.compact(zorder_by=...)``) inherits multi-column skipping
+    locality from it."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -79,11 +81,16 @@ def zorder_write(
         )
         for c in cols
     ]
-    (
+    return (
         df.withColumn("_z", zvalue(*bins))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def zorder_write(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Write `df` to parquet z-ordered on `cols` across n_files files."""
+    zorder_frame(df, cols, n_files).write.mode("overwrite").parquet(path)

@@ -1575,6 +1575,27 @@ def _t70b_oracle() -> str:
 LLMDATA_ORACLES["t70b_cms_heavy_hitter_set"] = _t70b_oracle()
 
 
+# t73: Z-ordered compaction — the relational half (the conjunctive
+# pruned-then-filtered read stays complete) recomputed from raw orders;
+# the transactional literals (8 hash-scattered files all scanned
+# before, strict pruning improvement after, 2 versions) pin the layout
+# facts the Spark side measured for real.
+LLMDATA_ORACLES["t73_zordered_compaction"] = f"""
+    WITH kq AS (SELECT MAX(o_orderkey) // 4 AS kcap FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {SQL_MONEY_SUM('o_totalprice')} AS revenue,
+           CAST(8 AS BIGINT) AS files_scanned_before,
+           CAST(8 AS BIGINT) AS files_total,
+           TRUE AS pruning_improved,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM orders
+    WHERE o_orderkey BETWEEN 0 AND (SELECT kcap FROM kq)
+      AND o_totalprice BETWEEN 0 AND 100000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # t71: the histogram sketch + first-bin-reaching-ceil(q·N) upper-edge
 # rule replayed with the gate's literal [lo, hi]/bins spec; within_bin
 # and merge_exact pin TRUE (the Spark side computes both for real).

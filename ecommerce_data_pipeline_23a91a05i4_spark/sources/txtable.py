@@ -596,12 +596,40 @@ class TxTable:
             f"restore on {self.path} lost {max_retries} commit races"
         )
 
-    def compact(self, n_files: int) -> int:
+    def compact(
+        self, n_files: int, zorder_by: list[str] | None = None
+    ) -> int:
         """Rewrite the current snapshot into ``n_files`` files (the
         manifest-log replacement for maintenance.compact_parquet: old
-        files stay for time travel until vacuumed)."""
+        files stay for time travel until vacuumed).
+
+        ``zorder_by`` re-clusters the rewrite along the Z-curve over
+        the named columns (operators/zorder.zorder_frame) — the Delta
+        OPTIMIZE ZORDER BY verb, and the bridge between the layout
+        primitive and this table's manifest-stats skipping (VERDICT r6
+        ask #6): multi-column ``stats_col`` pruning pays in proportion
+        to layout locality, and after a Z-ordered compact each staged
+        file covers a small rectangle of the named columns' value
+        space, so conjunctive range reads prune strictly harder (gate
+        t73 pins the improvement on a hash-scattered before-state).
+        Z-ordering a partitioned table is refused loudly: the partition
+        column already dictates file grouping, and silently range-
+        shuffling within it would record stats the caller did not ask
+        for."""
         m = self.manifest()
-        df = self.snapshot().repartition(n_files)
+        if zorder_by is None:
+            df = self.snapshot().repartition(n_files)
+        else:
+            if m.get("partition_by") is not None:
+                raise ValueError(
+                    f"compact(zorder_by=...) on {self.path}: table is "
+                    f"partitioned by {m['partition_by']!r}; Z-order "
+                    "applies to unpartitioned layouts (the partition "
+                    "column already dictates file grouping)"
+                )
+            from ..operators.zorder import zorder_frame
+
+            df = zorder_frame(self.snapshot(), list(zorder_by), n_files)
         return self._commit(
             self._stage(df, m.get("partition_by")),
             "compact",
