@@ -119,6 +119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (c) new round-7 gates (zero driver rows) --------------------
         "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
         "t73_zordered_compaction": llmdata.t73_zordered_compaction,
+        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
         # -- (d) oldest round-5-green gates ------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
@@ -141,9 +142,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t24_multimodal_features": corpus.t24_multimodal_features,
         "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
         # ---- driver window ends after the 50th entry above ------------
         # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "t28_shard_assignment": corpus.t28_shard_assignment,
         "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
         "q27_order_date_spine": relational.q27_order_date_spine,
         "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,

@@ -716,26 +716,13 @@ def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply: a change FEED arrives as files and each
-    micro-batch lands on the transactional table as ONE merge commit
-    (foreachBatch → sources/txtable.apply_cdc) — minute-cadence CDC
-    with file-granular cost, the streaming composition of t66.  The
-    feed is written as three files over DISJOINT key ranges
-    (doc_id % 9 bands), so the final table state is independent of
-    micro-batch boundaries and arrival order — which is what lets one
-    relational oracle replay it: corpus minus all touched keys, plus
-    the surviving events (within a batch, latest-seq-wins is still
-    exercised by planted superseded events).  maxFilesPerTrigger=1
-    under availableNow forces a real multi-batch drain; n_versions
-    pins that every batch committed exactly one merge (1 init + 3)."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..sources.txtable import TxTable, apply_cdc
-
+def _cdc_docs_and_changes(spark: SparkSession, sf_dir: str):
+    """The shared s9/s10 CDC fixture: a documents corpus (doc_id % 3
+    != 0) plus a 4-way change feed — superseded 'stale' updates at seq
+    1, winning ' [cdc]' updates at seq 2, deletes of % 7 keys at seq 3,
+    inserts of the % 3 == 0 keys — returned as (corpus, changes), the
+    changes localCheckpoint-ed once (the 4-way union is re-read by each
+    per-band feed write; 12 source scans otherwise)."""
     docs = table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     data_cols = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -778,12 +765,35 @@ def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"),
         F.lit(1).cast("long").alias("seq"),
     )
-    # one materialization: the 4-way union is re-read by each of the
-    # three band writes below (12 source scans otherwise)
     changes = (
         stale.unionAll(upd).unionAll(dels).unionAll(ins)
         .localCheckpoint(eager=True)
     )
+    return corpus, changes
+
+
+def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a change FEED arrives as files and each
+    micro-batch lands on the transactional table as ONE merge commit
+    (foreachBatch → sources/txtable.apply_cdc) — minute-cadence CDC
+    with file-granular cost, the streaming composition of t66.  The
+    feed is written as three files over DISJOINT key ranges
+    (doc_id % 9 bands), so the final table state is independent of
+    micro-batch boundaries and arrival order — which is what lets one
+    relational oracle replay it: corpus minus all touched keys, plus
+    the surviving events (within a batch, latest-seq-wins is still
+    exercised by planted superseded events).  maxFilesPerTrigger=1
+    under availableNow forces a real multi-batch drain; n_versions
+    pins that every batch committed exactly one merge (1 init + 3)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.txtable import TxTable, apply_cdc
+
+    corpus, changes = _cdc_docs_and_changes(spark, sf_dir)
+    did = F.col("doc_id")
     root = tempfile.mkdtemp(prefix=f"s9_{uuid.uuid4().hex[:8]}_")
     try:
         t = TxTable(spark, root + "/docs")
@@ -821,6 +831,103 @@ def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("n_updated"),
             )
             .withColumn("n_versions", F.lit(len(t.versions())).cast("long"))
+            .orderBy("lang")
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def s10_streaming_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC feeding an incrementally-maintained dashboard
+    aggregate — the composition of s9 (each micro-batch lands as ONE
+    merge commit via apply_cdc) and t68 (mv_refresh advances the MV
+    from the manifest change feed): after every batch's merge, the MV
+    is refreshed across exactly that commit's version gap (VERDICT r6
+    ask #7 — s9 and t68 each prove half of the realistic 'CDC feeds a
+    dashboard' pipeline; version-pointer bugs hide in the seam).  The
+    gate drains the same 3-band feed as s9 and pins: the MV equals a
+    from-scratch recompute of the final base snapshot EXACTLY
+    (``incremental_exact``, decimal state compared row-by-row including
+    n_rows), one merge commit per batch (base_versions = 4), one
+    refresh per batch (mv_versions = 4), and the per-lang measures
+    themselves, which the oracle recomputes from raw documents via the
+    s9 collapse."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import matview as mvx
+    from ..sources.txtable import TxTable, apply_cdc
+
+    corpus, changes = _cdc_docs_and_changes(spark, sf_dir)
+    did = F.col("doc_id")
+    g = ["lang"]
+    measures = {
+        "n_docs": "1",
+        "sum_ids": "doc_id",
+        "sum_chars": "length(text)",
+    }
+    root = tempfile.mkdtemp(prefix=f"s10_{uuid.uuid4().hex[:8]}_")
+    try:
+        t = TxTable(spark, root + "/docs")
+        t.init(corpus)
+        mv = TxTable(spark, root + "/mv")
+        mvx.mv_init(mv, t.snapshot(), g, measures)
+        state = {"v": t.latest_version()}
+        feed_dir = os.path.join(root, "feed")
+        os.makedirs(feed_dir)
+        for i, band in enumerate(((0, 1, 2), (3, 4, 5), (6, 7, 8))):
+            changes.filter((did % 9).isin(*band)).coalesce(1).write.parquet(
+                os.path.join(feed_dir, f"batch_{i}.parquet")
+            )
+        feed = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir + "/*")
+        )
+
+        def apply_and_refresh(batch: DataFrame, _bid: int) -> None:
+            apply_cdc(t, batch, "doc_id")
+            v_new = t.latest_version()
+            if v_new != state["v"]:  # no-op batches refresh nothing
+                mvx.mv_refresh(mv, t, g, measures, state["v"], v_new)
+                state["v"] = v_new
+
+        q = (
+            feed.writeStream.foreachBatch(apply_and_refresh)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        rc = mvx.mv_aggregate(t.snapshot(), g, measures)
+        for c in (*measures, "n_rows"):
+            rc = rc.withColumnRenamed(c, f"rc_{c}")
+        exact = (
+            (F.col("n_docs") == F.col("rc_n_docs"))
+            & (F.col("sum_ids") == F.col("rc_sum_ids"))
+            & (F.col("sum_chars") == F.col("rc_sum_chars"))
+            & (F.col("n_rows") == F.col("rc_n_rows"))
+        )
+        out = (
+            mv.snapshot()
+            .join(rc, on=g, how="full")
+            .select(
+                "lang",
+                # decimal state, long at the boundary (the t68 rule)
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("sum_ids").cast("long").alias("sum_ids"),
+                F.col("sum_chars").cast("long").alias("sum_chars"),
+                exact.alias("incremental_exact"),
+            )
+            .withColumn(
+                "base_versions", F.lit(len(t.versions())).cast("long")
+            )
+            .withColumn(
+                "mv_versions", F.lit(len(mv.versions())).cast("long")
+            )
             .orderBy("lang")
         )
         return out.localCheckpoint(eager=True)  # materialize before rmtree

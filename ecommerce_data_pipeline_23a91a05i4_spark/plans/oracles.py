@@ -1683,6 +1683,55 @@ MONITORING_ORACLES["s9_streaming_cdc_apply"] = """
 """
 
 
+# s10: the s9 latest-wins collapse feeds the MV measures; the MV's
+# incremental state must equal this from-scratch recompute exactly
+# (incremental_exact pins the row-by-row decimal comparison the Spark
+# side runs for real; 4 base versions = init + one merge per batch,
+# 4 mv versions = init + one refresh per batch).
+MONITORING_ORACLES["s10_streaming_cdc_matview"] = """
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0
+    ),
+    changes AS (
+        SELECT doc_id, 'stale' AS text, lang, 'U' AS op,
+               CAST(1 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, text || ' [cdc]', lang, 'U', CAST(2 AS BIGINT)
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               'D', CAST(3 AS BIGINT)
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, 'cdc doc ' || CAST(doc_id AS VARCHAR), lang,
+               'I', CAST(1 AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT c.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY seq DESC) AS rn
+            FROM changes c
+        ) r WHERE rn = 1
+    ),
+    merged AS (
+        SELECT doc_id, text, lang FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        UNION ALL
+        SELECT doc_id, text, lang FROM latest WHERE op <> 'D'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           TRUE AS incremental_exact,
+           CAST(4 AS BIGINT) AS base_versions,
+           CAST(4 AS BIGINT) AS mv_versions
+    FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.
