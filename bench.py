@@ -408,7 +408,7 @@ def run_bpe_scale_probe(
 
 
 def run_semdedup_scale_probe(
-    spark, sf_dir: str, factors: tuple[int, ...] = (8,)
+    spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)
 ) -> dict:
     """Semantic-dedup scale probe for the round-5 fix: semdedup_trained
     derives k = ceil(N / target_cluster), so the expected cluster stays
@@ -420,7 +420,12 @@ def run_semdedup_scale_probe(
     max_cluster chunk guard bounds, but not the typical workload this
     probe measures).  Timing includes k-means training (its driver
     state is k centroids; its passes are corpus-sized and belong in
-    the number)."""
+    the number).  The 32x point (VERDICT r6 ask #3) is the one that
+    certifies the bucketed assigner's O(N log k) claim: k grows WITH N
+    here, so a residual O(N·k) term would show as super-linear time
+    between 8x and 32x, while O(N log k) shows throughput still rising
+    (the 1x point is fixed-overhead-dominated, so slowdown_vs_1x stays
+    well under the factor)."""
     import shutil
     import tempfile
 
@@ -769,6 +774,9 @@ def main() -> None:
     # reports for the reference (4.44 s at ~30k fact rows).  The monitoring
     # (q11+) and LLM-data (t*) suites are timed in "queries" but kept out
     # of the headline so the comparison stays apples-to-apples.
+    # (headline_total's sum-of-per-query-mins is only the completeness
+    # check / fallback — the RECORDED value is the protocol min below,
+    # VERDICT r6 ask #4: one number, one provenance.)
     total, failed_headline = headline_total(queries, timings, errors)
 
     # Jitter band (VERDICT r5 ask #5): the queries run in a FIXED order
@@ -791,6 +799,13 @@ def main() -> None:
             "median_sec": round(md, 4),
             "jitter_pct": round(100.0 * (max(suite_runs) - mn) / mn, 1),
         }
+        # The protocol's min IS the headline (VERDICT r6 ask #4: r6
+        # published a separately re-warmed single run BELOW the
+        # protocol's own minimum — exactly the cherry-picking smell the
+        # protocol exists to kill).  value == headline_protocol.min_sec
+        # by construction; per-query best-of-5 floors stay in "queries"
+        # as detail.
+        total = headline_stats["min_sec"]
 
     # End-to-end pipeline at the reference's exact scale (1000 customers /
     # 500 products / 10k transactions) — per-step seconds comparable to

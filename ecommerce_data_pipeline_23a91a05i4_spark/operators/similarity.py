@@ -366,14 +366,17 @@ SEED_RANK_PARTITIONS = 32
 
 def _seed_hkey(id_col: Column) -> Column:
     """The seed-ordering hash: first 8 md5 hex chars of the id's string
-    form as a bigint — the repo's engine-portable t16/t17 idiom, so a
-    SQL oracle replays it as ('0x' || substr(md5(...), 1, 8))::BIGINT."""
-    return F.conv(
-        F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    form as a bigint (dedup.md5_hash32, the repo's ONE engine-portable
+    md5 idiom), so a SQL oracle replays it as
+    ('0x' || substr(md5(...), 1, 8))::BIGINT."""
+    from .dedup import md5_hash32
+
+    return md5_hash32(id_col.cast("string"))
 
 
-def _seed_centroids(v: DataFrame, k: int) -> DataFrame:
+def _seed_centroids(
+    v: DataFrame, k: int, n_total: int | None = None
+) -> DataFrame:
     """Deterministic k-means seeding with NO k-sized single-partition
     stage (closes VERDICT r6 "What's wrong" #3: the former
     ``orderBy(id).limit(k)`` + global row_number window was a ~k-row
@@ -395,8 +398,16 @@ def _seed_centroids(v: DataFrame, k: int) -> DataFrame:
 
     Returns (cluster_id int, centroid array<double>) with cluster ids
     0..k-1 in hash order (min(k, n) rows — degenerate corpora smaller
-    than k yield one centroid per vector, as before)."""
-    n = v.count()
+    than k yield one centroid per vector, as before).
+
+    ``n_total`` skips the sizing count when the caller already knows N
+    (semdedup_trained counted to derive k; ivf_train's bucketed mode
+    counts its checkpointed keyed corpus) — and callers with expensive
+    ``v`` lineages should hand in a materialized relation: the stage
+    scans ``v`` once for the modulus filter (plus the count when
+    n_total is None); everything after runs on the ~SEED_OVERSAMPLE·k
+    candidate checkpoint."""
+    n = int(n_total) if n_total is not None else v.count()
     mod = max(1, n // (SEED_OVERSAMPLE * k))
     cand = v.select("id", "vec", _seed_hkey(F.col("id")).alias("hkey"))
     if mod > 1:
@@ -577,6 +588,7 @@ def ivf_train(
     vec_col: str = "embedding",
     assign_bits: int | None = None,
     dim: int = 64,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Train an IVF coarse quantizer: mini k-means with deterministic
     seeding (the k hash-smallest vectors via :func:`_seed_centroids` —
@@ -599,7 +611,6 @@ def ivf_train(
     Returns a DataFrame (cluster_id int, centroid array<double>).
     """
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cents = _seed_centroids(v, k).localCheckpoint()
     vk = None
     if assign_bits is not None and iters > 0:
         # a vector's bucket key never changes across iterations —
@@ -610,6 +621,15 @@ def ivf_train(
         vk = v.select(
             "id", "vec", lsh_signature(F.col("vec"), planes).alias("bkey")
         ).localCheckpoint()
+    if vk is not None:
+        # seed from the checkpoint, not the raw lineage: the seed
+        # stage's scan (+ count when the caller didn't know N) then
+        # costs one pass over materialized rows instead of re-running
+        # an arbitrarily expensive upstream plan (self-review r7)
+        seed_src, seed_n = vk.select("id", "vec"), (n_total or vk.count())
+    else:
+        seed_src, seed_n = v, n_total
+    cents = _seed_centroids(seed_src, k, n_total=seed_n).localCheckpoint()
     for _ in range(iters):
         if assign_bits is None:
             assigned = _assign_clusters(v, cents, keep_vec=True)
@@ -1145,6 +1165,7 @@ def semdedup_trained(
     end-to-end (zero driver centroid values).  The centroids= /
     assign_bits= handoff on :func:`semdedup` remains the seam for any
     external assigner."""
+    n = None
     if k is None:
         n = vectors.count()
         k = max(1, -(-n // target_cluster))  # ceil(n / target_cluster)
@@ -1158,6 +1179,7 @@ def semdedup_trained(
         vec_col=vec_col,
         assign_bits=assign_bits,
         dim=dim,
+        n_total=n,  # the k-derivation count doubles as the seed sizing
     )
     return semdedup(
         vectors,

@@ -209,20 +209,12 @@ def hll_estimate(
         ).otherwise(e_harm)
     else:
         est = e_harm
-    guarded = F.when(
-        F.col("_max_ridx") >= F.lit(m),
-        F.raise_error(
-            F.concat(
-                F.lit("hll_estimate: sketch has ridx="),
-                F.col("_max_ridx").cast("string"),
-                F.lit(
-                    f" but the estimate was called with p={p} (m={m}) — "
-                    "build and estimate must share the same geometry "
-                    "parameters"
-                ),
-            )
-        ).cast("double"),
-    ).otherwise(quant(est, ndigits))
+    guarded = F.coalesce(
+        _geometry_guard(F.col("_max_ridx"), m, "hll_estimate").cast(
+            "double"
+        ),
+        quant(est, ndigits),
+    )
     return agg.select(*group_by, guarded.alias("approx_distinct"))
 
 
@@ -287,7 +279,13 @@ def _geometry_guard(value: Column, bound: int, what: str) -> Column:
     so validation costs ZERO extra jobs (ADVICE r6: the former eager
     agg(max) action recomputed uncached sketch lineages a second time,
     roughly doubling the operation the sketch exists to make cheap);
-    the mismatch now surfaces when the estimate is executed."""
+    the mismatch surfaces when the estimate is executed.  The flip side
+    of living in the plan: the guard is evaluated WITH the estimate
+    expression — a consumer that projects the estimate column away
+    reads no estimated values and skips validation with them (Catalyst
+    column pruning); the contract is that mismatches fail before any
+    estimated VALUE can be consumed, not that every degenerate
+    projection of the relation revalidates geometry."""
     return F.when(
         value >= F.lit(bound),
         F.raise_error(
@@ -431,14 +429,25 @@ def cms_heavy_hitters(
         )
     if sample_mod < 1:
         raise ValueError("cms_heavy_hitters: sample_mod must be >= 1")
+    from .dedup import md5_hash32
+
     n = int(n_total) if n_total is not None else df.count()
     need = math.ceil(threshold * n)
     if counters is None:
         counters = cms_build(df, cols, depth, width)
-    hkey = F.conv(
-        F.substring(F.md5(row_id.cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    cand = df.filter(hkey % sample_mod == 0).select(*cols).distinct()
+    # NULL-key rows mirror cms_build's exclusion: the sketch never
+    # counted them, so they must not become candidates either (a NULL
+    # key would otherwise inherit the empty-string key's counters
+    # through concat_ws's NULL collapse — self-review r7)
+    not_null = functools.reduce(
+        Column.__and__, (F.col(c).isNotNull() for c in cols)
+    )
+    hkey = md5_hash32(row_id.cast("string"))
+    cand = (
+        df.filter(not_null & (hkey % sample_mod == 0))
+        .select(*cols)
+        .distinct()
+    )
     est = cms_estimate(counters, cand, cols, depth, width)
     return est.filter(F.col("cms_count") >= F.lit(need))
 

@@ -131,6 +131,11 @@ def _reject_null_groups(
     localCheckpoint-ed, so validation and the subsequent write share
     one materialization."""
     agg = agg.localCheckpoint()
+    if not group_cols:
+        # a global (no-group) aggregate has no key columns to be NULL;
+        # init works as before (refresh would fail at merge-on-no-keys,
+        # which is that verb's own loud contract)
+        return agg
     nullish = functools.reduce(or_, (F.col(c).isNull() for c in group_cols))
     if agg.filter(nullish).limit(1).count():
         raise ValueError(

@@ -886,12 +886,13 @@ class TxTable:
         writer maintenance windows).
 
         Streaming-sink coupling: pruning old manifests prunes their
-        ``stream_append:<batch_id>`` ops, but the sink's idempotence
-        memory survives regardless — every commit carries the monotone
-        ``stream_floor`` (max committed batch id) forward, so whatever
-        manifest remains after a vacuum still rejects any replayed
-        batch_id <= floor, even for a brand-new sink instance replaying
-        a batch older than the retention window."""
+        ``stream_append:<app_id>:<batch_id>`` ops, but the sink's
+        idempotence memory survives regardless — every commit carries
+        the monotone per-app ``stream_floors`` map (max committed batch
+        id per logical stream) forward, so whatever manifest remains
+        after a vacuum still rejects any replayed batch_id <= the app's
+        floor, even for a brand-new sink instance replaying a batch
+        older than the retention window."""
         import time
 
         vs = self.versions()

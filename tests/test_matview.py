@@ -142,3 +142,13 @@ def test_null_group_rejected_at_init_and_refresh(spark, tmp_path):
     mvx.mv_init(mv3, sent, ["g"], {"sx": "x"})
     rows = {r.g: r.sx for r in mv3.snapshot().collect()}
     assert rows["<null>"] == 30
+
+
+def test_global_mv_init_without_group_cols_still_works(spark, tmp_path):
+    """A global (no group columns) aggregate has no keys to be NULL —
+    the NULL-group rejection must not break it (self-review r7:
+    reduce() over an empty iterable raised a bare TypeError)."""
+    mv = TxTable(spark, str(tmp_path / "mv"))
+    mvx.mv_init(mv, _df(spark, [(1, "a", 10), (2, "b", 20)]), [], {"sx": "x"})
+    row = mv.snapshot().collect()[0]
+    assert int(row.sx) == 30 and row.n_rows == 2

@@ -365,3 +365,17 @@ def test_cms_heavy_hitters_validates_parameters(spark):
         sk.cms_heavy_hitters(df, ["k"], F.col("rid"), 0.0)
     with pytest.raises(ValueError, match="sample_mod"):
         sk.cms_heavy_hitters(df, ["k"], F.col("rid"), 0.5, sample_mod=0)
+
+
+def test_cms_heavy_hitters_null_keys_never_become_candidates(spark):
+    """cms_build excludes NULL-key rows from the sketch; the candidate
+    pass must mirror that (self-review r7: a NULL candidate would
+    inherit the empty-string key's counters through concat_ws's NULL
+    collapse and surface as a spurious heavy hitter)."""
+    rows = [("", i) for i in range(50)] + [(None, i + 50) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, rid long")
+    out = sk.cms_heavy_hitters(
+        df, ["k"], F.col("rid"), 0.2, sample_mod=2, width=512
+    ).collect()
+    assert {r.k for r in out} == {""}  # '' is heavy; NULL never appears
+    assert all(r.k is not None for r in out)
