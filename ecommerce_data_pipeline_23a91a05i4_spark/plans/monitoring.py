@@ -772,6 +772,70 @@ def _cdc_docs_and_changes(spark: SparkSession, sf_dir: str):
     return corpus, changes
 
 
+def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FREQUENCY sketch with bounded state — the Count-Min
+    member of the streaming-sketch family (s8 proved the distinct-count
+    member): cms_build (operators/sketch.py) applied to the event
+    stream IS the stateful operator, a (d, w) COUNT aggregation whose
+    state can never exceed depth×width counter rows however many events
+    flow, where exact per-key streaming counts hold one state row per
+    distinct key forever.  Drained in complete mode, the final counters
+    are compared COUNTER-FOR-COUNTER to the batch sketch of the same
+    data (``stream_equals_batch`` — micro-batch splits must be
+    invisible, the counter-sum algebra's defining property), then the
+    ten most frequent users (deterministic count-desc/user-asc pick
+    both engines repeat) are estimated from the drained sketch;
+    ``no_undercount`` pins the published one-sided guarantee per key.
+    The oracle replays salted-md5 addressing → counters → min-lookup
+    from raw events exactly as t70 does."""
+    import os
+    import uuid
+
+    from ..operators import sketch as sk
+    from ..streaming import ingest as st
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = st.stream_events(spark, path)
+    counters = sk.cms_build(ev, ["user_id"], depth=4, width=256)
+    name = "s11_cms_" + uuid.uuid4().hex[:8]
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_cnt = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    batch = spark.read.parquet(path)
+    batch_cnt = sk.cms_build(batch, ["user_id"], depth=4, width=256)
+    same = (
+        stream_cnt.exceptAll(batch_cnt).count() == 0
+        and batch_cnt.exceptAll(stream_cnt).count() == 0
+    )
+    exact = (
+        batch.filter(F.col("user_id").isNotNull())  # mirror cms_build
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = sk.cms_estimate(
+        stream_cnt, top.select("user_id"), ["user_id"], depth=4, width=256
+    )
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cms_count").alias("cms_n"),
+            (F.col("cms_count") >= F.col("exact_n")).alias("no_undercount"),
+            F.lit(same).alias("stream_equals_batch"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply: a change FEED arrives as files and each
     micro-batch lands on the transactional table as ONE merge commit

@@ -1732,6 +1732,57 @@ MONITORING_ORACLES["s10_streaming_cdc_matview"] = """
 """
 
 
+# s11: the t70 CMS replay over events/user_id — the drained complete-
+# mode counter state must equal the batch sketch (stream_equals_batch
+# pinned TRUE; the Spark side computes the counter-for-counter
+# comparison for real), so one batch replay oracles the stream.
+def _s11_oracle() -> str:
+    depth, width = 4, 256
+
+    def addr(key_expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {width} "
+            "AS INT)"
+        )
+
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH keys AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM keys GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, exact_n FROM exact
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    ds(d) AS (VALUES {ds}),
+    counters AS (
+        SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT d, {addr('user_id')} AS w FROM keys CROSS JOIN ds)
+        GROUP BY d, w
+    ),
+    est AS (
+        SELECT l.user_id, l.exact_n, MIN(COALESCE(c.cnt, 0)) AS cms_n
+        FROM (SELECT t.user_id, t.exact_n, ds.d,
+                     {addr('t.user_id')} AS w
+              FROM top t CROSS JOIN ds) l
+        LEFT JOIN counters c ON l.d = c.d AND l.w = c.w
+        GROUP BY l.user_id, l.exact_n
+    )
+    SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+           cms_n >= exact_n AS no_undercount,
+           TRUE AS stream_equals_batch
+    FROM est ORDER BY user_id
+"""
+
+
+MONITORING_ORACLES["s11_streaming_cms_sketch"] = _s11_oracle()
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.

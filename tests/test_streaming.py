@@ -627,3 +627,36 @@ def test_streaming_sketch_state_is_register_bounded(spark):
     spark.catalog.dropTempView(name)
     assert state_rows <= 5 * 16, state_rows
     assert n_events > 5 * 16  # the bound is genuinely smaller than N
+
+
+def test_streaming_cms_state_is_counter_bounded(spark):
+    """The s11 claim, measured: streaming frequency via CMS counters
+    holds AT MOST depth × width state rows — here 4 × 64 = 256 —
+    however many events flow and whatever the key cardinality (exact
+    streaming per-key counts hold one state row per distinct key
+    forever; the raw stream is 1000+ rows)."""
+    import uuid
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        sketch as sk,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming import (
+        ingest as st,
+    )
+
+    ev = st.stream_events(spark, EVENTS)
+    counters = sk.cms_build(ev, ["user_id"], depth=4, width=64)
+    name = "s11_state_" + uuid.uuid4().hex[:8]
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = spark.read.parquet(EVENTS).count()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    spark.catalog.dropTempView(name)
+    assert state_rows <= 4 * 64, state_rows
+    assert n_events > 4 * 64  # the bound is genuinely smaller than N
