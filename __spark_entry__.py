@@ -76,19 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whose semdedup path retrains under the NEW scale-safe ivf_train
 # seeding this round (hash-sampled seeds + distributed rank instead of
 # the single-partition k-row window), so their outputs changed and
-# need fresh driver rows; (c) the four NEW round-7 gates (t70b
+# need fresh driver rows; (c) the five NEW round-7 gates (t70b
 # heavy-hitter enumeration, t73 z-ordered compaction, s10 CDC→matview,
-# s11 streaming CMS — zero driver rows); (d) the oldest round-5-green gates filling the
+# s11 streaming CMS, s12 streaming quantiles — zero driver rows); (d) the oldest round-5-green gates filling the
 # remaining slots.  (e) past the window: the r5-greens that didn't
-# fit or were displaced by (c) — t27, t28, q25, q27, q28-q30, q12-q16,
+# fit or were displaced by (c) — t25, t27, t28, q25, q27, q28-q30, q12-q16,
 # q18/q19/q22b, s1/s2, t7b/t8/t9, t12/t14/t15, t26/t29/t30, q1/q2,
 # t55 — wait for ROUND 8 (2 rounds stale by then), followed by
 # everything driver-checked in round 6.  Measured staleness after this
-# round's run: r7-green 50, r6-green 48, r5-green 29, nothing older.
-# ROUND-8 PLAN: window = those 29 r5-green gates first, then the
+# round's run: r7-green 50, r6-green 48, r5-green 30, nothing older.
+# ROUND-8 PLAN: window = those 30 r5-green gates first, then the
 # oldest r6-green gates (t56/t57/t54b/s2c/t58-t60/t62, then the
 # round-6 additions t57b..s9) to fill 50, leaving the 26 (c)-block
-# r6-greens (t31..t18) plus round 7's own 50 for ROUND 9.  With 127
+# r6-greens (t31..t18) plus round 7's own 50 for ROUND 9.  With 128
 # gates and a 50-slot window, full-registry freshness cycles every
 # ~2.5 rounds; the all-gate pytest twin (tests/test_oracle_parity.py)
 # runs every session regardless.
@@ -126,6 +126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t73_zordered_compaction": llmdata.t73_zordered_compaction,
         "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
         "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
+        "s12_streaming_hist_quantiles": monitoring.s12_streaming_hist_quantiles,
         # -- (d) oldest round-5-green gates ------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
@@ -146,9 +147,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
         "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
         "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
         # ---- driver window ends after the 50th entry above ------------
         # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "t25_frame_sample": corpus.t25_frame_sample,
         "t27_sequence_packing": corpus.t27_sequence_packing,
         "t28_shard_assignment": corpus.t28_shard_assignment,
         "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,

@@ -836,6 +836,84 @@ def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUANTILES with bounded state — the third member of
+    the streaming-sketch family (s8 distinct counts, s11 frequencies):
+    hist_build (operators/sketch.py) applied to the event stream IS the
+    stateful operator, a per-bin COUNT aggregation whose state can
+    never exceed ``bins`` rows however many events flow, where exact
+    streaming percentiles would have to buffer every value.  Drained in
+    complete mode, the final bin counts are compared BIN-FOR-BIN to the
+    batch histogram (``stream_equals_batch`` — the bin-sum algebra
+    makes micro-batch splits invisible), then p50/p90/p99 are estimated
+    by the deterministic first-bin-reaching-ceil(q·N) upper-edge rule;
+    ``within_bin`` pins the construction guarantee |est − exact order
+    statistic| ≤ one bin width, computed Spark-side against the true
+    ceil(q·N)-th smallest value.  The oracle replays binning,
+    cumulative counts, and the quantile rule from raw events exactly as
+    t71 does for orders."""
+    import math
+    import os
+    import uuid
+
+    from ..operators import sketch as sk
+    from ..streaming import ingest as st
+
+    lo, hi, bins = 0.0, 1000.0, 200
+    w = (hi - lo) / bins
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = st.stream_events(spark, path)
+    h = sk.hist_build(ev, "value", lo, hi, bins)
+    name = "s12_hist_" + uuid.uuid4().hex[:8]
+    q = (
+        h.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_hist = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    batch = spark.read.parquet(path)
+    batch_hist = sk.hist_build(batch, "value", lo, hi, bins)
+    same = (
+        stream_hist.exceptAll(batch_hist).count() == 0
+        and batch_hist.exceptAll(stream_hist).count() == 0
+    )
+    qs = [0.5, 0.9, 0.99]
+    est = sk.hist_quantile(stream_hist, qs, lo, hi, bins)
+    n = batch.count()
+    targets = {float(p): int(math.ceil(p * n)) for p in qs}
+    vx = F.col("value").cast("double")
+    ranked = batch.select(
+        vx.alias("v"),
+        F.row_number().over(Window.orderBy(vx, "event_id")).alias("rn"),
+    )
+    by_rn = {
+        r.rn: r.v
+        for r in ranked.filter(
+            F.col("rn").isin(list(targets.values()))
+        ).collect()
+    }
+    rows = [
+        (p, by_rn[rn]) for p, rn in sorted(targets.items())
+    ]
+    exact = spark.createDataFrame(rows, "q double, exact_v double")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est",
+            (F.abs(F.col("est") - F.col("exact_v")) <= F.lit(w)).alias(
+                "within_bin"
+            ),
+            F.lit(same).alias("stream_equals_batch"),
+        )
+        .orderBy("q")
+    )
+
+
 def s9_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply: a change FEED arrives as files and each
     micro-batch lands on the transactional table as ONE merge commit

@@ -1732,6 +1732,46 @@ MONITORING_ORACLES["s10_streaming_cdc_matview"] = """
 """
 
 
+# s12: the t71 histogram replay over events.value — the drained
+# complete-mode bin state must equal the batch histogram
+# (stream_equals_batch pinned TRUE; the Spark side computes the
+# bin-for-bin comparison for real), so one batch replay of binning +
+# the ceil(q·N) upper-edge rule oracles the stream.
+def _s12_oracle() -> str:
+    lo, hi, bins = 0.0, 1000.0, 200  # the gate's sketch spec
+    w = (hi - lo) / bins
+    return f"""
+    WITH vals AS (
+        SELECT CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT LEAST(GREATEST(CAST(floor((x - {lo!r}) / {w!r}) AS INT),
+                              0), {bins - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM h
+    ),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))),
+    est AS (
+        SELECT q, MIN(bin) AS qbin FROM qs CROSS JOIN c
+        WHERE cum >= ceil(q * CAST(total AS DOUBLE))
+        GROUP BY q
+    )
+    SELECT q, {SQL_QUANT(f"{lo!r} + (qbin + 1) * {w!r}", 4)} AS est,
+           TRUE AS within_bin, TRUE AS stream_equals_batch
+    FROM est ORDER BY q
+"""
+
+
+MONITORING_ORACLES["s12_streaming_hist_quantiles"] = _s12_oracle()
+
+
 # s11: the t70 CMS replay over events/user_id — the drained complete-
 # mode counter state must equal the batch sketch (stream_equals_batch
 # pinned TRUE; the Spark side computes the counter-for-counter

@@ -660,3 +660,34 @@ def test_streaming_cms_state_is_counter_bounded(spark):
     spark.catalog.dropTempView(name)
     assert state_rows <= 4 * 64, state_rows
     assert n_events > 4 * 64  # the bound is genuinely smaller than N
+
+
+def test_streaming_hist_state_is_bin_bounded(spark):
+    """The s12 claim, measured: streaming quantiles via the histogram
+    sketch hold AT MOST `bins` state rows (here 64) however many events
+    flow — exact streaming percentiles would buffer every value."""
+    import uuid
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        sketch as sk,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming import (
+        ingest as st,
+    )
+
+    ev = st.stream_events(spark, EVENTS)
+    h = sk.hist_build(ev, "value", 0.0, 1000.0, bins=64)
+    name = "s12_state_" + uuid.uuid4().hex[:8]
+    q = (
+        h.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = spark.read.parquet(EVENTS).count()
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    spark.catalog.dropTempView(name)
+    assert state_rows <= 64, state_rows
+    assert n_events > 64  # the bound is genuinely smaller than N
