@@ -626,7 +626,8 @@ def ivf_train(
         # stage's scan (+ count when the caller didn't know N) then
         # costs one pass over materialized rows instead of re-running
         # an arbitrarily expensive upstream plan (self-review r7)
-        seed_src, seed_n = vk.select("id", "vec"), (n_total or vk.count())
+        seed_src = vk.select("id", "vec")
+        seed_n = vk.count() if n_total is None else n_total
     else:
         seed_src, seed_n = v, n_total
     cents = _seed_centroids(seed_src, k, n_total=seed_n).localCheckpoint()

@@ -682,16 +682,9 @@ def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = st.stream_events(spark, path)
     regs = sk.hll_registers(ev, ["event_id"], ["event_type"], p=4, hash="md5")
     name = "s8_sketch_" + uuid.uuid4().hex[:8]
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    stream_regs = st.run_available_now(
+        regs, name, output_mode="complete", materialize=True
     )
-    q.awaitTermination()
-    stream_regs = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
     batch = spark.read.parquet(path)
     batch_regs = sk.hll_registers(
         batch, ["event_id"], ["event_type"], p=4, hash="md5"
@@ -798,16 +791,9 @@ def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = st.stream_events(spark, path)
     counters = sk.cms_build(ev, ["user_id"], depth=4, width=256)
     name = "s11_cms_" + uuid.uuid4().hex[:8]
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    stream_cnt = st.run_available_now(
+        counters, name, output_mode="complete", materialize=True
     )
-    q.awaitTermination()
-    stream_cnt = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
     batch = spark.read.parquet(path)
     batch_cnt = sk.cms_build(batch, ["user_id"], depth=4, width=256)
     same = (
@@ -849,9 +835,14 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the deterministic first-bin-reaching-ceil(q·N) upper-edge rule;
     ``within_bin`` pins the construction guarantee |est − exact order
     statistic| ≤ one bin width, computed Spark-side against the true
-    ceil(q·N)-th smallest value.  The oracle replays binning,
-    cumulative counts, and the quantile rule from raw events exactly as
-    t71 does for orders."""
+    ceil(q·N)-th smallest value.  Bounds come from a one-row min/max
+    scan of the same data (production would use domain bounds) so no
+    value ever clamps into an edge bin — clamping is exactly where the
+    within-bin guarantee stops holding, and a hardcoded range would
+    silently cross that line on a bigger fixture.  NULL values are
+    excluded end-to-end, mirroring hist_build.  The oracle replays
+    bounds, binning, cumulative counts, and the quantile rule from raw
+    events exactly as t71 does for orders."""
     import math
     import os
     import uuid
@@ -859,23 +850,20 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketch as sk
     from ..streaming import ingest as st
 
-    lo, hi, bins = 0.0, 1000.0, 200
-    w = (hi - lo) / bins
+    bins = 200
     path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    vx = F.col("value").cast("double")
+    vals = batch.filter(vx.isNotNull())
+    mn, mx = vals.agg(F.min(vx), F.max(vx)).first()
+    lo, hi = float(mn), max(float(mx), float(mn) + 1.0)
+    w = (hi - lo) / bins
     ev = st.stream_events(spark, path)
     h = sk.hist_build(ev, "value", lo, hi, bins)
     name = "s12_hist_" + uuid.uuid4().hex[:8]
-    q = (
-        h.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    stream_hist = st.run_available_now(
+        h, name, output_mode="complete", materialize=True
     )
-    q.awaitTermination()
-    stream_hist = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    batch = spark.read.parquet(path)
     batch_hist = sk.hist_build(batch, "value", lo, hi, bins)
     same = (
         stream_hist.exceptAll(batch_hist).count() == 0
@@ -883,10 +871,9 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = [0.5, 0.9, 0.99]
     est = sk.hist_quantile(stream_hist, qs, lo, hi, bins)
-    n = batch.count()
+    n = vals.count()
     targets = {float(p): int(math.ceil(p * n)) for p in qs}
-    vx = F.col("value").cast("double")
-    ranked = batch.select(
+    ranked = vals.select(
         vx.alias("v"),
         F.row_number().over(Window.orderBy(vx, "event_id")).alias("rn"),
     )

@@ -1736,20 +1736,30 @@ MONITORING_ORACLES["s10_streaming_cdc_matview"] = """
 # complete-mode bin state must equal the batch histogram
 # (stream_equals_batch pinned TRUE; the Spark side computes the
 # bin-for-bin comparison for real), so one batch replay of binning +
-# the ceil(q·N) upper-edge rule oracles the stream.
+# the ceil(q·N) upper-edge rule oracles the stream.  Bounds are
+# data-derived exactly as the gate derives them (lo = min, hi =
+# greatest(max, min + 1), w = (hi − lo)/bins): every step is one IEEE
+# double op in both engines, so lo/w match bit-for-bit.  All numeric
+# literals are CAST to DOUBLE — DuckDB bare literals are DECIMAL and
+# would change the arithmetic.
 def _s12_oracle() -> str:
-    lo, hi, bins = 0.0, 1000.0, 200  # the gate's sketch spec
-    w = (hi - lo) / bins
+    bins = 200  # the gate's sketch spec
     return f"""
     WITH vals AS (
         SELECT CAST(value AS DOUBLE) AS x
         FROM events WHERE value IS NOT NULL
     ),
+    spec AS (
+        SELECT lo, GREATEST(mx, lo + CAST(1.0 AS DOUBLE)) AS hi,
+               (GREATEST(mx, lo + CAST(1.0 AS DOUBLE)) - lo)
+                   / CAST({bins} AS DOUBLE) AS w
+        FROM (SELECT min(x) AS lo, max(x) AS mx FROM vals)
+    ),
     h AS (
-        SELECT LEAST(GREATEST(CAST(floor((x - {lo!r}) / {w!r}) AS INT),
+        SELECT LEAST(GREATEST(CAST(floor((x - lo) / w) AS INT),
                               0), {bins - 1}) AS bin,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM vals GROUP BY 1
+        FROM vals CROSS JOIN spec GROUP BY 1
     ),
     c AS (
         SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
@@ -1763,9 +1773,9 @@ def _s12_oracle() -> str:
         WHERE cum >= ceil(q * CAST(total AS DOUBLE))
         GROUP BY q
     )
-    SELECT q, {SQL_QUANT(f"{lo!r} + (qbin + 1) * {w!r}", 4)} AS est,
+    SELECT q, {SQL_QUANT("lo + (qbin + 1) * w", 4)} AS est,
            TRUE AS within_bin, TRUE AS stream_equals_batch
-    FROM est ORDER BY q
+    FROM est CROSS JOIN spec ORDER BY q
 """
 
 

@@ -464,7 +464,10 @@ def neardup_stream(
 
 
 def run_available_now(
-    stream_df: DataFrame, view_name: str, output_mode: str | None = None
+    stream_df: DataFrame,
+    view_name: str,
+    output_mode: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Drain the stream with trigger(availableNow) into a memory sink and
     return the materialized result — the test/bench harness for streaming
@@ -472,7 +475,10 @@ def run_available_now(
 
     Default mode is update (aggregations emit refined results per batch);
     stream-stream joins are append-only by Spark's rules — pass
-    output_mode="append" for those."""
+    output_mode="append" for those.  ``materialize=True`` additionally
+    localCheckpoints the drained rows and drops the temp view, so the
+    caller gets a self-contained relation that survives further queries
+    against the same view name (the s8/s11/s12 sketch-gate protocol)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -485,7 +491,11 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.table(view_name)
+    out = spark.table(view_name)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(view_name)
+    return out
 
 
 def stream_to_bronze(
