@@ -355,6 +355,11 @@ def embedding_neardup_pairs_lsh(
 
 ASSIGN_SEED = 29  # hyperplane seed for SRP-bucketed centroid assignment
 
+#: Above this estimated size the centroid-key relation is shuffle-hash
+#: built instead of broadcast (still never the corpus — see
+#: _assign_clusters_bucketed's build-side contract).
+_CB_BROADCAST_CAP = 64 << 20
+
 #: expected hash-sampled seed CANDIDATES per centroid (ivf_train's seed
 #: stage keeps ~SEED_OVERSAMPLE·k candidates before ranking them)
 SEED_OVERSAMPLE = 4
@@ -544,10 +549,26 @@ def _assign_clusters_bucketed(
         )
     )
     cb = _centroid_bucket_keys(cents, bits, seed, dim)
+    # The hit join's build side must NEVER be the corpus.  Catalyst
+    # picks it from size estimates, and checkpointed lineages can
+    # mis-estimate: measured at the 32x bench probe, one k-means
+    # update flipped the plan from BuildRight (broadcast the k·(bits+1)
+    # centroid keys, stream the corpus 32-way) to BuildLeft (broadcast
+    # the 64k-vector CORPUS and stream the 1-partition centroid
+    # checkpoint — the whole 1M-cosine join + window in ONE task,
+    # 2.3 s -> 22 s per pass).  The operator knows the small side by
+    # construction, so it declares it: broadcast the centroid keys
+    # while they plausibly fit an executor, shuffle-hash-build them
+    # beyond that (never a corpus broadcast either way).  cb is
+    # already materialized, so the count is a cheap checkpoint scan.
+    cand_bytes = cb.count() * (dim * 8 + 24)
+    cb_build = cb.hint(
+        "broadcast" if cand_bytes <= _CB_BROADCAST_CAP else "shuffle_hash"
+    )
     out_cols = ["id", "cluster_id", *(["vec"] if keep_vec else [])]
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster_id"))
     hit = (
-        vk.join(cb, "bkey")
+        vk.join(cb_build, "bkey")
         .select(
             "id",
             "cluster_id",
@@ -564,7 +585,10 @@ def _assign_clusters_bucketed(
     # centroids are data-sized (re-broadcasting them would reintroduce
     # the O(k) per-executor state this assigner exists to remove), while
     # the residual is the small side by contract
-    miss = vk.join(cb.select("bkey").distinct(), "bkey", "left_anti")
+    # same declared build side for the anti-join's key set
+    miss = vk.join(
+        cb_build.select("bkey").distinct(), "bkey", "left_anti"
+    )
     fb = (
         cents.crossJoin(F.broadcast(miss))
         .select(

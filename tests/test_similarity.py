@@ -547,3 +547,46 @@ def test_semdedup_incremental_witness_cap_bounds_degenerate_groups(spark):
         ).collect()
     }
     assert out_big == out_small == {1000: True, 1001: False}
+
+
+def test_bucketed_assignment_never_builds_on_the_corpus(
+    spark, monkeypatch
+):
+    """The hit join's build side is DECLARED, not left to stats:
+    Catalyst's size estimates for checkpointed lineages flipped the
+    plan to broadcasting the CORPUS at the 32x bench probe (the whole
+    1M-cosine join + window collapsed into one task, 2.3 s -> 22 s per
+    pass).  Under either regime — centroid keys small enough to
+    broadcast, or shuffle-hash built beyond _CB_BROADCAST_CAP — the
+    build side must be the centroid-key relation (BuildRight), never
+    the vectors."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.catalog import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cents = sim._seed_centroids(v, 8)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plan = plan_of(sim._assign_clusters_bucketed(v, cents, bits=3, dim=64))
+    assert re.search(r"BroadcastHashJoin .*BuildRight", plan), plan
+    assert "BuildLeft" not in plan, (
+        "corpus side chosen as build side:\n" + plan
+    )
+
+    monkeypatch.setattr(sim, "_CB_BROADCAST_CAP", 0)
+    plan = plan_of(sim._assign_clusters_bucketed(v, cents, bits=3, dim=64))
+    assert re.search(r"ShuffledHashJoin .*BuildRight", plan), plan
+    assert "BuildLeft" not in plan, (
+        "corpus side chosen as build side:\n" + plan
+    )
