@@ -460,6 +460,7 @@ def hist_build(
     lo: float,
     hi: float,
     bins: int = 128,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-width histogram sketch over ``[lo, hi]`` as (bin int,
     cnt long) — the one-pass, mergeable (bin-wise sum) alternative to
@@ -467,9 +468,15 @@ def hist_build(
     full-width percentile_approx state.  Out-of-range values clamp to
     the edge bins (they still count; their position error is the
     documented trade).  Bin arithmetic is floor division over doubles
-    — deterministic and SQL-replayable."""
+    — deterministic and SQL-replayable.
+
+    ``group_cols``: per-group histograms in the SAME scan — output
+    (group…, bin, cnt), state ≤ groups × bins rows.  Bin edges are
+    shared across groups (one global [lo, hi] spec), which is what
+    keeps per-group sketches mergeable into the global one."""
     if bins < 1 or hi <= lo:
         raise ValueError("hist_build: need bins >= 1 and hi > lo")
+    g = list(group_cols or [])
     w = (float(hi) - float(lo)) / float(bins)
     x = F.col(col).cast("double")
     # clamp BEFORE the int cast: a far outlier's raw index can exceed
@@ -482,16 +489,22 @@ def hist_build(
     ).cast("int")
     return (
         df.filter(x.isNotNull())
-        .select(bin_.alias("bin"))
-        .groupBy("bin")
+        .select(*g, bin_.alias("bin"))
+        .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
-def hist_merge(*sketches: DataFrame) -> DataFrame:
-    """Bin-wise sum — lossless histogram union."""
+def hist_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Bin-wise sum — lossless histogram union (per group when the
+    sketches carry group columns)."""
+    g = list(group_cols or [])
     u = functools.reduce(DataFrame.unionByName, sketches)
-    return u.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return u.groupBy(*g, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
 
 
 def hist_quantile(
@@ -501,6 +514,7 @@ def hist_quantile(
     hi: float,
     bins: int = 128,
     ndigits: int = 4,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from the histogram: (q double, est double).
     For each requested quantile the first bin whose cumulative count
@@ -508,17 +522,56 @@ def hist_quantile(
     deterministic rule (no within-bin interpolation, so the answer
     depends only on integer counts and literal edges, replayable in
     any engine).  Error ≤ one bin width by construction — pinned
-    against the exact percentile by test and gate."""
+    against the exact percentile by test and gate.
+
+    ``group_cols``: per-group quantiles from a grouped histogram —
+    output (group…, q, est), the rule applied within each group over
+    its own cumulative counts (a bounded ≤ bins-row window per group,
+    never a global sort).  The global form keeps its one-row
+    ``limit(1)`` shape (zero window state)."""
+    g = list(group_cols or [])
     w = (float(hi) - float(lo)) / float(bins)
+    if not g:
+        cum = hist.select(
+            "bin",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("cum"),
+            F.sum("cnt").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("total"),
+        )
+        qdf = None
+        for q in qs:
+            need = F.ceil(F.lit(float(q)) * F.col("total"))
+            hit = (
+                cum.filter(F.col("cum") >= need)
+                .orderBy("bin")
+                .limit(1)
+                .select(
+                    F.lit(float(q)).alias("q"),
+                    quant(
+                        F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w),
+                        ndigits,
+                    ).alias("est"),
+                )
+            )
+            qdf = hit if qdf is None else qdf.unionAll(hit)
+        return qdf
     cum = hist.select(
+        *g,
         "bin",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            Window.partitionBy(*g)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("cum"),
         F.sum("cnt").over(
-            Window.rowsBetween(
+            Window.partitionBy(*g).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("total"),
@@ -528,12 +581,13 @@ def hist_quantile(
         need = F.ceil(F.lit(float(q)) * F.col("total"))
         hit = (
             cum.filter(F.col("cum") >= need)
-            .orderBy("bin")
-            .limit(1)
+            .groupBy(*g)
+            .agg(F.min("bin").alias("qbin"))
             .select(
+                *g,
                 F.lit(float(q)).alias("q"),
                 quant(
-                    F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w),
+                    F.lit(float(lo)) + (F.col("qbin") + 1) * F.lit(w),
                     ndigits,
                 ).alias("est"),
             )

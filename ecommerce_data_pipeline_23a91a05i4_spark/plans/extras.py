@@ -682,3 +682,50 @@ def t71_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+def t74_grouped_hist_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-GROUP histogram quantiles in one scan (operators/sketch.
+    hist_build/hist_quantile with group_cols — t71's sketch lifted to
+    grouped form): p50/p90 of o_totalprice per o_orderstatus, state
+    ≤ groups × bins rows, the first-bin-reaching-ceil(q·N_g) upper-edge
+    rule applied within each group over a bounded ≤ bins-row window —
+    never a per-group sort.  At 100 TB this is the
+    "percentiles-by-dimension" query (latency per endpoint, price per
+    category, doc length per source) that exact percentile windows
+    cannot survive.  Bin edges are SHARED across groups (the same
+    [lo, hi] spec as t71), which is what makes per-group sketches
+    roll up: ``rollup_exact`` pins that bin-summing the grouped sketch
+    reproduces the global histogram counter-for-counter.  The oracle
+    replays per-group binning, cumulative counts, and the quantile
+    rule from raw orders."""
+    from ..operators import sketch as sk
+
+    lo, hi, bins = 0.0, 500000.0, 100
+    orders = table(spark, sf_dir, "orders")
+    gh = sk.hist_build(
+        orders, "o_totalprice", lo, hi, bins,
+        group_cols=["o_orderstatus"],
+    ).localCheckpoint(eager=True)
+    rolled = gh.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    glob = sk.hist_build(orders, "o_totalprice", lo, hi, bins)
+    same = (
+        rolled.exceptAll(glob).count() == 0
+        and glob.exceptAll(rolled).count() == 0
+    )
+    est = sk.hist_quantile(
+        gh, [0.5, 0.9], lo, hi, bins, group_cols=["o_orderstatus"]
+    )
+    return (
+        est.select(
+            "o_orderstatus",
+            "q",
+            "est",
+            F.lit(same).alias("rollup_exact"),
+        )
+        .orderBy("o_orderstatus", "q")
+    )

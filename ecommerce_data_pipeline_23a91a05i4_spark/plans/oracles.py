@@ -1634,6 +1634,49 @@ def _t71_oracle() -> str:
 EXTRAS_ORACLES["t71_hist_quantiles"] = _t71_oracle()
 
 
+# t74: the t71 histogram replay PER GROUP — same binning and
+# first-bin-reaching-ceil(q·N_g) upper-edge rule, cumulative counts
+# partitioned by o_orderstatus.  rollup_exact is pinned TRUE (the
+# Spark side computes the grouped-vs-global bin-sum comparison for
+# real; per-group counts summing to the global histogram is exact
+# integer algebra, so one grouped replay oracles both).
+def _t74_oracle() -> str:
+    lo, hi, bins = 0.0, 500000.0, 100  # the gate's sketch spec
+    w = (hi - lo) / bins
+    return f"""
+    WITH vals AS (
+        SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS x
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    h AS (
+        SELECT g,
+               LEAST(GREATEST(CAST(floor((x - {lo!r}) / {w!r}) AS INT),
+                              0), {bins - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT g, bin,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY g) AS total
+        FROM h
+    ),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+    est AS (
+        SELECT g, q, MIN(bin) AS qbin FROM qs CROSS JOIN c
+        WHERE cum >= ceil(q * CAST(total AS DOUBLE))
+        GROUP BY g, q
+    )
+    SELECT g AS o_orderstatus, q,
+           {SQL_QUANT(f"{lo!r} + (qbin + 1) * {w!r}", 4)} AS est,
+           TRUE AS rollup_exact
+    FROM est ORDER BY o_orderstatus, q
+"""
+
+
+EXTRAS_ORACLES["t74_grouped_hist_quantiles"] = _t74_oracle()
+
+
 # s9: the streamed CDC feed replayed relationally — because the feed's
 # files partition the keys (doc_id % 9 bands), micro-batch boundaries
 # are invisible to the final state, and one global latest-wins

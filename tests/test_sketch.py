@@ -379,3 +379,56 @@ def test_cms_heavy_hitters_null_keys_never_become_candidates(spark):
     ).collect()
     assert {r.k for r in out} == {""}  # '' is heavy; NULL never appears
     assert all(r.k is not None for r in out)
+
+
+def test_grouped_hist_quantile_within_bin_per_group(spark):
+    """The grouped rule's guarantee holds WITHIN each group: per
+    o_orderstatus, the estimate is within one bin width of that
+    group's exact percentile."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lo, hi, bins = 0.0, 500000.0, 100
+    w = (hi - lo) / bins
+    h = sk.hist_build(
+        orders, "o_totalprice", lo, hi, bins,
+        group_cols=["o_orderstatus"],
+    )
+    est = {
+        (r.o_orderstatus, r.q): r.est
+        for r in sk.hist_quantile(
+            h, [0.5, 0.9], lo, hi, bins, group_cols=["o_orderstatus"]
+        ).collect()
+    }
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("p")
+    ).collect()
+    assert len({g for g, _ in est}) >= 2  # the fixture has real groups
+    for row in exact:
+        for q, x in zip((0.5, 0.9), row.p):
+            e = est[(row.o_orderstatus, q)]
+            assert abs(e - x) <= w + 1e-9, (row.o_orderstatus, q, e, x)
+
+
+def test_grouped_hist_rolls_up_to_global(spark):
+    """Shared bin edges make per-group sketches mergeable: bin-summing
+    the grouped histogram reproduces the global one exactly, and
+    hist_merge with group_cols merges per group losslessly."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    gh = sk.hist_build(
+        orders, "o_totalprice", 0.0, 500000.0, 50,
+        group_cols=["o_orderstatus"],
+    )
+    rolled = gh.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    glob = sk.hist_build(orders, "o_totalprice", 0.0, 500000.0, 50)
+    assert rolled.exceptAll(glob).count() == 0
+    assert glob.exceptAll(rolled).count() == 0
+    halves = [
+        sk.hist_build(
+            orders.filter(F.col("o_orderkey") % 2 == i),
+            "o_totalprice", 0.0, 500000.0, 50,
+            group_cols=["o_orderstatus"],
+        )
+        for i in (0, 1)
+    ]
+    merged = sk.hist_merge(*halves, group_cols=["o_orderstatus"])
+    assert merged.exceptAll(gh).count() == 0
+    assert gh.exceptAll(merged).count() == 0
