@@ -201,3 +201,44 @@ def q34_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers).orderBy("user_id")
+
+
+def t75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences — the
+    sequence-data-prep primitive (next-event modeling corpora, funnel
+    discovery, session-shape features): one lag() per user ordered by
+    (ts, event_id), then (prev, next) counts and row-normalized
+    transition probabilities.
+
+    Scale shape: ONE shuffle — the window partitions by user_id (high
+    cardinality, so every executor gets work and no partition exceeds
+    a user's own history); the (prev, next) aggregate is map-side
+    combinable down to |types|² rows, and the per-prev normalizer is a
+    window over that tiny matrix, not the raw events.  The probability
+    is one cast-to-double then one IEEE division (cnt and total are
+    exact BIGINTs), so the oracle replays it bit-for-bit."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    trans = seq.groupBy("prev", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    tw = Window.partitionBy("prev")
+    from ..functions.exprs import quant
+
+    return (
+        trans.withColumn("total", F.sum("n_trans").over(tw))
+        .select(
+            F.col("prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "n_trans",
+            quant(
+                F.col("n_trans").cast("double") / F.col("total"), 6
+            ).alias("p_trans"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -2421,6 +2421,29 @@ BEHAVIORAL_ORACLES["q34_click_purchase_overlap"] = """
     ORDER BY user_id
 """
 
+# t75: per-user lag -> (prev, next) counts -> row-normalized transition
+# probabilities.  cnt/total are exact BIGINTs; one cast-to-double then
+# one IEEE division replays bit-for-bit.
+BEHAVIORAL_ORACLES["t75_event_transitions"] = f"""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev, event_type AS next,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev AS prev_type, next AS next_type, n_trans,
+           {SQL_QUANT(
+               "CAST(n_trans AS DOUBLE)"
+               " / SUM(n_trans) OVER (PARTITION BY prev)", 6)} AS p_trans
+    FROM t ORDER BY prev_type, next_type
+"""
+
 
 # ------------------------------------------------- corpus gates (t20-t22)
 

@@ -423,3 +423,35 @@ def test_dataset_split_is_stable_and_roughly_proportioned(spark):
     assert subset_assign == {
         k: v for k, v in all_assign.items() if k < 1000
     }
+
+
+def test_t75_transitions_planted_sequence(spark, tmp_path):
+    """A planted one-user sequence A,B,A,B,C pins the lag semantics and
+    row normalization: A->B twice (p=1.0), B->A and B->C once each
+    (p=0.5)."""
+    import datetime as dt
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import behavioral
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t, 1.0, "{}")
+        for i, t in enumerate(["A", "B", "A", "B", "C"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.prev_type, r.next_type): (r.n_trans, r.p_trans)
+        for r in behavioral.t75_event_transitions(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("A", "B"): (2, 1.0),
+        ("B", "A"): (1, 0.5),
+        ("B", "C"): (1, 0.5),
+    }
