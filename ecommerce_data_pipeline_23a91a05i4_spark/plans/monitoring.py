@@ -822,6 +822,92 @@ def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter ENUMERATION — the t70b composition fed by
+    the STREAM's drained state: cms_build on a planted-skew event
+    stream is the stateful operator (≤ depth×width counter rows
+    forever), and the candidate set + threshold pass
+    (operators/sketch.cms_heavy_hitters) runs over the DRAINED
+    counters — top keys over an unbounded stream without per-key
+    streaming state.  Skew is planted on the stream itself (stateless
+    explode: user_id % 10 == 0 events ×9), so hot users carry share
+    ≈ 5/U vs normal ≈ 0.56/U whatever the scale factor, and the
+    threshold 2/U sits cleanly between — SF-invariant by construction.
+    Drained counters are pinned counter-for-counter equal to the batch
+    sketch (``stream_equals_batch``); truly_heavy and
+    n_missed_true_heavies pin per-key agreement and the one-sided
+    no-false-negative guarantee exactly as t70b does.  The oracle
+    replays skew, sample, sketch, estimate, and the derived threshold
+    relationally."""
+    import os
+    import uuid
+
+    from ..operators import sketch as sk
+    from ..streaming import ingest as st
+
+    depth, width, mod = 4, 2048, 8
+    path = os.path.join(sf_dir, "events.parquet")
+    reps = F.when(
+        F.col("user_id") % 10 == 0, F.sequence(F.lit(0), F.lit(8))
+    ).otherwise(F.sequence(F.lit(0), F.lit(0)))
+
+    def skewed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id", "event_id", F.explode(reps).alias("rep")
+        )
+
+    ev = skewed(st.stream_events(spark, path))
+    counters = sk.cms_build(ev, ["user_id"], depth=depth, width=width)
+    name = "s13_cms_" + uuid.uuid4().hex[:8]
+    stream_cnt = st.run_available_now(
+        counters, name, output_mode="complete", materialize=True
+    )
+    batch = skewed(spark.read.parquet(path)).localCheckpoint(eager=True)
+    batch_cnt = sk.cms_build(batch, ["user_id"], depth=depth, width=width)
+    same = (
+        stream_cnt.exceptAll(batch_cnt).count() == 0
+        and batch_cnt.exceptAll(stream_cnt).count() == 0
+    )
+    n = batch.count()
+    n_users = batch.select("user_id").distinct().count()
+    threshold = 2.0 / n_users
+    import math
+
+    need = math.ceil(threshold * n)
+    hh = sk.cms_heavy_hitters(
+        batch,
+        ["user_id"],
+        F.concat_ws("\x1f", "event_id", "rep"),
+        threshold=threshold,
+        sample_mod=mod,
+        depth=depth,
+        width=width,
+        counters=stream_cnt,
+        n_total=n,
+    ).localCheckpoint(eager=True)
+    exact = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    true_heavies = exact.filter(F.col("exact_n") >= need)
+    n_true = true_heavies.count()
+    n_missed = true_heavies.join(
+        hh.select("user_id"), "user_id", "left_anti"
+    ).count()
+    return (
+        hh.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("cms_count").alias("cms_n"),
+            "exact_n",
+            (F.col("exact_n") >= F.lit(need)).alias("truly_heavy"),
+            F.lit(n_true).cast("long").alias("n_true_heavies"),
+            F.lit(n_missed).cast("long").alias("n_missed_true_heavies"),
+            F.lit(same).alias("stream_equals_batch"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming QUANTILES with bounded state — the third member of
     the streaming-sketch family (s8 distinct counts, s11 frequencies):

@@ -1876,6 +1876,81 @@ def _s11_oracle() -> str:
 MONITORING_ORACLES["s11_streaming_cms_sketch"] = _s11_oracle()
 
 
+# s13: the t70b heavy-hitter composition fed by the drained streaming
+# sketch — planted skew (user_id % 10 == 0 events ×9), md5-modulus row
+# sample → candidates, depth-salted counters, min-estimate, and the
+# SF-invariant derived bar ceil((2.0/U)·N) (hot share ≈ 5/U vs normal
+# ≈ 0.56/U).  stream_equals_batch is pinned TRUE (the Spark side
+# computes the counter comparison for real), so one batch replay
+# oracles the streaming composition end-to-end.
+def _s13_oracle() -> str:
+    depth, width, mod = 4, 2048, 8
+
+    def addr(key_expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {width} "
+            "AS INT)"
+        )
+
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH base AS (
+        SELECT user_id, event_id,
+               unnest(range(0, CASE WHEN user_id % 10 = 0
+                                    THEN 9 ELSE 1 END)) AS rep
+        FROM events
+    ),
+    needq AS (
+        SELECT CAST(ceil((CAST(2.0 AS DOUBLE)
+                          / (SELECT COUNT(DISTINCT user_id) FROM base))
+                         * CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS need
+        FROM base
+    ),
+    ds(d) AS (VALUES {ds}),
+    counters AS (
+        SELECT d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT d, {addr('user_id')} AS w FROM base CROSS JOIN ds)
+        GROUP BY d, w
+    ),
+    cand AS (
+        SELECT DISTINCT user_id FROM base
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || chr(31) ||
+                    CAST(rep AS VARCHAR)), 1, 8))::BIGINT % {mod} = 0
+    ),
+    est AS (
+        SELECT l.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_n
+        FROM (SELECT cand.user_id, ds.d, {addr('cand.user_id')} AS w
+              FROM cand CROSS JOIN ds) l
+        LEFT JOIN counters c ON l.d = c.d AND l.w = c.w
+        GROUP BY l.user_id
+    ),
+    hh AS (
+        SELECT user_id, cms_n FROM est
+        WHERE cms_n >= (SELECT need FROM needq)
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM base GROUP BY user_id
+    ),
+    th AS (
+        SELECT user_id FROM exact
+        WHERE exact_n >= (SELECT need FROM needq)
+    )
+    SELECT h.user_id, CAST(h.cms_n AS BIGINT) AS cms_n, e.exact_n,
+           e.exact_n >= (SELECT need FROM needq) AS truly_heavy,
+           CAST((SELECT COUNT(*) FROM th) AS BIGINT) AS n_true_heavies,
+           CAST((SELECT COUNT(*) FROM th
+                 WHERE user_id NOT IN (SELECT user_id FROM hh))
+                AS BIGINT) AS n_missed_true_heavies,
+           TRUE AS stream_equals_batch
+    FROM hh h JOIN exact e USING (user_id) ORDER BY user_id
+"""
+
+
+MONITORING_ORACLES["s13_streaming_heavy_hitters"] = _s13_oracle()
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.

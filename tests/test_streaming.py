@@ -691,3 +691,21 @@ def test_streaming_hist_state_is_bin_bounded(spark):
     spark.catalog.dropTempView(name)
     assert state_rows <= 64, state_rows
     assert n_events > 64  # the bound is genuinely smaller than N
+
+
+def test_streaming_heavy_hitters_finds_exactly_the_planted_users(spark):
+    """s13's planted skew makes the answer checkable in closed form:
+    the heavy set must be exactly the user_id % 10 == 0 users (share
+    ~5/U each vs ~0.56/U normal, bar at 2/U), none missed."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import monitoring
+
+    rows = monitoring.s13_streaming_heavy_hitters(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "planted skew must yield a nonempty heavy set"
+    assert {r.user_id for r in rows} == {
+        u for u in range(15) if u % 10 == 0
+    }
+    assert all(r.truly_heavy for r in rows)
+    assert all(r.n_missed_true_heavies == 0 for r in rows)
+    assert all(r.stream_equals_batch for r in rows)
