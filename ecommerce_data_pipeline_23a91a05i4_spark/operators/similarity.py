@@ -561,9 +561,18 @@ def _assign_clusters_bucketed(
     # while they plausibly fit an executor, shuffle-hash-build them
     # beyond that (never a corpus broadcast either way).  cb is
     # already materialized, so the count is a cheap checkpoint scan.
-    cand_bytes = cb.count() * (dim * 8 + 24)
+    n_cand = cb.count()
+    cand_bytes = n_cand * (dim * 8 + 24)
     cb_build = cb.hint(
         "broadcast" if cand_bytes <= _CB_BROADCAST_CAP else "shuffle_hash"
+    )
+    # the anti-join's build relation is keys-only (~16 B/row, no
+    # centroid vector), so it gets its own regime decision: at k large
+    # enough to push the full cb past the cap, the distinct-bkey set is
+    # still a few MB and broadcasting it avoids shuffling the corpus a
+    # second time (self-review r7)
+    anti_keys = cb.select("bkey").distinct().hint(
+        "broadcast" if n_cand * 16 <= _CB_BROADCAST_CAP else "shuffle_hash"
     )
     out_cols = ["id", "cluster_id", *(["vec"] if keep_vec else [])]
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster_id"))
@@ -585,10 +594,7 @@ def _assign_clusters_bucketed(
     # centroids are data-sized (re-broadcasting them would reintroduce
     # the O(k) per-executor state this assigner exists to remove), while
     # the residual is the small side by contract
-    # same declared build side for the anti-join's key set
-    miss = vk.join(
-        cb_build.select("bkey").distinct(), "bkey", "left_anti"
-    )
+    miss = vk.join(anti_keys, "bkey", "left_anti")
     fb = (
         cents.crossJoin(F.broadcast(miss))
         .select(

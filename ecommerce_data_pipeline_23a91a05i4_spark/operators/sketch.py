@@ -527,41 +527,12 @@ def hist_quantile(
     ``group_cols``: per-group quantiles from a grouped histogram —
     output (group…, q, est), the rule applied within each group over
     its own cumulative counts (a bounded ≤ bins-row window per group,
-    never a global sort).  The global form keeps its one-row
-    ``limit(1)`` shape (zero window state)."""
+    never a global sort).  The global form is the same code with an
+    empty partitioning — its windows span the one ≤ bins-row
+    histogram, so the single-partition exchange is bounded by
+    construction."""
     g = list(group_cols or [])
     w = (float(hi) - float(lo)) / float(bins)
-    if not g:
-        cum = hist.select(
-            "bin",
-            F.sum("cnt").over(
-                Window.orderBy("bin").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ).alias("cum"),
-            F.sum("cnt").over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("total"),
-        )
-        qdf = None
-        for q in qs:
-            need = F.ceil(F.lit(float(q)) * F.col("total"))
-            hit = (
-                cum.filter(F.col("cum") >= need)
-                .orderBy("bin")
-                .limit(1)
-                .select(
-                    F.lit(float(q)).alias("q"),
-                    quant(
-                        F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w),
-                        ndigits,
-                    ).alias("est"),
-                )
-            )
-            qdf = hit if qdf is None else qdf.unionAll(hit)
-        return qdf
     cum = hist.select(
         *g,
         "bin",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exprs import dsum, money_sum, r2, safe_pct
+from ..functions.exprs import dsum, money_sum, quant, r2, safe_pct
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 COHORT_GRAIN = "week"
@@ -228,8 +228,6 @@ def t75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_trans")
     )
     tw = Window.partitionBy("prev")
-    from ..functions.exprs import quant
-
     return (
         trans.withColumn("total", F.sum("n_trans").over(tw))
         .select(

@@ -709,9 +709,7 @@ def t74_grouped_hist_quantiles(
         orders, "o_totalprice", lo, hi, bins,
         group_cols=["o_orderstatus"],
     ).localCheckpoint(eager=True)
-    rolled = gh.groupBy("bin").agg(
-        F.sum("cnt").cast("long").alias("cnt")
-    )
+    rolled = sk.hist_merge(gh)  # no group_cols: grouped -> global
     glob = sk.hist_build(orders, "o_totalprice", lo, hi, bins)
     same = (
         rolled.exceptAll(glob).count() == 0

@@ -869,7 +869,11 @@ def s13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         and batch_cnt.exceptAll(stream_cnt).count() == 0
     )
     n = batch.count()
-    n_users = batch.select("user_id").distinct().count()
+    # count_distinct excludes NULL keys, matching the oracle's
+    # COUNT(DISTINCT) and cms_build's NULL exclusion (self-review r7:
+    # distinct().count() would count a NULL user as a user and shift
+    # the derived bar)
+    n_users = batch.agg(F.count_distinct("user_id")).first()[0]
     threshold = 2.0 / n_users
     import math
 
@@ -941,7 +945,12 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.parquet(path)
     vx = F.col("value").cast("double")
     vals = batch.filter(vx.isNotNull())
-    mn, mx = vals.agg(F.min(vx), F.max(vx)).first()
+    mn, mx, n = vals.agg(F.min(vx), F.max(vx), F.count(F.lit(1))).first()
+    if mn is None:
+        raise ValueError(
+            "s12_streaming_hist_quantiles: events.value has no non-NULL "
+            "values — cannot derive histogram bounds"
+        )
     lo, hi = float(mn), max(float(mx), float(mn) + 1.0)
     w = (hi - lo) / bins
     ev = st.stream_events(spark, path)
@@ -957,7 +966,6 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = [0.5, 0.9, 0.99]
     est = sk.hist_quantile(stream_hist, qs, lo, hi, bins)
-    n = vals.count()
     targets = {float(p): int(math.ceil(p * n)) for p in qs}
     ranked = vals.select(
         vx.alias("v"),

@@ -417,7 +417,7 @@ def test_grouped_hist_rolls_up_to_global(spark):
         orders, "o_totalprice", 0.0, 500000.0, 50,
         group_cols=["o_orderstatus"],
     )
-    rolled = gh.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    rolled = sk.hist_merge(gh)  # no group_cols: grouped -> global
     glob = sk.hist_build(orders, "o_totalprice", 0.0, 500000.0, 50)
     assert rolled.exceptAll(glob).count() == 0
     assert glob.exceptAll(rolled).count() == 0
