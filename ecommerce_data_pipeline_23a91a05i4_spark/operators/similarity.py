@@ -566,13 +566,15 @@ def _assign_clusters_bucketed(
     cb_build = cb.hint(
         "broadcast" if cand_bytes <= _CB_BROADCAST_CAP else "shuffle_hash"
     )
-    # the anti-join's build relation is keys-only (~16 B/row, no
-    # centroid vector), so it gets its own regime decision: at k large
-    # enough to push the full cb past the cap, the distinct-bkey set is
-    # still a few MB and broadcasting it avoids shuffling the corpus a
-    # second time (self-review r7)
+    # the anti-join's build relation is keys-only (no centroid vector),
+    # so it gets its own regime decision: at k large enough to push the
+    # full cb past the cap, the distinct-bkey set is still small and
+    # broadcasting it avoids shuffling the corpus a second time.  64
+    # B/row budgets the broadcast HASH-RELATION overhead (UnsafeRow +
+    # map slots), which dominates for key-only rows where the 8-byte
+    # payload is noise (self-review r7, both passes)
     anti_keys = cb.select("bkey").distinct().hint(
-        "broadcast" if n_cand * 16 <= _CB_BROADCAST_CAP else "shuffle_hash"
+        "broadcast" if n_cand * 64 <= _CB_BROADCAST_CAP else "shuffle_hash"
     )
     out_cols = ["id", "cluster_id", *(["vec"] if keep_vec else [])]
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster_id"))

@@ -554,6 +554,10 @@ def hist_quantile(
             cum.filter(F.col("cum") >= need)
             .groupBy(*g)
             .agg(F.min("bin").alias("qbin"))
+            # zero-key groupBy over an EMPTY relation emits one all-NULL
+            # row; drop it so an empty histogram yields an empty result
+            # (the ungrouped contract before the paths were unified)
+            .filter(F.col("qbin").isNotNull())
             .select(
                 *g,
                 F.lit(float(q)).alias("q"),

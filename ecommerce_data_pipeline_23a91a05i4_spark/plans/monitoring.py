@@ -868,12 +868,18 @@ def s13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_cnt.exceptAll(batch_cnt).count() == 0
         and batch_cnt.exceptAll(stream_cnt).count() == 0
     )
-    n = batch.count()
-    # count_distinct excludes NULL keys, matching the oracle's
-    # COUNT(DISTINCT) and cms_build's NULL exclusion (self-review r7:
-    # distinct().count() would count a NULL user as a user and shift
-    # the derived bar)
-    n_users = batch.agg(F.count_distinct("user_id")).first()[0]
+    # one aggregate for both scalars; count_distinct excludes NULL
+    # keys, matching the oracle's COUNT(DISTINCT) and cms_build's NULL
+    # exclusion (self-review r7: distinct().count() would count a NULL
+    # user as a user and shift the derived bar)
+    n, n_users = batch.agg(
+        F.count(F.lit(1)), F.count_distinct("user_id")
+    ).first()
+    if n_users == 0:
+        raise ValueError(
+            "s13_streaming_heavy_hitters: events.user_id has no "
+            "non-NULL values — cannot derive the heavy-hitter bar"
+        )
     threshold = 2.0 / n_users
     import math
 
