@@ -822,6 +822,62 @@ def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s14_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT deduplication with watermark-bounded state —
+    dropDuplicatesWithinWatermark, the operator that makes exact
+    streaming dedup survivable at scale: plain dropDuplicates holds one
+    state row per key FOREVER (the state blow-up that kills at-least-
+    once ingestion pipelines), while the watermark variant expires keys
+    once they age past the delay, so state is bounded by the duplicate
+    horizon, not the stream's lifetime.  Duplicates are planted
+    statelessly on the stream itself (event_id % 7 == 0 rows emitted
+    twice — the exact at-least-once shape file/Kafka replays produce),
+    arrive within the same micro-batch (inside any watermark), and must
+    be removed; the drained result is pinned row-for-row equal to the
+    raw batch (``stream_equals_batch``), and the returned per-type
+    (count, exact BIGINT id-sum) aggregate is replayed by the oracle
+    from raw events — planted duplicates must be invisible end-to-end."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = st.stream_events(spark, path)
+    copies = F.when(
+        F.col("event_id") % 7 == 0, F.array(F.lit(0), F.lit(1))
+    ).otherwise(F.array(F.lit(0)))
+    dup = ev.withColumn("_copy", F.explode(copies)).drop("_copy")
+    dedup = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "s14_dedup_" + uuid.uuid4().hex[:8]
+    got = st.run_available_now(
+        dedup, name, output_mode="append", materialize=True
+    )
+    batch = spark.read.parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    same = (
+        got.exceptAll(batch).count() == 0
+        and batch.exceptAll(got).count() == 0
+    )
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_event_id",
+            F.lit(same).alias("stream_equals_batch"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def s13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy-hitter ENUMERATION — the t70b composition fed by
     the STREAM's drained state: cms_build on a planted-skew event

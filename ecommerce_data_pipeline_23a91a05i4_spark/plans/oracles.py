@@ -1951,6 +1951,21 @@ def _s13_oracle() -> str:
 MONITORING_ORACLES["s13_streaming_heavy_hitters"] = _s13_oracle()
 
 
+# s14: streaming exact dedup — planted at-least-once duplicates
+# (event_id % 7 rows twice) must be invisible after
+# dropDuplicatesWithinWatermark, so the drained stream equals the RAW
+# batch (stream_equals_batch pinned TRUE; the Spark side computes the
+# row-for-row comparison for real) and one raw-events aggregate oracles
+# it.  Counts and the id-sum are exact BIGINTs.
+MONITORING_ORACLES["s14_streaming_exact_dedup"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           TRUE AS stream_equals_batch
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # s8: identical estimator, events stream — the register state a drained
 # complete-mode stream leaves behind must equal the batch sketch, so
 # one batch replay oracles both.

@@ -709,3 +709,83 @@ def test_streaming_heavy_hitters_finds_exactly_the_planted_users(spark):
     assert all(r.truly_heavy for r in rows)
     assert all(r.n_missed_true_heavies == 0 for r in rows)
     assert all(r.stream_equals_batch for r in rows)
+
+
+def test_streaming_dedup_state_is_watermark_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract, pinned across batches:
+    a duplicate arriving while the original is inside the watermark
+    horizon is removed; once the watermark passes original-ts + delay,
+    the key's state is evicted and a later replay is re-admitted.
+    That expiry IS the scale story — plain dropDuplicates holds every
+    key forever."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.streaming import (
+        ingest as st,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        p = str(d / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # A: id 1 at t0 (plus an in-batch exact duplicate -> dropped).
+    # B: id 2 one day later advances the watermark far past t0 + 1h.
+    # C: one more batch — probed on Spark 4.1, state eviction happens
+    #    at the END of the batch in which the watermark first exceeds
+    #    an entry's expiry, so id 1's entry is purged after C runs.
+    # D: replay id 1 three days later -> re-admitted (state gone).
+    write_file(
+        "a.parquet",
+        [(1, base, 7, "view", 1.0, "{}"),
+         (1, base, 7, "view", 1.0, "{}")],
+        1_000,
+    )
+    write_file(
+        "b.parquet",
+        [(2, base + dt.timedelta(days=1), 7, "click", 2.0, "{}")],
+        2_000,
+    )
+    write_file(
+        "c.parquet",
+        [(3, base + dt.timedelta(days=2), 7, "view", 3.0, "{}")],
+        3_000,
+    )
+    write_file(
+        "d.parquet",
+        [(1, base + dt.timedelta(days=3), 7, "view", 1.0, "{}")],
+        4_000,
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(d / "a.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "s14_bound_" + uuid.uuid4().hex[:8]
+    got = st.run_available_now(
+        dedup, name, output_mode="append", materialize=True
+    ).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.event_id, []).append(r.ts)
+    assert len(by_id[2]) == 1 and len(by_id[3]) == 1
+    # id 1: original + the post-eviction replay, NOT the in-batch dup
+    assert sorted(by_id[1]) == [base, base + dt.timedelta(days=3)]
