@@ -621,6 +621,7 @@ def ivf_train(
     assign_bits: int | None = None,
     dim: int = 64,
     n_total: int | None = None,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Train an IVF coarse quantizer: mini k-means with deterministic
     seeding (the k hash-smallest vectors via :func:`_seed_centroids` —
@@ -640,9 +641,29 @@ def ivf_train(
     k-grows-with-N SemDeDup regime, where exact assignment would make
     every training pass O(N·k).
 
+    ``train_mod``: train on the deterministic md5-modulus SAMPLE of the
+    corpus (hkey % train_mod == 0 — the t16/t57b sampling discipline)
+    instead of every vector.  Sampled k-means is the standard practice
+    at scale: every training pass (assignment + the N·dim posexplode
+    mean update) costs O(N/train_mod) instead of O(N), while centroid
+    QUALITY degrades only with sample-per-cluster, not with N — callers
+    assign the FULL corpus against the trained centroids afterwards
+    regardless.  Seeds come from the same sample (seed sizing reflects
+    the sample, not n_total), everything stays deterministic and
+    SQL-replayable, and an empty sample fails loudly instead of
+    training zero centroids.
+
     Returns a DataFrame (cluster_id int, centroid array<double>).
     """
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if train_mod is not None and int(train_mod) > 1:
+        v = v.filter(_seed_hkey(F.col("id")) % int(train_mod) == 0)
+        n_total = None  # seed sizing must reflect the sample
+        if v.limit(1).count() == 0:
+            raise ValueError(
+                f"ivf_train: train_mod={train_mod} sampled an empty "
+                "training set — lower it or train unsampled"
+            )
     vk = None
     if assign_bits is not None and iters > 0:
         # a vector's bucket key never changes across iterations —
@@ -1174,6 +1195,7 @@ def semdedup_trained(
     threshold: float = 0.999,
     dim: int = 64,
     assign_bits: int | None = None,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """The production SemDeDup path: train k-means centroids with
     :func:`ivf_train` — k derived from the corpus size when not given,
@@ -1213,6 +1235,7 @@ def semdedup_trained(
         assign_bits=assign_bits,
         dim=dim,
         n_total=n,  # the k-derivation count doubles as the seed sizing
+        train_mod=train_mod,  # sampled training; full-corpus assignment
     )
     return semdedup(
         vectors,

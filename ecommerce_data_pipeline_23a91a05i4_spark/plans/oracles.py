@@ -2779,6 +2779,7 @@ def _semdedup_trained_oracle(
     corpus_where: str = "",
     delta_where: str | None = None,
     emit_pairs: bool = False,
+    train_mod: int | None = None,
 ) -> str:
     """DuckDB twin of operators/similarity.semdedup_trained: unrolls the
     ivf_train k-means loop (hash-sampled seeds ranked by (md5, id) —
@@ -2852,18 +2853,30 @@ def _semdedup_trained_oracle(
             f"{cos_sql} DESC, c.cid ASC"
         )
 
+    # the TRAINING relation: the corpus, or its md5-modulus sample when
+    # train_mod is set (ivf_train(train_mod=) — sampled k-means; the
+    # final assignment below still runs over every vector)
+    tr = "vt" if train_mod is not None and train_mod > 1 else "vc"
     ctes = [
         "v AS (SELECT vec_id, embedding, "
         f"sqrt({_dot('embedding', 'embedding')}) AS nrm, "
         f"{akey_expr('embedding')} AS akey FROM embeddings)",
         f"vc AS (SELECT * FROM v {corpus_where})",
+    ]
+    if tr == "vt":
+        ctes.append(
+            "vt AS (SELECT * FROM vc WHERE "
+            "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT "
+            f"% {train_mod} = 0)"
+        )
+    ctes += [
         # seeds (operators/similarity._seed_centroids): hash-sample
         # candidates by the t16 md5 modulus (mod = max(1, n //
         # (SEED_OVERSAMPLE·k)), full-corpus fallback when the sample is
         # short of k), then the k (hkey, id)-smallest candidates get
         # cluster ids 0..k-1 in hash order
         "sdh AS (SELECT *, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), "
-        "1, 8))::BIGINT AS hkey FROM vc)",
+        f"1, 8))::BIGINT AS hkey FROM {tr})",
         f"sdm AS (SELECT GREATEST(1, COUNT(*) // {SEED_OVERSAMPLE * k}) "
         "AS m FROM sdh)",
         "sdc AS (SELECT * FROM sdh WHERE hkey % (SELECT m FROM sdm) = 0)",
@@ -2882,7 +2895,7 @@ def _semdedup_trained_oracle(
             f"a{r} AS (SELECT vec_id, cid AS cluster_id FROM ("
             f"SELECT vc.vec_id, c.cid, ROW_NUMBER() OVER ("
             f"PARTITION BY vc.vec_id ORDER BY {asg_order(asg_cos)}"
-            f") AS rn FROM vc CROSS JOIN {prev} c) WHERE rn = 1)"
+            f") AS rn FROM {tr} vc CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         # multiple unnests in one SELECT zip positionally (both lists
         # have length dim), giving (dim index, component) rows
@@ -2892,7 +2905,7 @@ def _semdedup_trained_oracle(
             f"FROM (SELECT a.cluster_id, "
             f"unnest(range(1, {dim + 1})) AS dim, "
             f"unnest(vc.embedding) AS val "
-            f"FROM a{r} a JOIN vc USING (vec_id)) "
+            f"FROM a{r} a JOIN {tr} vc USING (vec_id)) "
             "GROUP BY cluster_id, dim)"
         )
         ctes.append(
@@ -3042,6 +3055,34 @@ def _t44_oracle() -> str:
 
 
 LLMDATA_ORACLES["t44_semdedup"] = _t44_oracle()
+
+
+def _t44b_oracle() -> str:
+    from ..operators.similarity import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_SUB_BITS,
+        SEMDEDUP_SUB_SEED,
+    )
+    from .llmdata import (
+        NEARDUP_COSINE,
+        SEMDEDUP_GATE_K,
+        SEMDEDUP_GATE_MAX_CLUSTER,
+        SEMDEDUP_GATE_TRAIN_MOD,
+    )
+
+    return _semdedup_trained_oracle(
+        k=SEMDEDUP_GATE_K,
+        iters=SEMDEDUP_ITERS,
+        max_cluster=SEMDEDUP_GATE_MAX_CLUSTER,
+        sub_bits=SEMDEDUP_SUB_BITS,
+        sub_seed=SEMDEDUP_SUB_SEED,
+        dim=64,
+        threshold=NEARDUP_COSINE,
+        train_mod=SEMDEDUP_GATE_TRAIN_MOD,
+    )
+
+
+LLMDATA_ORACLES["t44b_semdedup_sampled_training"] = _t44b_oracle()
 
 
 def _t61_oracle() -> str:

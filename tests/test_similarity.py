@@ -590,3 +590,35 @@ def test_bucketed_assignment_never_builds_on_the_corpus(
     assert "BuildLeft" not in plan, (
         "corpus side chosen as build side:\n" + plan
     )
+
+
+def test_ivf_train_sampled_training(spark):
+    """train_mod semantics: the sample is training-only (full corpus
+    still assignable downstream), a no-op modulus changes nothing, and
+    an empty sample fails loudly instead of training zero centroids."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {
+        (r.cluster_id, tuple(r.centroid))
+        for r in sim.ivf_train(emb, k=8, iters=1).collect()
+    }
+    noop = {
+        (r.cluster_id, tuple(r.centroid))
+        for r in sim.ivf_train(emb, k=8, iters=1, train_mod=1).collect()
+    }
+    assert noop == full
+    sampled = sim.ivf_train(emb, k=8, iters=1, train_mod=4)
+    cents = sampled.collect()
+    assert len(cents) == 8  # the ~125-vector sample still seeds k=8
+    # trained centroids differ from full-corpus training (the sample is real)
+    assert {(r.cluster_id, tuple(r.centroid)) for r in cents} != full
+    # the full corpus assigns cleanly against sampled-trained centroids
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    assigned = sim._assign_clusters_bucketed(
+        v, sampled, sim.assign_bits_for(8)
+    )
+    assert assigned.count() == emb.count()
+    with pytest.raises(ValueError, match="empty training set"):
+        sim.ivf_train(emb, k=8, iters=1, train_mod=10_000_000)
