@@ -135,6 +135,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
         "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
         "t44b_semdedup_sampled_training": llmdata.t44b_semdedup_sampled_training,
+        "q35_market_basket": relational.q35_market_basket,
         # -- (d) oldest round-5-green gates ------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
@@ -149,9 +150,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         # ---- driver window ends after the 50th entry above ------------
         # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
         "t21_neardup_clusters": corpus.t21_neardup_clusters,
         "t22_balanced_language_sample": corpus.t22_balanced_language_sample,

@@ -2303,6 +2303,50 @@ RELATIONAL_ORACLES["q28_nation_balance_outliers"] = f"""
     ORDER BY nation, custkey
 """
 
+# q35: capped-basket co-occurrence with association-rule metrics —
+# deterministic per-order item cap, exact BIGINT counts, each metric one
+# cast-to-double IEEE division (the gate constants BASKET_CAP /
+# MIN_PAIR_COUNT are imported so spec drift fails loudly at import).
+def _q35_oracle() -> str:
+    from .relational import BASKET_CAP, MIN_PAIR_COUNT
+
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    b AS (
+        SELECT l_orderkey, l_partkey FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+            FROM li)
+        WHERE rn <= {BASKET_CAP}
+    ),
+    no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM b GROUP BY 1
+    ),
+    p AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+    )
+    SELECT part_a, part_b, n_pair,
+           {SQL_QUANT("CAST(n_pair AS DOUBLE)"
+                      " / (SELECT CAST(n AS DOUBLE) FROM no)", 6)} AS support,
+           {SQL_QUANT("CAST(n_pair AS DOUBLE) / na.n_item", 6)} AS confidence,
+           {SQL_QUANT("CAST(n_pair * (SELECT n FROM no) AS DOUBLE)"
+                      " / (na.n_item * nb.n_item)", 6)} AS lift
+    FROM p
+    JOIN item na ON p.part_a = na.l_partkey
+    JOIN item nb ON p.part_b = nb.l_partkey
+    ORDER BY n_pair DESC, part_a, part_b
+"""
+
+
+RELATIONAL_ORACLES["q35_market_basket"] = _q35_oracle()
+
+
 RELATIONAL_ORACLES["q29_lineitem_moment_stats"] = f"""
     WITH agg AS (
         SELECT l_returnflag,

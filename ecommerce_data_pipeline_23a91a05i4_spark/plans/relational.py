@@ -235,3 +235,82 @@ def q29_lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(std_qty, 6).alias("stddev_qty"),
         quant(corr, 6).alias("corr_qty_price"),
     ).orderBy("returnflag")
+
+
+# q35's association-rule knobs — gate-pinned so the oracle replays them.
+BASKET_CAP = 16    # deterministic per-order item cap (hot-basket guard)
+MIN_PAIR_COUNT = 2  # noise floor for emitted pairs
+
+
+def q35_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with association-rule metrics —
+    support, confidence(a→b), and lift per frequently-co-bought part
+    pair.  The classic retail operator the reference's analytics stop
+    short of, and the shape that generalizes to token/domain
+    co-occurrence in corpus work.
+
+    Scale shape: the pair stage is a self-equi-join on l_orderkey, so
+    its cost is Σ basket_size² — bounded by the deterministic
+    BASKET_CAP (items ranked by part key within the order; degenerate
+    mega-baskets contribute at most CAP² pairs instead of blowing up
+    quadratically), never a cross join.  Counts are exact BIGINTs
+    aggregated map-side; each metric is integer arithmetic then ONE
+    cast-to-double IEEE division (quantized), so the oracle replays
+    every value bit-for-bit.  n_orders is one scalar count action."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    b = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BASKET_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # reused by pairs + both margins
+    )
+    n_orders = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_COUNT)
+    )
+    na = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            quant(
+                F.col("n_pair").cast("double") / F.lit(float(n_orders)), 6
+            ).alias("support"),
+            quant(
+                F.col("n_pair").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            quant(
+                (F.col("n_pair") * F.lit(n_orders)).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "part_a", "part_b")
+    )

@@ -455,3 +455,37 @@ def test_t75_transitions_planted_sequence(spark, tmp_path):
         ("B", "A"): (1, 0.5),
         ("B", "C"): (1, 0.5),
     }
+
+
+def test_q35_market_basket_cap_and_metrics(spark, tmp_path):
+    """Planted baskets pin the association metrics and the hot-basket
+    cap: orders {1,2},{1,2},{1,3} give exactly one surviving pair
+    (1,2) with support 2/n, confidence 2/3, lift n·2/(3·2); two
+    identical 20-item mega-baskets co-occur on every pair, but items
+    ranked past BASKET_CAP are cut, so their tail pairs never reach
+    MIN_PAIR_COUNT."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import relational
+
+    rows = (
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)]
+        + [(o, p) for o in (4, 5) for p in range(100, 120)]
+    )
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r.part_a, r.part_b): r
+        for r in relational.q35_market_basket(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    n_orders = 5
+    r = out[(1, 2)]
+    assert r.n_pair == 2
+    assert abs(r.support - 2 / n_orders) < 1e-6
+    assert abs(r.confidence - 2 / 3) < 1e-6  # 6-digit quantized
+    assert abs(r.lift - (2 * n_orders) / (3 * 2)) < 1e-6
+    # capped: parts 100..115 survive in both mega-baskets (pairs at 2);
+    # parts 116..119 are ranked past BASKET_CAP and cut
+    assert (100, 101) in out and out[(100, 101)].n_pair == 2
+    assert not any(a >= 116 or b >= 116 for a, b in out)
