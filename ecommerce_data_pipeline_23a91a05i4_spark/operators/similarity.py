@@ -658,8 +658,10 @@ def ivf_train(
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if train_mod is not None and int(train_mod) > 1:
         v = v.filter(_seed_hkey(F.col("id")) % int(train_mod) == 0)
-        n_total = None  # seed sizing must reflect the sample
-        if v.limit(1).count() == 0:
+        # ONE count serves the empty guard AND the seed sizing (the
+        # caller's n_total described the full corpus, not the sample)
+        n_total = v.count()
+        if n_total == 0:
             raise ValueError(
                 f"ivf_train: train_mod={train_mod} sampled an empty "
                 "training set — lower it or train unsampled"

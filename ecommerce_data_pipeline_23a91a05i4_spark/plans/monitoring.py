@@ -689,10 +689,7 @@ def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_regs = sk.hll_registers(
         batch, ["event_id"], ["event_type"], p=4, hash="md5"
     )
-    same = (
-        stream_regs.exceptAll(batch_regs).count() == 0
-        and batch_regs.exceptAll(stream_regs).count() == 0
-    )
+    same = st.stream_equals_batch(stream_regs, batch_regs)
     est = sk.hll_estimate(stream_regs, ["event_type"], p=4)
     exact = batch.groupBy("event_type").agg(
         F.count_distinct("event_id").cast("long").alias("n_exact")
@@ -796,10 +793,7 @@ def s11_streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = spark.read.parquet(path)
     batch_cnt = sk.cms_build(batch, ["user_id"], depth=4, width=256)
-    same = (
-        stream_cnt.exceptAll(batch_cnt).count() == 0
-        and batch_cnt.exceptAll(stream_cnt).count() == 0
-    )
+    same = st.stream_equals_batch(stream_cnt, batch_cnt)
     exact = (
         batch.filter(F.col("user_id").isNotNull())  # mirror cms_build
         .groupBy("user_id")
@@ -848,7 +842,13 @@ def s14_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 7 == 0, F.array(F.lit(0), F.lit(1))
     ).otherwise(F.array(F.lit(0)))
     dup = ev.withColumn("_copy", F.explode(copies)).drop("_copy")
-    dedup = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+    # the delay deliberately exceeds any fixture's ts span: the gate
+    # pins DEDUP correctness, and a shorter horizon would silently
+    # drop out-of-order rows as late if the source ever split the
+    # drain into multiple batches (self-review r7) — the bounded-state
+    # EXPIRY semantics are pinned by the dedicated four-batch unit
+    # test, where the horizon is the subject
+    dedup = dup.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     name = "s14_dedup_" + uuid.uuid4().hex[:8]
@@ -858,10 +858,7 @@ def s14_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.parquet(path).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    same = (
-        got.exceptAll(batch).count() == 0
-        and batch.exceptAll(got).count() == 0
-    )
+    same = st.stream_equals_batch(got, batch)
     return (
         got.groupBy("event_type")
         .agg(
@@ -920,10 +917,7 @@ def s13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = skewed(spark.read.parquet(path)).localCheckpoint(eager=True)
     batch_cnt = sk.cms_build(batch, ["user_id"], depth=depth, width=width)
-    same = (
-        stream_cnt.exceptAll(batch_cnt).count() == 0
-        and batch_cnt.exceptAll(stream_cnt).count() == 0
-    )
+    same = st.stream_equals_batch(stream_cnt, batch_cnt)
     # one aggregate for both scalars; count_distinct excludes NULL
     # keys, matching the oracle's COUNT(DISTINCT) and cms_build's NULL
     # exclusion (self-review r7: distinct().count() would count a NULL
@@ -1022,10 +1016,7 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         h, name, output_mode="complete", materialize=True
     )
     batch_hist = sk.hist_build(batch, "value", lo, hi, bins)
-    same = (
-        stream_hist.exceptAll(batch_hist).count() == 0
-        and batch_hist.exceptAll(stream_hist).count() == 0
-    )
+    same = st.stream_equals_batch(stream_hist, batch_hist)
     qs = [0.5, 0.9, 0.99]
     est = sk.hist_quantile(stream_hist, qs, lo, hi, bins)
     targets = {float(p): int(math.ceil(p * n)) for p in qs}

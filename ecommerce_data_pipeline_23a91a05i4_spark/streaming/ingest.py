@@ -498,6 +498,16 @@ def run_available_now(
     return out
 
 
+def stream_equals_batch(stream_result: DataFrame, batch_result: DataFrame) -> bool:
+    """Row-multiset equality between a drained stream and its batch
+    twin — the shared pin of the s8/s11/s12/s13/s14 gate family (the
+    stream's final state must make micro-batch splits invisible)."""
+    return (
+        stream_result.exceptAll(batch_result).count() == 0
+        and batch_result.exceptAll(stream_result).count() == 0
+    )
+
+
 def stream_to_bronze(
     events: DataFrame,
     dst_dir: str,
