@@ -76,23 +76,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # whose semdedup path retrains under the NEW scale-safe ivf_train
 # seeding this round (hash-sampled seeds + distributed rank instead of
 # the single-partition k-row window), so their outputs changed and
-# need fresh driver rows; (c) the ELEVEN new round-7 gates (t70b
+# need fresh driver rows; (c) the TWELVE new round-7 gates (t70b
 # heavy-hitter enumeration, t73 z-ordered compaction, s10 CDC→matview,
 # s11 streaming CMS, s12 streaming quantiles, t74 grouped quantiles,
 # t75 event transitions, s13 streaming heavy hitters, s14 streaming
-# exact dedup, t44b sampled-training semdedup, q35 market basket —
-# zero driver rows); (d) the oldest round-5-green gates filling the
-# remaining slots.  (e) past the window: the r5-greens that didn't fit
-# or were displaced by (c) — q34, t20-t25, t27, t28, q25, q27, q28-
-# q30, q12-q16, q18/q19/q22b, s1/s2, t7b/t8/t9, t12/t14/t15, t26/t29/
-# t30, q1/q2, t55 — wait for ROUND 8 (2 rounds stale by then),
-# followed by everything driver-checked in round 6.  Measured
-# staleness after this round's run: r7-green 50, r6-green 48,
-# r5-green 36, nothing older.
-# ROUND-8 PLAN: window = those 36 r5-green gates first, then the
+# exact dedup, t44b sampled-training semdedup, q35 market basket,
+# t77 shallow clone — zero driver rows); (d) the oldest round-5-green
+# gates filling the remaining slots.  (e) past the window: the
+# r5-greens that didn't fit or were displaced by (c) — q33, q34,
+# t20-t25, t27, t28, q25, q27, q28-q30, q12-q16, q18/q19/q22b, s1/s2,
+# t7b/t8/t9, t12/t14/t15, t26/t29/t30, q1/q2, t55 — wait for ROUND 8
+# (2 rounds stale by then), followed by everything driver-checked in
+# round 6.  Measured staleness after this round's run: r7-green 50,
+# r6-green 48, r5-green 37, nothing older.
+# ROUND-8 PLAN: window = those 37 r5-green gates first, then the
 # oldest r6-green gates (t56/t57/t54b/s2c/t58-t60/t62, then the
 # round-6 additions t57b onward) to fill 50, leaving the remaining
-# r6-greens plus round 7's own 50 for ROUND 9.  With 134 gates and a
+# r6-greens plus round 7's own 50 for ROUND 9.  With 135 gates and a
 # 50-slot window, full-registry freshness cycles every ~2.7 rounds;
 # the all-gate pytest twin (tests/test_oracle_parity.py) runs every
 # session regardless.
@@ -137,6 +137,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
         "t44b_semdedup_sampled_training": llmdata.t44b_semdedup_sampled_training,
         "q35_market_basket": relational.q35_market_basket,
+        "t77_shallow_clone": llmdata.t77_shallow_clone,
         # -- (d) oldest round-5-green gates ------------------------------
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
@@ -150,9 +151,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
-        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         # ---- driver window ends after the 50th entry above ------------
         # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
         "t21_neardup_clusters": corpus.t21_neardup_clusters,

@@ -3129,6 +3129,37 @@ def _t44b_oracle() -> str:
 LLMDATA_ORACLES["t44b_semdedup_sampled_training"] = _t44b_oracle()
 
 
+# t77: shallow clone — the source's final state IS the raw corpus
+# (never written after init); the clone's is corpus minus the % 7 band
+# plus the derived % 3 batch.  The metadata pins (clone v1 references
+# only, source version still 1) are computed for real on the Spark
+# side and replayed as constants.
+LLMDATA_ORACLES["t77_shallow_clone"] = """
+    WITH src AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+    ),
+    cl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM (
+            SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 FROM documents WHERE doc_id % 3 = 0
+        )
+    )
+    SELECT 'clone' AS tbl, n_rows, sum_doc_id,
+           TRUE AS clone_is_metadata_only, TRUE AS src_undisturbed
+    FROM cl
+    UNION ALL
+    SELECT 'src' AS tbl, n_rows, sum_doc_id,
+           TRUE AS clone_is_metadata_only, TRUE AS src_undisturbed
+    FROM src
+    ORDER BY tbl
+"""
+
+
 def _t61_oracle() -> str:
     from ..operators.similarity import (
         SEMDEDUP_ITERS,

@@ -157,6 +157,15 @@ class TxTable:
             self.fs.read_text(posixpath.join(self._log, _manifest_name(version)))
         )
 
+    def _abs(self, e: dict) -> str:
+        """A manifest entry's absolute data path.  Entries carry paths
+        relative to their OWNING table's root; shallow-clone entries
+        (clone_shallow) additionally record that root as ``base``, so a
+        clone reads the source's bytes in place while every path-less
+        operation (vacuum, staging) stays scoped to this table's own
+        directory."""
+        return posixpath.join(e.get("base") or self.path, e["path"])
+
     def history(self) -> list[dict]:
         return [
             {
@@ -270,7 +279,7 @@ class TxTable:
                 out_schema = out_schema.add("_tx_file", "string")
             return self.spark.createDataFrame([], out_schema)
         if pcol is None:
-            paths = [posixpath.join(self.path, e["path"]) for e in entries]
+            paths = [self._abs(e) for e in entries]
             out = self.spark.read.schema(schema).parquet(*paths)
             if _with_file:
                 out = out.withColumn("_tx_file", F.input_file_name())
@@ -279,9 +288,7 @@ class TxTable:
         data_schema = StructType([f for f in schema.fields if f.name != pcol])
         by_val: dict[str | None, list[str]] = {}
         for e in entries:
-            by_val.setdefault(e["part"], []).append(
-                posixpath.join(self.path, e["path"])
-            )
+            by_val.setdefault(e["part"], []).append(self._abs(e))
         parts = []
         # None sorts first (a NULL partition; also files staged
         # unpartitioned before a concurrent layout change)
@@ -572,7 +579,7 @@ class TxTable:
         missing = [
             e["path"]
             for e in src["files"]
-            if not self.fs.exists(posixpath.join(self.path, e["path"]))
+            if not self.fs.exists(self._abs(e))
         ]
         if missing:
             raise FileNotFoundError(
@@ -595,6 +602,51 @@ class TxTable:
         raise CommitConflict(
             f"restore on {self.path} lost {max_retries} commit races"
         )
+
+    def clone_shallow(
+        self, dst_path: str, version: int | None = None
+    ) -> "TxTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        a NEW table at ``dst_path`` whose first manifest references this
+        table's data files IN PLACE — zero bytes copied, O(manifest)
+        cost whatever the table size.  The clone then evolves
+        independently: appends/deletes/merges stage CLONE-OWNED files
+        and carry the remaining references; the source never sees any
+        of it.  This is how a 100 TB production table becomes a dev/
+        test/experiment copy in milliseconds.
+
+        Each cloned entry records the source root as ``base`` (kept
+        verbatim when cloning a clone — references always point at the
+        table that OWNS the bytes).  Ownership is the safety contract:
+        vacuum only ever scans its own table root, so the clone's
+        vacuum can never destroy source data and vice versa.  The flip
+        side is the caveat Delta documents too: vacuuming the SOURCE
+        can delete files the clone still references — size the source's
+        retention to its clones, and clone from a version the source
+        will retain.
+
+        Time travel, data skipping (entries keep their stats), DELETE /
+        MERGE / CDC, ADD COLUMN, compact, and restore all work on the
+        clone unchanged."""
+        dst = TxTable(
+            self.spark, dst_path, stats_col=self.stats_cols or None
+        )
+        if dst.latest_version() is not None:
+            raise FileExistsError(
+                f"clone_shallow: table already initialized: {dst_path}"
+            )
+        m = self.manifest(version)
+        entries = [
+            {**e, "base": e.get("base") or self.path} for e in m["files"]
+        ]
+        dst._commit(
+            entries,
+            f"clone:{self.path}@{m['version']}",
+            None,
+            StructType.fromJson(json.loads(m["schema"])),
+            m.get("partition_by"),
+        )
+        return dst
 
     def compact(
         self, n_files: int, zorder_by: list[str] | None = None
@@ -904,6 +956,11 @@ class TxTable:
         live: dict[str, set[str]] = {}
         for v in keep:
             for e in self.manifest(v)["files"]:
+                if e.get("base"):
+                    # shallow-clone reference: the file lives under the
+                    # SOURCE table's root, which this vacuum never scans
+                    # — ownership is the safety contract (clone_shallow)
+                    continue
                 _, cdir, rel = e["path"].split("/", 2)
                 live.setdefault(cdir, set()).add(rel)
         removed = []
@@ -1050,7 +1107,7 @@ def scd2_merge_tx(
         carry = [e for e in m["files"] if e["part"] not in affected_parts]
         if hit:
             current = table.spark.read.schema(data_schema).parquet(
-                *[posixpath.join(table.path, e["path"]) for e in hit]
+                *[table._abs(e) for e in hit]
             )
         else:  # all-new buckets: merge against an empty current slice
             current = table.spark.createDataFrame([], data_schema)

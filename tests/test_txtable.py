@@ -872,3 +872,57 @@ def test_zordered_compact_improves_conjunctive_pruning(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned"):
         p.compact(4, zorder_by=["a", "b"])
+
+
+def test_clone_shallow_is_metadata_only_and_reads_the_source(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.init(spark.range(10).selectExpr("id AS k", "id * 2 AS v"))
+    clone = src.clone_shallow(str(tmp_path / "dst"))
+    assert {(r.k, r.v) for r in clone.snapshot().collect()} == {
+        (i, 2 * i) for i in range(10)
+    }
+    assert clone.manifest()["op"].startswith("clone:")
+    # zero bytes copied: the clone's own data dir holds nothing
+    import os
+
+    dst_data = tmp_path / "dst" / "data"
+    assert not dst_data.exists() or not any(
+        files for _, _, files in os.walk(dst_data)
+    )
+    with pytest.raises(FileExistsError):
+        src.clone_shallow(str(tmp_path / "dst"))
+
+
+def test_clone_shallow_diverges_independently(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.init(spark.range(10).selectExpr("id AS k", "id * 2 AS v"))
+    clone = src.clone_shallow(str(tmp_path / "dst"))
+    clone.append(spark.createDataFrame([(100, 200)], "k long, v long"))
+    clone.delete(F.col("k") % 2 == 0)  # rewrites hit files CLONE-owned
+    src.append(spark.createDataFrame([(50, 99)], "k long, v long"))
+    assert {r.k for r in src.snapshot().collect()} == set(range(10)) | {50}
+    assert {r.k for r in clone.snapshot().collect()} == {1, 3, 5, 7, 9}
+    # the clone still time-travels to the cloned state
+    assert {r.k for r in clone.snapshot(version=1).collect()} == set(range(10))
+
+
+def test_clone_vacuum_never_touches_source_bytes(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.init(spark.range(10).selectExpr("id AS k", "id * 2 AS v"))
+    clone = src.clone_shallow(str(tmp_path / "dst"))
+    clone.delete(F.col("k") < 9)  # drops the references, stages own files
+    removed = clone.vacuum(keep_versions=1, min_age_seconds=0.0)
+    # nothing removed outside the clone's root, and the source is intact
+    assert all(str(tmp_path / "dst") in p for p in removed)
+    assert src.snapshot().count() == 10
+    assert {r.k for r in clone.snapshot().collect()} == {9}
+
+
+def test_clone_of_clone_references_the_owning_table(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.init(spark.range(5).selectExpr("id AS k", "id AS v"))
+    c1 = src.clone_shallow(str(tmp_path / "c1"))
+    c2 = c1.clone_shallow(str(tmp_path / "c2"))
+    bases = {e["base"] for e in c2.manifest()["files"]}
+    assert bases == {src.path}  # never a chain through c1
+    assert c2.snapshot().count() == 5
