@@ -69,90 +69,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-7 ordering (executing round
-# 6's plan exactly): (a) the 23 gates last driver-checked in ROUND 4 —
-# t19, t1-t7, q17, q20-q24, q11, q7-q10, q3-q6 (eight of the ten
-# headline analytics queries among them) — go first; (b) t44/t61/s7,
-# whose semdedup path retrains under the NEW scale-safe ivf_train
-# seeding this round (hash-sampled seeds + distributed rank instead of
-# the single-partition k-row window), so their outputs changed and
-# need fresh driver rows; (c) the TWELVE new round-7 gates (t70b
-# heavy-hitter enumeration, t73 z-ordered compaction, s10 CDC→matview,
-# s11 streaming CMS, s12 streaming quantiles, t74 grouped quantiles,
-# t75 event transitions, s13 streaming heavy hitters, s14 streaming
-# exact dedup, t44b sampled-training semdedup, q35 market basket,
-# t77 shallow clone — zero driver rows); (d) the oldest round-5-green
-# gates filling the remaining slots.  (e) past the window: the
-# r5-greens that didn't fit or were displaced by (c) — q33, q34,
-# t20-t25, t27, t28, q25, q27, q28-q30, q12-q16, q18/q19/q22b, s1/s2,
-# t7b/t8/t9, t12/t14/t15, t26/t29/t30, q1/q2, t55 — wait for ROUND 8
-# (2 rounds stale by then), followed by everything driver-checked in
-# round 6.  Measured staleness after this round's run: r7-green 50,
-# r6-green 48, r5-green 37, nothing older.
-# ROUND-8 PLAN: window = those 37 r5-green gates first, then the
-# oldest r6-green gates (t56/t57/t54b/s2c/t58-t60/t62, then the
-# round-6 additions t57b onward) to fill 50, leaving the remaining
-# r6-greens plus round 7's own 50 for ROUND 9.  With 135 gates and a
-# 50-slot window, full-registry freshness cycles every ~2.7 rounds;
-# the all-gate pytest twin (tests/test_oracle_parity.py) runs every
-# session regardless.
+# driver evidence must come first.  Round-8 ordering (executing round
+# 7's plan exactly): (a) the 37 gates last driver-checked in ROUND 5 —
+# q33/q34, t20-t25/t27/t28, q25/q27-q30, q12-q16, q18/q19/q22b, s1/s2,
+# t7b/t8/t9, t12/t14/t15, t26/t29/t30, q1/q2 (the two headline
+# reference-parity queries), t55 — go first; (b) the THIRTEEN oldest
+# round-6-green gates (t56, t57, t54b, s2c, t58-t60, t62, t57b, t62b,
+# t63, t64, t65) fill the window to 50.  New round-8 gates (zero
+# driver evidence) are inserted at the window head as they land,
+# displacing the newest (b) entries below the marker.  (c) past the
+# window: the remaining r6-greens (t66 onward) are next in line for
+# ROUND 9, followed by (d) round 7's own 50.
+# ROUND-9 PLAN: window = any round-8 gates that missed this window,
+# then the 35 remaining r6-green gates (t66...t18), then the oldest
+# r7-greens (t19, t1-t7, q17, q20-q24, q11) to fill 50.  With 135+
+# gates and a 50-slot window, full-registry freshness cycles every
+# ~2.7 rounds; the all-gate pytest twin (tests/test_oracle_parity.py)
+# runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) round-4-stale gates: fresh driver rows required --------
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
-        # -- (b) retrained under the new ivf_train seeding ---------------
-        "t44_semdedup": llmdata.t44_semdedup,
-        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
-        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
-        # -- (c) new round-7 gates (zero driver rows) --------------------
-        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
-        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
-        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
-        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
-        "s12_streaming_hist_quantiles": monitoring.s12_streaming_hist_quantiles,
-        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
-        "t75_event_transitions": behavioral.t75_event_transitions,
-        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
-        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
-        "t44b_semdedup_sampled_training": llmdata.t44b_semdedup_sampled_training,
-        "q35_market_basket": relational.q35_market_basket,
-        "t77_shallow_clone": llmdata.t77_shallow_clone,
-        # -- (d) oldest round-5-green gates ------------------------------
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
-        "t34_decontamination": llmdata.t34_decontamination,
-        "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        "t36_temperature_mix": corpus.t36_temperature_mix,
-        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
-        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (e) r5-greens that didn't fit — ROUND-8 window head ---------
+        # -- (a) r5-green gates, 3 rounds driver-stale: window head ----
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
@@ -190,7 +125,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
         "t55_txtable_delete": llmdata.t55_txtable_delete,
-        # -- (f) driver-green in round 6 ---------------------------------
+        # -- (b) oldest r6-green gates filling the window ----------------
         "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
         "t57_bpe_batched": llmdata.t57_bpe_batched,
         "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
@@ -204,6 +139,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,
         "t65_quantized_knn": llmdata.t65_quantized_knn,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (c) remaining r6-greens: next in line for ROUND 9 -----------
         "t66_txtable_cdc_merge": llmdata.t66_txtable_cdc_merge,
         "t67_hll_distinct": extras.t67_hll_distinct,
         "t68_incremental_matview": llmdata.t68_incremental_matview,
@@ -239,6 +176,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
+        # -- (d) driver-green in round 7 ---------------------------------
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        "t44_semdedup": llmdata.t44_semdedup,
+        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
+        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
+        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
+        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
+        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
+        "s12_streaming_hist_quantiles": monitoring.s12_streaming_hist_quantiles,
+        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
+        "t75_event_transitions": behavioral.t75_event_transitions,
+        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
+        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
+        "t44b_semdedup_sampled_training": llmdata.t44b_semdedup_sampled_training,
+        "q35_market_basket": relational.q35_market_basket,
+        "t77_shallow_clone": llmdata.t77_shallow_clone,
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
+        "t36_temperature_mix": corpus.t36_temperature_mix,
+        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
+        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
+        "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
 }
 
 
