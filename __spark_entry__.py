@@ -87,7 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ~2.7 rounds; the all-gate pytest twin (tests/test_oracle_parity.py)
 # runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (a) r5-green gates, 3 rounds driver-stale: window head ----
+        # -- (0) new round-8 gates: zero driver evidence, head of window -
+        "t78_column_mapping": llmdata.t78_column_mapping,
+        "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
+        # -- (a) r5-green gates, 3 rounds driver-stale ------------------
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
         "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
@@ -137,9 +140,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
+        # ---- driver window ends after the 50th entry above ------------
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,
         "t65_quantized_knn": llmdata.t65_quantized_knn,
-        # ---- driver window ends after the 50th entry above ------------
         # -- (c) remaining r6-greens: next in line for ROUND 9 -----------
         "t66_txtable_cdc_merge": llmdata.t66_txtable_cdc_merge,
         "t67_hll_distinct": extras.t67_hll_distinct,

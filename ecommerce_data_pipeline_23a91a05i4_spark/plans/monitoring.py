@@ -659,6 +659,100 @@ def s6_streaming_txtable_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def s15_streaming_sink_autocompact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingestion WITH auto-compaction (sources/txtable.
+    TxTableStreamSink(small_file_limit=...) — VERDICT r7 ask #4: s6
+    proves exactly-once appends, t73 proves compact(); this gate
+    proves their COMPOSITION, the production shape — per-micro-batch
+    commits are the canonical small-file generator, and an unbounded
+    manifest is the classic failure mode of transactional tables
+    under streaming ingest).  The corpus is split into six source
+    files streamed one file per micro-batch (availableNow honors
+    maxFilesPerTrigger), so the sink interleaves compact commits with
+    batch appends whenever the manifest reaches 3 entries.  Pins:
+    ``compaction_ran`` (>= 1 compact op committed mid-stream),
+    ``files_below_no_compaction`` (final file count strictly under an
+    identically-driven twin table with compaction off),
+    ``replay_noop`` (a fresh sink instance replaying batch 0 AFTER
+    compaction commits nothing — the stream floor survives compaction
+    because every commit carries it forward).  The per-source stats
+    come from the final compacted table; the oracle recomputes them
+    from raw documents, so the driver proves compaction neither lost
+    nor duplicated a single row."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.txtable import TxTable, TxTableStreamSink
+
+    base = tempfile.mkdtemp(prefix=f"s15_{_uuid.uuid4().hex[:8]}_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        src_dir = base + "/src"
+        docs.repartition(6).write.parquet(src_dir)
+
+        def drain(table_dir: str, ckpt: str, **sink_kw) -> TxTable:
+            t = TxTable(spark, table_dir)
+            t.init(spark.createDataFrame([], docs.schema))
+            sink = TxTableStreamSink(t, app_id="ingest", **sink_kw)
+            q = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return t
+
+        t = drain(
+            base + "/docs",
+            base + "/ckpt",
+            small_file_limit=3,
+            compact_target_files=1,
+        )
+        twin = drain(base + "/docs_nc", base + "/ckpt_nc")
+        ops = [h["op"] for h in t.history()]
+        compaction_ran = any(o == "compact" for o in ops)
+        fewer_files = len(t.manifest()["files"]) < len(
+            twin.manifest()["files"]
+        )
+        # replay batch 0 through a FRESH sink instance: only the
+        # stream floor (carried through every compact commit) can
+        # suppress it now
+        v_before = t.latest_version()
+        TxTableStreamSink(t, app_id="ingest")(docs.limit(5), 0)
+        replay_noop = t.latest_version() == v_before
+        rows = (
+            t.snapshot()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("n_chars"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "source string, n_docs long, n_chars long",
+        ).select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.lit(compaction_ran).alias("compaction_ran"),
+            F.lit(fewer_files).alias("files_below_no_compaction"),
+            F.lit(replay_noop).alias("replay_noop"),
+        ).orderBy("source")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def s8_streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming COUNT(DISTINCT) with bounded state: hll_registers
     (operators/sketch.py) applied to a file stream IS the stateful

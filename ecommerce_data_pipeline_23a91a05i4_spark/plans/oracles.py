@@ -3699,6 +3699,40 @@ LLMDATA_ORACLES["t72_schema_evolution"] = """
     FROM final GROUP BY lang ORDER BY lang
 """
 
+# t78: the column-mapped table's final state rebuilt relationally —
+# even doc_ids (the init batch, written before the re-add of text_len
+# as a string) carry NULL there; odd doc_ids (the evolved append)
+# carry the short/long label; doc_id % 21 rows are deleted; q_score
+# is the renamed quality column, values intact.  tt_len_sum replays
+# the version-1 time travel read from raw (all even docs' original
+# bigint lengths).
+LLMDATA_ORACLES["t78_column_mapping"] = """
+    WITH final AS (
+        SELECT lang,
+               CAST(doc_id % 97 AS DOUBLE) AS q_score,
+               CASE WHEN doc_id % 2 = 1 THEN
+                   CASE WHEN LENGTH(text) >= 200 THEN 'long'
+                        ELSE 'short' END
+               END AS text_len
+        FROM documents
+        WHERE doc_id % 21 <> 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text_len IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_tl,
+           CAST(SUM(CASE WHEN text_len = 'long' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_long,
+           CAST(SUM(CAST(q_score AS BIGINT)) AS BIGINT) AS sum_q,
+           TRUE AS files_untouched,
+           TRUE AS old_name_fails,
+           'rename_column:quality->q_score' AS rename_op,
+           CAST(6 AS BIGINT) AS n_versions,
+           (SELECT CAST(SUM(LENGTH(text)) AS BIGINT) FROM documents
+            WHERE doc_id % 2 = 0) AS tt_len_sum
+    FROM final GROUP BY lang ORDER BY lang
+"""
+
 LLMDATA_ORACLES["t55_txtable_delete"] = """
     SELECT CAST(1 AS BIGINT) AS version, 'init' AS op,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3955,6 +3989,21 @@ MONITORING_ORACLES["s6_streaming_txtable_sink"] = """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+# s15: the auto-compacted table must hold EXACTLY the raw corpus (s6's
+# contract through interleaved compact commits); the lifecycle facts
+# are pinned literals.
+MONITORING_ORACLES["s15_streaming_sink_autocompact"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           TRUE AS compaction_ran,
+           TRUE AS files_below_no_compaction,
+           TRUE AS replay_noop
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -62,21 +62,33 @@ def table_changes(
     BOTH sides; downstream consumers that aggregate the diff see those
     cancel exactly.  Raises across a schema change — a diff between
     incompatible row types has no single row shape."""
+    from .txtable import _col_mapping
+
     m_to = t.manifest(to_version)
     m_from = t.manifest(from_version)
-    if m_to["schema"] != m_from["schema"]:
+    if m_to["schema"] != m_from["schema"] or m_to.get(
+        "column_mapping"
+    ) != m_from.get("column_mapping"):
         raise ValueError(
             f"table_changes on {t.path}: versions {m_from['version']} and "
-            f"{m_to['version']} have different schemas — diff rows have no "
-            "single shape; rebuild consumers from the new snapshot instead"
+            f"{m_to['version']} have different schemas (or column "
+            "mappings) — diff rows have no single shape; rebuild "
+            "consumers from the new snapshot instead"
         )
     schema = StructType.fromJson(json.loads(m_to["schema"]))
     paths_from = {e["path"] for e in m_from["files"]}
     paths_to = {e["path"] for e in m_to["files"]}
     added = [e for e in m_to["files"] if e["path"] not in paths_from]
     removed = [e for e in m_from["files"] if e["path"] not in paths_to]
-    ins = t._read_entries(schema, m_to.get("partition_by"), added)
-    rem = t._read_entries(schema, m_from.get("partition_by"), removed)
+    ins = t._read_entries(
+        schema, m_to.get("partition_by"), added, mapping=_col_mapping(m_to)
+    )
+    rem = t._read_entries(
+        schema,
+        m_from.get("partition_by"),
+        removed,
+        mapping=_col_mapping(m_from),
+    )
     return ins.withColumn("_change_type", F.lit(CHANGE_INSERT)).unionByName(
         rem.withColumn("_change_type", F.lit(CHANGE_DELETE))
     )

@@ -60,12 +60,38 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from .fs import filesystem_for
 
 LOG_DIR = "_txlog"
 DATA_DIR = "data"
+
+#: _commit sentinel: carry the parent manifest's column mapping forward
+_INHERIT = object()
+
+
+def _col_mapping(manifest: dict) -> dict[str, str]:
+    """logical -> PHYSICAL column names for one manifest.  Tables start
+    with identity (no ``column_mapping`` key — every pre-mapping
+    manifest reads unchanged); the first rename_column/drop_column
+    commit activates an explicit full mapping, after which data files
+    carry physical names decoupled from the logical schema — the
+    Delta-style column-mapping design that makes RENAME and DROP O(1)
+    metadata commits (files are immutable; only the name indirection
+    changes).  Fields absent from a stored mapping default to identity
+    so mixed-era manifests stay readable."""
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cm = manifest.get("column_mapping") or {}
+    return {f.name: cm.get(f.name, f.name) for f in schema.fields}
+
+
+def _fresh_physical(logical: str) -> str:
+    """A never-before-used physical column name.  Uniqueness is the
+    correctness point: a column RE-ADDED after a drop must not read
+    the dropped column's bytes out of old files (possibly under a new
+    type), so post-mapping adds never reuse a physical name."""
+    return f"c_{uuid.uuid4().hex[:12]}_{logical}"
 
 
 class CommitConflict(RuntimeError):
@@ -220,6 +246,26 @@ class TxTable:
             return [tuple(prune)]
         return [tuple(p) for p in prune]
 
+    @staticmethod
+    def _phys_conds(
+        conds: list[tuple], mapping: dict[str, str], path: str
+    ) -> list[tuple]:
+        """Prune conditions restated over PHYSICAL column names (file
+        stats are keyed physically, so a rename never orphans them).
+        A condition naming a column outside the current schema —
+        dropped, renamed away, or never existed — fails loudly instead
+        of silently pruning nothing."""
+        out = []
+        for col, lo, hi in conds:
+            if col not in mapping:
+                raise ValueError(
+                    f"prune column {col!r} is not in the current schema "
+                    f"of {path} (renamed or dropped columns must be "
+                    "addressed by their current logical name)"
+                )
+            out.append((mapping[col], lo, hi))
+        return out
+
     def prune_counts(
         self, col, lo=None, hi=None, version: int | None = None
     ) -> tuple[int, int]:
@@ -228,7 +274,9 @@ class TxTable:
         with [lo, hi] bounds, or a list of (col, lo, hi) triples
         (ANDed, like snapshot(prune=...))."""
         conds = self._norm_prune((col, lo, hi) if isinstance(col, str) else col)
-        entries = self.manifest(version)["files"]
+        m = self.manifest(version)
+        conds = self._phys_conds(conds, _col_mapping(m), self.path)
+        entries = m["files"]
         return len(self._prune_entries(entries, conds)), len(entries)
 
     def snapshot(
@@ -254,10 +302,16 @@ class TxTable:
         m = self.manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         pcol = m.get("partition_by")
+        mapping = _col_mapping(m)
         entries = m["files"]
         if prune is not None:
-            entries = self._prune_entries(entries, self._norm_prune(prune))
-        return self._read_entries(schema, pcol, entries, _with_file)
+            conds = self._phys_conds(
+                self._norm_prune(prune), mapping, self.path
+            )
+            entries = self._prune_entries(entries, conds)
+        return self._read_entries(
+            schema, pcol, entries, _with_file, mapping=mapping
+        )
 
     def _read_entries(
         self,
@@ -265,27 +319,51 @@ class TxTable:
         pcol: str | None,
         entries: list[dict],
         _with_file: bool = False,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read an arbitrary SUBSET of manifest file entries with the
         partition-column reinjection snapshot() uses — also the engine
         under matview.table_changes, which diffs entry sets between
-        versions and reads only the changed files."""
-        cols = [f.name for f in schema.fields] + (
-            ["_tx_file"] if _with_file else []
-        )
+        versions and reads only the changed files.
+
+        ``schema`` is always the LOGICAL schema; ``mapping`` (logical
+        -> physical, from the owning manifest's ``column_mapping``)
+        names the columns the parquet footers actually carry — the
+        scan binds physically and the final projection restores the
+        logical names, so a rename never touches a data file."""
+        phys = mapping or {}
+
+        def p(name: str) -> str:
+            return phys.get(name, name)
+
+        sel = [F.col(p(f.name)).alias(f.name) for f in schema.fields]
+        if _with_file:
+            sel.append(F.col("_tx_file"))
         if not entries:
             out_schema = StructType(schema.fields)
             if _with_file:
                 out_schema = out_schema.add("_tx_file", "string")
             return self.spark.createDataFrame([], out_schema)
         if pcol is None:
+            phys_schema = StructType(
+                [
+                    StructField(p(f.name), f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
             paths = [self._abs(e) for e in entries]
-            out = self.spark.read.schema(schema).parquet(*paths)
+            out = self.spark.read.schema(phys_schema).parquet(*paths)
             if _with_file:
                 out = out.withColumn("_tx_file", F.input_file_name())
-            return out.select(cols)
+            return out.select(sel)
         ptype = schema[pcol].dataType
-        data_schema = StructType([f for f in schema.fields if f.name != pcol])
+        data_schema = StructType(
+            [
+                StructField(p(f.name), f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name != pcol
+            ]
+        )
         by_val: dict[str | None, list[str]] = {}
         for e in entries:
             by_val.setdefault(e["part"], []).append(self._abs(e))
@@ -295,20 +373,39 @@ class TxTable:
         for val, paths in sorted(
             by_val.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
         ):
-            p = self.spark.read.schema(data_schema).parquet(*paths)
+            part = self.spark.read.schema(data_schema).parquet(*paths)
             if _with_file:
                 # input_file_name must bind before the union/literal cols
-                p = p.withColumn("_tx_file", F.input_file_name())
-            parts.append(p.withColumn(pcol, F.lit(val).cast(ptype)))
+                part = part.withColumn("_tx_file", F.input_file_name())
+            parts.append(part.withColumn(p(pcol), F.lit(val).cast(ptype)))
         out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out.select(cols)
+        for part in parts[1:]:
+            out = out.unionAll(part)
+        return out.select(sel)
 
     # ---------------------------------------------------------- writes
-    def _stage(self, df: DataFrame, partition_by: str | None) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: str | None,
+        mapping: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Write ``df``'s files under a fresh commit dir (never visible
-        until a manifest references them); return their file entries."""
+        until a manifest references them); return their file entries.
+        ``df`` and ``partition_by`` use LOGICAL names; ``mapping``
+        (logical -> physical) renames columns on the way to disk so
+        every staged file carries the physical layout its manifest's
+        column mapping expects.  Stats are keyed by PHYSICAL name —
+        the key that survives renames."""
+        phys = mapping or {}
+        # logical-named stats columns resolved BEFORE the physical flip
+        scols = [c for c in self.stats_cols if c in df.columns]
+        if any(phys.get(c, c) != c for c in df.columns):
+            df = df.select(
+                [F.col(c).alias(phys.get(c, c)) for c in df.columns]
+            )
+        if partition_by is not None:
+            partition_by = phys.get(partition_by, partition_by)
         commit_dir = posixpath.join(self.path, DATA_DIR, f"c-{uuid.uuid4().hex}")
         writer = df.write.mode("errorifexists")
         if partition_by is not None:
@@ -338,20 +435,22 @@ class TxTable:
             entries.append(
                 {"path": posixpath.join(rel_commit, rel), "part": part}
             )
-        scols = [c for c in self.stats_cols if c in df.columns]
-        if scols and entries:
+        pcols = [phys.get(c, c) for c in scols]
+        if pcols and entries:
             # ONE distributed pass over the freshly staged files whatever
             # the column count: per-file min/max of every stats column
             # (NULLs are ignored by min/max, which is prune-safe: a
             # BETWEEN predicate never matches NULL rows; an all-NULL
-            # file records [null, null] and is always read)
+            # file records [null, null] and is always read).  Stats key
+            # = the column's PHYSICAL name, so they keep pruning after
+            # any later rename of the logical name.
             aggs = []
-            for c in scols:
-                aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
-                aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+            for i, c in enumerate(pcols):
+                aggs.append(F.min(F.col(c)).alias(f"mn_{i}"))
+                aggs.append(F.max(F.col(c)).alias(f"mx_{i}"))
             stats_rows = (
                 self.spark.read.parquet(commit_dir)
-                .select(F.input_file_name().alias("_f"), *map(F.col, scols))
+                .select(F.input_file_name().alias("_f"), *map(F.col, pcols))
                 .groupBy("_f")
                 .agg(*aggs)
                 .collect()
@@ -366,7 +465,8 @@ class TxTable:
                 dec = unquote(r._f.split("://", 1)[-1])
                 rel = dec.split("/" + cbase + "/", 1)[1]
                 by_rel[rel] = {
-                    c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in scols
+                    c: [r[f"mn_{i}"], r[f"mx_{i}"]]
+                    for i, c in enumerate(pcols)
                 }
             kept = []
             for e in entries:
@@ -406,6 +506,7 @@ class TxTable:
         schema: StructType,
         partition_by: str | None,
         stream_floors: dict[str, int] | None = None,
+        column_mapping: dict[str, str] | None | object = _INHERIT,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -418,8 +519,21 @@ class TxTable:
         it.  The sink passes its own entry raised to max(floor,
         batch_id) on its own commits."""
         version = (base_version or 0) + 1
-        if stream_floors is None and base_version is not None:
-            stream_floors = _stream_floors(self.manifest(base_version))
+        parent = None
+        if base_version is not None and (
+            stream_floors is None or column_mapping is _INHERIT
+        ):
+            parent = self.manifest(base_version)
+        if stream_floors is None and parent is not None:
+            stream_floors = _stream_floors(parent)
+        if column_mapping is _INHERIT:
+            # every commit carries its parent's mapping forward (the
+            # stream_floors discipline) — a mapped table stays mapped
+            # through append/delete/merge/compact without those verbs
+            # knowing; overwrite() resets it explicitly
+            column_mapping = (
+                parent.get("column_mapping") if parent is not None else None
+            )
         manifest = {
             "version": version,
             "parent": base_version,
@@ -432,6 +546,8 @@ class TxTable:
             manifest["stream_floors"] = {
                 app: int(v) for app, v in stream_floors.items()
             }
+        if column_mapping:
+            manifest["column_mapping"] = dict(column_mapping)
         self._try_commit(manifest, version)
         return version
 
@@ -474,13 +590,18 @@ class TxTable:
         base = self.manifest()
         pcol = base.get("partition_by")
         schema_json = base["schema"]
+        cmap = base.get("column_mapping")
         self._check_schema(df, StructType.fromJson(json.loads(schema_json)))
-        staged = self._stage(df, pcol)
+        staged = self._stage(df, pcol, _col_mapping(base))
         for _ in range(max_retries):
             base = self.manifest()
             if (
                 base.get("partition_by") != pcol
                 or base["schema"] != schema_json
+                # mapping can drift under an unchanged schema JSON via
+                # drop + re-add of the same trailing column — the staged
+                # files' physical names would no longer match
+                or base.get("column_mapping") != cmap
             ):
                 raise CommitConflict(
                     f"append to {self.path}: table layout changed "
@@ -503,7 +624,12 @@ class TxTable:
 
     def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
         """Full truncate-and-replace as ONE commit: readers see the old
-        snapshot until the manifest lands, then the new — never empty."""
+        snapshot until the manifest lands, then the new — never empty.
+        The one verb that RESETS column mapping: a full restatement
+        writes fresh files whose physical names ARE the new logical
+        names, so the indirection (and any dropped column's ghost
+        bytes) ends here; older versions keep their own mapping for
+        time travel."""
         base = self.manifest()
         return self._commit(
             self._stage(df, partition_by),
@@ -511,6 +637,7 @@ class TxTable:
             base["version"],
             df.schema,
             partition_by,
+            column_mapping=None,
         )
 
     def add_columns(
@@ -526,9 +653,10 @@ class TxTable:
         columns are nullable by construction (a NOT NULL default would
         require a rewrite or default-value metadata — out of scope,
         loudly).  Subsequent appends must carry the evolved schema
-        (append()'s usual exact-match rule); the overwrite() path
-        remains the verb for any OTHER schema change (drop, retype,
-        rename), which genuinely requires restating the data."""
+        (append()'s usual exact-match rule).  RENAME and DROP are
+        metadata-only too via column mapping (rename_column /
+        drop_column); retyping an EXISTING column still goes through
+        overwrite(), which genuinely requires restating the data."""
         if not new_cols:
             raise ValueError("add_columns: no columns given")
         for _ in range(max_retries):
@@ -544,6 +672,17 @@ class TxTable:
             evolved = StructType(list(schema.fields))
             for c, t in new_cols.items():
                 evolved = evolved.add(c, t, True)
+            cmap: dict[str, str] | None | object = _INHERIT
+            if m.get("column_mapping") is not None:
+                # mapping-active table (a rename/drop happened): new
+                # columns get NEVER-USED physical names, so a column
+                # re-added after a drop — possibly with a different
+                # type — cannot resurrect the dropped column's bytes
+                # out of pre-drop files (which still carry the old
+                # physical column for time travel)
+                cmap = dict(m["column_mapping"])
+                for c in new_cols:
+                    cmap[c] = _fresh_physical(c)
             try:
                 return self._commit(
                     m["files"],
@@ -551,11 +690,147 @@ class TxTable:
                     m["version"],
                     evolved,
                     m.get("partition_by"),
+                    column_mapping=cmap,
                 )
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"add_columns on {self.path} lost {max_retries} commit races"
+        )
+
+    def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:
+        """Metadata-only column RENAME (Delta's ``RENAME COLUMN`` under
+        column mapping): the logical schema restates the field as
+        ``new`` while the full logical->physical mapping committed
+        alongside keeps pointing at the OLD physical name — no data
+        file is touched, O(1) whatever the table size.  Reads of the
+        old name fail loudly afterwards (it is simply not a schema
+        column); time travel to pre-rename versions still serves the
+        old name, because the mapping is manifest-scoped.  Data-
+        skipping stats keep working across the rename: they are keyed
+        by physical name (see _stage).  Renaming the partition column
+        is supported — the manifest's ``partition_by`` follows the
+        logical name while the on-disk directory layout keeps the
+        physical one."""
+        if old == new:
+            raise ValueError("rename_column: old and new name are equal")
+        for _ in range(max_retries):
+            m = self.manifest()
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(
+                    f"rename_column: {old!r} is not a column of "
+                    f"{self.path} (have {names})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"rename_column: {new!r} already exists in {self.path}"
+                )
+            mapping = _col_mapping(m)
+            evolved = StructType(
+                [
+                    StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            cmap = {
+                (new if lg == old else lg): ph for lg, ph in mapping.items()
+            }
+            pcol = m.get("partition_by")
+            try:
+                return self._commit(
+                    m["files"],
+                    f"rename_column:{old}->{new}",
+                    m["version"],
+                    evolved,
+                    new if pcol == old else pcol,
+                    column_mapping=cmap,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rename_column on {self.path} lost {max_retries} commit races"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 5) -> int:
+        """Metadata-only column DROP: the logical schema loses the
+        field and the committed mapping loses its entry — no data file
+        is touched, O(1) whatever the table size (the compliance
+        request "drop the PII column NOW" answered immediately).  The
+        physical bytes remain in pre-drop files for time travel until
+        :meth:`purge_dropped_columns` + :meth:`vacuum` — the hard-
+        delete escalation, exactly the delete()+vacuum() takedown
+        contract at column granularity.  Reads of the dropped name
+        fail loudly; a later add_columns of the same name gets a fresh
+        physical column and reads NULL from old files, never the
+        dropped data (even under a different type)."""
+        for _ in range(max_retries):
+            m = self.manifest()
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(
+                    f"drop_column: {name!r} is not a column of "
+                    f"{self.path} (have {names})"
+                )
+            if len(names) == 1:
+                raise ValueError(
+                    f"drop_column: {name!r} is the only column of "
+                    f"{self.path}"
+                )
+            if m.get("partition_by") == name:
+                raise ValueError(
+                    f"drop_column: {name!r} is the partition column of "
+                    f"{self.path}; repartition via overwrite() first"
+                )
+            mapping = _col_mapping(m)
+            mapping.pop(name)
+            evolved = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            try:
+                return self._commit(
+                    m["files"],
+                    f"drop_column:{name}",
+                    m["version"],
+                    evolved,
+                    m.get("partition_by"),
+                    column_mapping=mapping,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_column on {self.path} lost {max_retries} commit races"
+        )
+
+    def purge_dropped_columns(self, n_files: int | None = None) -> int:
+        """The hard-delete escalation for drop_column: rewrite the
+        CURRENT snapshot so the new files physically contain only the
+        mapped columns — dropped columns' bytes exist nowhere in the
+        new version's files.  An O(table) rewrite by design (that is
+        what physical destruction costs); run vacuum() afterwards to
+        destroy the old files once retention allows, completing the
+        column-level takedown.  Keeps the file count (or ``n_files``)
+        and the current mapping — logical names, stats keys, and any
+        later rename semantics are unchanged."""
+        m = self.manifest()
+        if n_files is None:
+            n_files = max(1, len(m["files"]))
+        pcol = m.get("partition_by")
+        df = self.snapshot(m["version"])
+        if pcol is None:
+            df = df.repartition(n_files)
+        return self._commit(
+            self._stage(df, pcol, _col_mapping(m)),
+            "purge_columns",
+            m["version"],
+            StructType.fromJson(json.loads(m["schema"])),
+            pcol,
         )
 
     def restore(self, version: int, max_retries: int = 5) -> int:
@@ -596,6 +871,9 @@ class TxTable:
                     m["version"],
                     StructType.fromJson(json.loads(src["schema"])),
                     src.get("partition_by"),
+                    # the restored version's OWN mapping, not the head's:
+                    # its files' physical names belong to that mapping
+                    column_mapping=src.get("column_mapping"),
                 )
             except CommitConflict:
                 continue
@@ -645,6 +923,7 @@ class TxTable:
             None,
             StructType.fromJson(json.loads(m["schema"])),
             m.get("partition_by"),
+            column_mapping=m.get("column_mapping"),
         )
         return dst
 
@@ -683,7 +962,7 @@ class TxTable:
 
             df = zorder_frame(self.snapshot(), list(zorder_by), n_files)
         return self._commit(
-            self._stage(df, m.get("partition_by")),
+            self._stage(df, m.get("partition_by"), _col_mapping(m)),
             "compact",
             m["version"],
             StructType.fromJson(json.loads(m["schema"])),
@@ -763,7 +1042,7 @@ class TxTable:
                 # tasks stage empty part files — dead manifest entries
                 # that also read as unprunable under data skipping
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
-            staged = self._stage(survivors, pcol)
+            staged = self._stage(survivors, pcol, _col_mapping(m))
             try:
                 self._commit(
                     carry + staged, "delete", m["version"], schema, pcol
@@ -862,11 +1141,15 @@ class TxTable:
             # a concurrent add_columns/overwrite would make a retried
             # commit silently drop the new columns' values from the
             # rewritten files (append()'s rule, same reason)
-            if m["schema"] != schema_json0 or m.get("partition_by") != pcol0:
+            if (
+                m["schema"] != schema_json0
+                or m.get("partition_by") != pcol0
+                or m.get("column_mapping") != m0.get("column_mapping")
+            ):
                 raise CommitConflict(
                     f"merge on {self.path}: table layout changed "
-                    "concurrently (schema or partition column); restage "
-                    "the merge against the new layout"
+                    "concurrently (schema, partition column, or column "
+                    "mapping); restage the merge against the new layout"
                 )
             pcol = m.get("partition_by")
             schema = StructType.fromJson(json.loads(m["schema"]))
@@ -902,12 +1185,15 @@ class TxTable:
                 # narrow coalesce, same reason as delete(): without it
                 # the scan's partitioning stages empty part files
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
-            staged = self._stage(survivors, pcol) if hit_uris else []
+            mapping = _col_mapping(m)
+            staged = (
+                self._stage(survivors, pcol, mapping) if hit_uris else []
+            )
             if not ups_empty:
                 ins = upserts
                 if not insert_unmatched:
                     ins = ins.join(snap.select(keys), on=keys, how="leftsemi")
-                staged += self._stage(ins, pcol)
+                staged += self._stage(ins, pcol, mapping)
             try:
                 self._commit(carry + staged, "merge", m["version"], schema, pcol)
                 return m["version"] + 1
@@ -1103,12 +1389,12 @@ def scd2_merge_tx(
         data_schema = StructType(
             [f for f in schema.fields if f.name != SCD2_BUCKET_COL]
         )
+        mapping = _col_mapping(m)
         hit = [e for e in m["files"] if e["part"] in affected_parts]
         carry = [e for e in m["files"] if e["part"] not in affected_parts]
         if hit:
-            current = table.spark.read.schema(data_schema).parquet(
-                *[table._abs(e) for e in hit]
-            )
+            # mapping-aware physical read with logical output names
+            current = table._read_entries(data_schema, None, hit, mapping=mapping)
         else:  # all-new buckets: merge against an empty current slice
             current = table.spark.createDataFrame([], data_schema)
         merged = scd2_merge(
@@ -1116,7 +1402,7 @@ def scd2_merge_tx(
         ).withColumn(
             SCD2_BUCKET_COL, scd2_bucket(F.col(business_key), n_buckets)
         )
-        staged = table._stage(merged, SCD2_BUCKET_COL)
+        staged = table._stage(merged, SCD2_BUCKET_COL, mapping)
         staged_parts = {e["part"] for e in staged}
         # an affected bucket holds >=1 update key and scd2_merge never
         # drops rows — enforce the invariant the swap path also checks
@@ -1206,18 +1492,50 @@ class TxTableStreamSink:
 
         sink = TxTableStreamSink(TxTable(spark, path), app_id="ingest_v2")
         stream.writeStream.foreachBatch(sink).start()
-    """
+
+    ``small_file_limit`` wires AUTO-COMPACTION into the sink (VERDICT
+    r7 ask #4): per-micro-batch commits are the canonical small-file
+    generator on manifest tables, and without periodic compaction the
+    manifest — and every scan's file-open count — grows one entry per
+    batch forever.  After any batch commit that leaves the manifest
+    holding >= small_file_limit file entries, the sink issues a
+    ``compact(compact_target_files, zorder_by=...)`` commit.  The
+    composition preserves every existing contract for free: compaction
+    inherits the parent manifest's ``stream_floors`` (every commit
+    carries them forward), so a batch REPLAYED after a compaction
+    still finds its floor and no-ops — exactly-once survives; old
+    pre-compaction files stay time-travelable until vacuum(); and a
+    compact that loses a commit race is simply skipped (the next
+    batch retries — compaction is a maintenance heuristic, never a
+    correctness step)."""
 
     def __init__(
-        self, table: TxTable, app_id: str = DEFAULT_STREAM_APP
+        self,
+        table: TxTable,
+        app_id: str = DEFAULT_STREAM_APP,
+        small_file_limit: int | None = None,
+        compact_target_files: int = 1,
+        zorder_by: list[str] | None = None,
     ) -> None:
         if ":" in app_id or not app_id:
             raise ValueError(
                 f"app_id {app_id!r} must be non-empty and ':'-free (it "
                 "is embedded in the manifest op field)"
             )
+        if small_file_limit is not None and small_file_limit < 1:
+            raise ValueError("small_file_limit must be >= 1")
+        if compact_target_files < 1:
+            raise ValueError("compact_target_files must be >= 1")
+        if zorder_by is not None and small_file_limit is None:
+            raise ValueError(
+                "zorder_by without small_file_limit: auto-compaction "
+                "is off, so the Z-order spec would never apply"
+            )
         self.table = table
         self.app_id = app_id
+        self.small_file_limit = small_file_limit
+        self.compact_target_files = compact_target_files
+        self.zorder_by = list(zorder_by) if zorder_by else None
         # (batch ids seen for THIS app, versions already scanned) — the
         # committed set only grows, so each micro-batch reads just the
         # manifests NEWER than the last scan instead of re-parsing the
@@ -1259,7 +1577,7 @@ class TxTableStreamSink:
         self.table._check_schema(
             df, StructType.fromJson(json.loads(base["schema"]))
         )
-        staged = self.table._stage(df, pcol)
+        staged = self.table._stage(df, pcol, _col_mapping(base))
         floors = _stream_floors(base)
         floors[self.app_id] = max(floor, batch_id)
         # single writer per (table, app_id) by construction; a lost race
@@ -1280,3 +1598,21 @@ class TxTableStreamSink:
                 and batch_id > self._floor(self.table.manifest())
             ):
                 raise
+            return
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Auto-compaction step: one compact commit when the manifest
+        has accumulated ``small_file_limit`` file entries.  A lost
+        commit race is swallowed — the next batch re-evaluates; the
+        data already committed is never at stake."""
+        if self.small_file_limit is None:
+            return
+        if len(self.table.manifest()["files"]) < self.small_file_limit:
+            return
+        try:
+            self.table.compact(
+                self.compact_target_files, zorder_by=self.zorder_by
+            )
+        except CommitConflict:
+            pass

@@ -479,8 +479,8 @@ def test_append_refuses_after_concurrent_layout_change(spark, tmp_path):
 
     orig_stage = b._stage
 
-    def stage_then_lose_race(df, pcol):
-        out = orig_stage(df, pcol)
+    def stage_then_lose_race(df, pcol, *args, **kw):
+        out = orig_stage(df, pcol, *args, **kw)
         a.overwrite(
             spark.createDataFrame([(9, "z", 0)], "k long, v string, p int"),
             partition_by="p",
@@ -926,3 +926,202 @@ def test_clone_of_clone_references_the_owning_table(spark, tmp_path):
     bases = {e["base"] for e in c2.manifest()["files"]}
     assert bases == {src.path}  # never a chain through c1
     assert c2.snapshot().count() == 5
+
+
+# ---------------------------------------------------- column mapping
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.rename_column("v", "label")
+    assert v2 == 2
+    # O(1): byte-identical file entries, nothing rewritten
+    assert t.manifest(1)["files"] == t.manifest(2)["files"]
+    assert t.history()[-1]["op"] == "rename_column:v->label"
+    assert {(r.k, r.label) for r in t.snapshot().collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # the old name is gone — reads of it fail loudly
+    assert "v" not in t.snapshot().columns
+    with pytest.raises(Exception):
+        t.snapshot().select("v").collect()
+    # time travel serves the old name on pre-rename versions
+    assert {(r.k, r.v) for r in t.snapshot(version=1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # DML under the new logical name: append + delete round-trip
+    t.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    t.delete(F.col("label") == "a")
+    assert {(r.k, r.label) for r in t.snapshot().collect()} == {
+        (2, "b"), (3, "c"),
+    }
+    # renaming to an existing name / from a missing name is loud
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "label")
+    with pytest.raises(ValueError, match="not a column"):
+        t.rename_column("v", "w")
+
+
+def test_drop_column_and_readd_with_different_type(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 0.7)], "k long, v string, score double"
+        )
+    )
+    v2 = t.drop_column("score")
+    assert v2 == 2
+    assert t.manifest(1)["files"] == t.manifest(2)["files"]  # O(1)
+    assert "score" not in t.snapshot().columns
+    # re-add the SAME name with a DIFFERENT type: the fresh physical
+    # name must NOT resurrect the dropped doubles out of old files
+    t.add_columns({"score": "string"})
+    assert {(r.k, r.score) for r in t.snapshot().collect()} == {
+        (1, None), (2, None),
+    }
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", "high")], "k long, v string, score string"
+        )
+    )
+    got = {(r.k, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, "high")}
+    # time travel across the boundary still serves the original doubles
+    assert {(r.k, r.score) for r in t.snapshot(version=1).collect()} == {
+        (1, 0.5), (2, 0.7),
+    }
+    # guard rails
+    with pytest.raises(ValueError, match="not a column"):
+        t.drop_column("nope")
+    with pytest.raises(ValueError, match="only column"):
+        t2 = TxTable(spark, str(tmp_path / "t2"))
+        t2.init(spark.createDataFrame([(1,)], "k long"))
+        t2.drop_column("k")
+
+
+def test_purge_dropped_columns_destroys_bytes_after_vacuum(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", "SECRET-1"), (2, "b", "SECRET-2")],
+            "k long, v string, pii string",
+        )
+    )
+    t.drop_column("pii")
+    # pre-purge: the bytes still exist in old files (time travel works)
+    assert {r.pii for r in t.snapshot(version=1).collect()} == {
+        "SECRET-1", "SECRET-2",
+    }
+    t.purge_dropped_columns()
+    t.vacuum(keep_versions=1, min_age_seconds=0.0)
+    # every surviving parquet footer carries only mapped physical cols
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                       recursive=True)
+    assert files
+    raw_cols = set(spark.read.parquet(*files).columns)
+    phys = set(t.manifest().get("column_mapping", {}).values()) or {
+        "k", "v",
+    }
+    assert raw_cols <= phys
+    # and no SECRET bytes anywhere on disk
+    for f in files:
+        assert b"SECRET" not in Path(f).read_bytes()
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_rename_partition_column_keeps_layout(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "a")]), partition_by="v")
+    t.rename_column("v", "bucket")
+    assert t.manifest().get("partition_by") == "bucket"
+    assert {(r.k, r.bucket) for r in t.snapshot().collect()} == {
+        (1, "a"), (2, "b"), (3, "a"),
+    }
+    # appends under the new logical name keep the partition layout
+    t.append(spark.createDataFrame([(4, "b")], "k long, bucket string"))
+    m = t.manifest()
+    assert sorted({e["part"] for e in m["files"]}) == ["a", "b"]
+    # dropping the partition column is refused
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("bucket")
+
+
+def test_stats_keep_pruning_across_rename(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t.init(
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4, "k")
+    )
+    scanned0, total0 = t.prune_counts("k", 5, 5)
+    assert scanned0 < total0
+    t.rename_column("k", "id")
+    # the SAME files still prune under the new logical name (stats are
+    # keyed by physical name, which the rename preserved)
+    t2 = TxTable(spark, str(tmp_path / "t"), stats_col="id")
+    scanned1, total1 = t2.prune_counts("id", 5, 5)
+    assert (scanned1, total1) == (scanned0, total0)
+    # pruning by the RETIRED name fails loudly instead of scanning all
+    with pytest.raises(ValueError, match="not in the current schema"):
+        t2.prune_counts("k", 5, 5)
+    rows = t2.snapshot(prune=("id", 5, 5)).filter(F.col("id") == 5)
+    assert rows.count() == 1
+
+
+def test_clone_restore_and_matview_carry_mapping(spark, tmp_path):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import matview as mvx
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    t.rename_column("v", "label")          # v2
+    c = t.clone_shallow(str(tmp_path / "c"))
+    assert {(r.k, r.label) for r in c.snapshot().collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    v3 = t.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    # table_changes across same-mapping versions reads logical names
+    ch = mvx.table_changes(t, 2, v3)
+    assert {(r.k, r.label, r._change_type) for r in ch.collect()} == {
+        (3, "c", "insert"),
+    }
+    # ... and refuses to diff across the mapping/schema boundary
+    with pytest.raises(ValueError, match="different schemas"):
+        mvx.table_changes(t, 1, v3)
+    # restore to the PRE-rename version revives that version's mapping
+    t.restore(1)
+    assert "v" in t.snapshot().columns
+    assert "label" not in t.snapshot().columns
+
+
+def test_stream_sink_autocompaction_bounds_files_and_keeps_exactly_once(
+    spark, tmp_path
+):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.createDataFrame([], "k long, v string"))
+    sink = TxTableStreamSink(
+        t, app_id="s", small_file_limit=3, compact_target_files=1
+    )
+    for i in range(6):
+        sink(_df(spark, [(i, "x")]).coalesce(1), i)
+    ops = [h["op"] for h in t.history()]
+    assert "compact" in ops            # compaction interleaved mid-stream
+    assert len(t.manifest()["files"]) < 6
+    # a replayed batch AFTER compaction still no-ops — the stream floor
+    # is carried through compact commits, even for a fresh sink instance
+    v = t.latest_version()
+    TxTableStreamSink(t, app_id="s")(_df(spark, [(0, "dup")]).coalesce(1), 0)
+    assert t.latest_version() == v
+    assert {r.k for r in t.snapshot().collect()} == set(range(6))
+    # config validation is loud
+    with pytest.raises(ValueError, match="small_file_limit"):
+        TxTableStreamSink(t, small_file_limit=0)
+    with pytest.raises(ValueError, match="zorder_by"):
+        TxTableStreamSink(t, zorder_by=["k"])
