@@ -307,6 +307,7 @@ def cms_build(
     cols: list[str],
     depth: int = 4,
     width: int = 256,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) as a counters
     relation (d int, w int, cnt long): ``depth`` independent hash rows
@@ -317,24 +318,41 @@ def cms_build(
     sketches MERGE by counter-wise sum (cms_merge) — composable across
     shards/days like the HLL registers.  Hashing is md5 salted with
     the row index (engine-portable, the repo's oracle discipline);
-    rows with a NULL in any counted column are ignored."""
+    rows with a NULL in any counted column are ignored.
+
+    ``group_cols``: per-group sketches in the SAME scan — output
+    (group…, d, w, cnt), state ≤ groups × depth × width rows.
+    Addresses hash the KEY columns only (the t74 grouped-histogram
+    discipline: one shared geometry across groups), so per-group
+    sketches sum into the global one losslessly.  Rows with a NULL in
+    a group column are ignored like NULL keys — a NULL group has no
+    per-group frequency question to answer."""
+    g = list(group_cols or [])
     not_null = functools.reduce(
-        Column.__and__, (F.col(c).isNotNull() for c in cols)
+        Column.__and__, (F.col(c).isNotNull() for c in g + cols)
     )
     return (
         df.filter(not_null)
-        .select(F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w"))
-        .groupBy("d", "w")
+        .select(
+            *g, F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w")
+        )
+        .groupBy(*g, "d", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Counter-wise sum — the lossless CMS union (estimates over the
     merged sketch equal estimates over a sketch of the unioned data,
-    exactly; pinned by test)."""
+    exactly; pinned by test).  Per group when the sketches carry group
+    columns."""
+    g = list(group_cols or [])
     u = functools.reduce(DataFrame.unionByName, sketches)
-    return u.groupBy("d", "w").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return u.groupBy(*g, "d", "w").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -343,6 +361,7 @@ def cms_estimate(
     cols: list[str],
     depth: int = 4,
     width: int = 256,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for every row of ``keys`` (same
     ``cols`` layout): (keys..., cms_count long) where cms_count =
@@ -352,10 +371,19 @@ def cms_estimate(
     broadcast-sized join against the ≤ depth×width counter relation,
     never a scan of the data.  ``depth``/``width`` MUST match the
     build's (the addressing is parameter-dependent); the detectable
-    mismatch direction fails loudly."""
+    mismatch direction fails loudly.
+
+    ``group_cols``: grouped lookups against a grouped sketch — ``keys``
+    carries (group…, cols…) rows and each is estimated within its own
+    group's counters.  The counter relation stays broadcast: its size
+    is groups × depth × width, and the operator targets bounded group
+    cardinalities (languages, sources, shards — the corpus-triage
+    shape); an unbounded group domain needs the exact groupBy anyway."""
+    g = list(group_cols or [])
     # geometry guard evaluated while BUILDING the broadcast relation —
     # every counter row passes through it, no separate validation job
     checked = counters.select(
+        *g,
         "d",
         "w",
         F.coalesce(
@@ -365,11 +393,13 @@ def cms_estimate(
         ).alias("cnt"),
     )
     addressed = keys.select(
-        *cols, F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w")
+        *g,
+        *cols,
+        F.posexplode(_cms_addresses(cols, depth, width)).alias("d", "w"),
     )
     return (
-        addressed.join(F.broadcast(checked), ["d", "w"], "left")
-        .groupBy(*cols)
+        addressed.join(F.broadcast(checked), g + ["d", "w"], "left")
+        .groupBy(*g, *cols)
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0)))
             .cast("long")
@@ -388,6 +418,7 @@ def cms_heavy_hitters(
     width: int = 2048,
     counters: DataFrame | None = None,
     n_total: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Heavy-hitter ENUMERATION over the Count-Min sketch (VERDICT r6
     ask #5: :func:`cms_estimate` answers point queries for keys the
@@ -421,7 +452,20 @@ def cms_heavy_hitters(
     Everything is deterministic for given data (md5 sampling, md5
     addressing), hence engine-replayable — the t70b oracle re-runs the
     whole composition in SQL.  ``n_total`` skips the one count action
-    when the caller already knows N."""
+    when the caller already knows N.
+
+    ``group_cols`` (VERDICT r7 ask #5): per-GROUP heavy hitters — "top
+    domains per language", "top tokens per source", the form corpus
+    triage actually takes at 100 TB, where a global bar both drowns
+    small groups and admits nothing from them.  Each group gets its
+    own sketch (shared geometry, one scan), its own candidate sample,
+    and its own bar ``ceil(threshold · N_group)`` with N_group the
+    group's row count (NULL-key rows included, mirroring the global
+    N = count(*); NULL-GROUP rows are out entirely, as in cms_build).
+    Output: (group…, cols…, cms_count).  The one-sided guarantee
+    holds per group — every key reaching its group's bar is returned,
+    modulo the sampler.  State ≤ groups × depth × width counter rows;
+    ``n_total`` is a global-path-only shortcut (loud otherwise)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(
             f"cms_heavy_hitters: threshold must be in (0, 1] (got "
@@ -431,25 +475,49 @@ def cms_heavy_hitters(
         raise ValueError("cms_heavy_hitters: sample_mod must be >= 1")
     from .dedup import md5_hash32
 
-    n = int(n_total) if n_total is not None else df.count()
-    need = math.ceil(threshold * n)
+    g = list(group_cols or [])
+    if g and n_total is not None:
+        raise ValueError(
+            "cms_heavy_hitters: n_total is the global-path shortcut; "
+            "per-group totals are computed from the data"
+        )
     if counters is None:
-        counters = cms_build(df, cols, depth, width)
+        counters = cms_build(df, cols, depth, width, group_cols=g)
     # NULL-key rows mirror cms_build's exclusion: the sketch never
     # counted them, so they must not become candidates either (a NULL
     # key would otherwise inherit the empty-string key's counters
     # through concat_ws's NULL collapse — self-review r7)
     not_null = functools.reduce(
-        Column.__and__, (F.col(c).isNotNull() for c in cols)
+        Column.__and__, (F.col(c).isNotNull() for c in g + cols)
     )
     hkey = md5_hash32(row_id.cast("string"))
     cand = (
         df.filter(not_null & (hkey % sample_mod == 0))
-        .select(*cols)
+        .select(*g, *cols)
         .distinct()
     )
-    est = cms_estimate(counters, cand, cols, depth, width)
-    return est.filter(F.col("cms_count") >= F.lit(need))
+    est = cms_estimate(counters, cand, cols, depth, width, group_cols=g)
+    if not g:
+        n = int(n_total) if n_total is not None else df.count()
+        need = math.ceil(threshold * n)
+        return est.filter(F.col("cms_count") >= F.lit(need))
+    not_null_g = functools.reduce(
+        Column.__and__, (F.col(c).isNotNull() for c in g)
+    )
+    bars = (
+        df.filter(not_null_g)
+        .groupBy(*g)
+        .agg(
+            F.ceil(F.lit(float(threshold)) * F.count(F.lit(1)))
+            .cast("long")
+            .alias("_hh_need")
+        )
+    )
+    return (
+        est.join(F.broadcast(bars), g)
+        .filter(F.col("cms_count") >= F.col("_hh_need"))
+        .select(*g, *cols, "cms_count")
+    )
 
 
 # ------------------------------------------------- histogram quantiles

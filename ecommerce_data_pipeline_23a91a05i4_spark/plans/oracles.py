@@ -1575,6 +1575,96 @@ def _t70b_oracle() -> str:
 LLMDATA_ORACLES["t70b_cms_heavy_hitter_set"] = _t70b_oracle()
 
 
+# t79: the grouped twin — per-l_returnflag sketches (addresses hash the
+# key only), per-group md5-modulus candidate samples, per-group bars
+# ceil(0.01 · N_group) — replayed relationally with the gate's literal
+# geometry (depth 4, width 8192, sample_mod 4).
+def _t79_oracle() -> str:
+    depth, width, mod = 4, 8192, 4
+
+    def addr(key_expr: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {width} "
+            "AS INT)"
+        )
+
+    ds = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_partkey % 500 AS BIGINT) AS key,
+               l_orderkey AS ok, l_linenumber AS ln,
+               unnest(range(0, CASE WHEN (l_partkey % 500) % 40 = 0
+                                    THEN 9 ELSE 1 END)) AS rep
+        FROM lineitem
+    ),
+    bars AS (
+        SELECT flag,
+               CAST(ceil(CAST(0.01 AS DOUBLE) *
+                         CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS need
+        FROM base GROUP BY flag
+    ),
+    ds(d) AS (VALUES {ds}),
+    counters AS (
+        SELECT flag, d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT flag, d, {addr('key')} AS w FROM base CROSS JOIN ds)
+        GROUP BY flag, d, w
+    ),
+    cand AS (
+        SELECT DISTINCT flag, key FROM base
+        WHERE ('0x' || substr(md5(CAST(ok AS VARCHAR) || chr(31) ||
+                    CAST(ln AS VARCHAR) || chr(31) ||
+                    CAST(rep AS VARCHAR)), 1, 8))::BIGINT % {mod} = 0
+    ),
+    est AS (
+        SELECT l.flag, l.key, MIN(COALESCE(c.cnt, 0)) AS cms_n
+        FROM (SELECT cand.flag, cand.key, ds.d, {addr('cand.key')} AS w
+              FROM cand CROSS JOIN ds) l
+        LEFT JOIN counters c
+               ON l.flag = c.flag AND l.d = c.d AND l.w = c.w
+        GROUP BY l.flag, l.key
+    ),
+    hh AS (
+        SELECT e.flag, e.key, e.cms_n
+        FROM est e JOIN bars b ON e.flag = b.flag
+        WHERE e.cms_n >= b.need
+    ),
+    exact AS (
+        SELECT flag, key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM base GROUP BY flag, key
+    ),
+    th AS (
+        SELECT x.flag, x.key
+        FROM exact x JOIN bars b ON x.flag = b.flag
+        WHERE x.exact_n >= b.need
+    ),
+    th_n AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_true FROM th
+        GROUP BY flag
+    ),
+    missed AS (
+        SELECT t.flag, CAST(COUNT(*) AS BIGINT) AS n_missed
+        FROM th t LEFT JOIN hh ON t.flag = hh.flag AND t.key = hh.key
+        WHERE hh.key IS NULL GROUP BY t.flag
+    )
+    SELECT h.flag, h.key, CAST(h.cms_n AS BIGINT) AS cms_n, e.exact_n,
+           e.exact_n >= b.need AS truly_heavy,
+           tn.n_true AS n_true_heavies,
+           CAST(COALESCE(ms.n_missed, 0) AS BIGINT)
+               AS n_missed_true_heavies
+    FROM hh h
+    JOIN exact e ON h.flag = e.flag AND h.key = e.key
+    JOIN bars b ON h.flag = b.flag
+    JOIN th_n tn ON h.flag = tn.flag
+    LEFT JOIN missed ms ON h.flag = ms.flag
+    ORDER BY h.flag, h.key
+"""
+
+
+LLMDATA_ORACLES["t79_grouped_heavy_hitters"] = _t79_oracle()
+
+
 # t73: Z-ordered compaction — the relational half (the conjunctive
 # pruned-then-filtered read stays complete) recomputed from raw orders;
 # the transactional literals (8 hash-scattered files all scanned

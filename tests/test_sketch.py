@@ -432,3 +432,81 @@ def test_grouped_hist_rolls_up_to_global(spark):
     merged = sk.hist_merge(*halves, group_cols=["o_orderstatus"])
     assert merged.exceptAll(gh).count() == 0
     assert gh.exceptAll(merged).count() == 0
+
+
+def test_grouped_heavy_hitters_per_group_bars_and_guarantee(spark):
+    """group_cols=: each group is judged against its OWN bar
+    ceil(threshold·N_group).  'hot' reaches 50% only inside group g1;
+    in the much larger g2 the same absolute count is below the bar —
+    a global threshold could not express this.  Per-group one-sided
+    guarantee: every truly-heavy (group, key) is returned; estimates
+    never undercount; NULL groups never appear."""
+    rows = []
+    rid = 0
+    for grp, key, cnt in [
+        ("g1", "hot", 80), ("g1", "cold", 15),
+        ("g2", "hot", 80), ("g2", "big", 700), ("g2", "mid", 220),
+        (None, "hot", 50),  # NULL group: excluded entirely
+    ]:
+        for _ in range(cnt):
+            rows.append((grp, key, rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, k string, rid long")
+    out = {
+        (r.g, r.k): r.cms_count
+        for r in sk.cms_heavy_hitters(
+            df, ["k"], F.col("rid"), 0.5, sample_mod=2, width=512,
+            group_cols=["g"],
+        ).collect()
+    }
+    # g1: bar=48 -> hot(80) only; g2: bar=500 -> big(700) only
+    assert set(out) == {("g1", "hot"), ("g2", "big")}
+    assert out[("g1", "hot")] >= 80 and out[("g2", "big")] >= 700
+    # lower bar: g2 admits mid(220) at 0.2 (bar=200); hot(80) still
+    # out there, while g1's cold(15) stays under its bar of 19
+    out2 = {
+        (r.g, r.k)
+        for r in sk.cms_heavy_hitters(
+            df, ["k"], F.col("rid"), 0.2, sample_mod=2, width=512,
+            group_cols=["g"],
+        ).collect()
+    }
+    assert out2 == {("g1", "hot"), ("g2", "big"), ("g2", "mid")}
+    # n_total is a global-path-only shortcut
+    with pytest.raises(ValueError, match="n_total"):
+        sk.cms_heavy_hitters(
+            df, ["k"], F.col("rid"), 0.5, n_total=100, group_cols=["g"]
+        )
+
+
+def test_grouped_cms_state_bound_and_rollup_to_global(spark):
+    """Grouped counters stay within groups × depth × width rows, and —
+    because addresses hash the key only — summing the per-group
+    counters over the groups reproduces the global sketch COUNTER FOR
+    COUNTER (the t74 grouped-histogram mergeability discipline)."""
+    li = _li(spark).select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_partkey") % 100).cast("long").alias("k"),
+    )
+    depth, width = 4, 64
+    grouped = sk.cms_build(li, ["k"], depth, width, group_cols=["g"])
+    n_groups = li.select("g").distinct().count()
+    assert grouped.count() <= n_groups * depth * width
+    rolled = (
+        grouped.groupBy("d", "w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    glob = sk.cms_build(li, ["k"], depth, width)
+    assert rolled.exceptAll(glob).count() == 0
+    assert glob.exceptAll(rolled).count() == 0
+    # grouped merge of two shards == grouped sketch of the union
+    sh = [
+        sk.cms_build(
+            li.filter(F.col("k") % 2 == i), ["k"], depth, width,
+            group_cols=["g"],
+        )
+        for i in (0, 1)
+    ]
+    merged = sk.cms_merge(*sh, group_cols=["g"])
+    assert merged.exceptAll(grouped).count() == 0
+    assert grouped.exceptAll(merged).count() == 0
