@@ -91,6 +91,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t78_column_mapping": llmdata.t78_column_mapping,
         "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
         "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
+        "t80_product_quantization": llmdata.t80_product_quantization,
         # -- (a) r5-green gates, 3 rounds driver-stale ------------------
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
@@ -139,8 +140,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t60_classifier_training": llmdata.t60_classifier_training,
         "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
-        "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         # ---- driver window ends after the 50th entry above ------------
+        "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,
         "t65_quantized_knn": llmdata.t65_quantized_knn,

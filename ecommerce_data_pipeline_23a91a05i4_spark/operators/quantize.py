@@ -27,7 +27,7 @@ Determinism contract (the repo-wide cross-engine discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import quant
@@ -35,6 +35,14 @@ from .similarity import cosine
 
 #: symmetric int8 code range: [-QUANT_LEVELS, QUANT_LEVELS] fits tinyint
 QUANT_LEVELS = 127
+
+#: product-quantization defaults: 64 dims → 16 sub-spaces of 4 dims,
+#: 16 codewords each = 4 bits/code, 8 bytes/vector — ~32× smaller than
+#: the float64 corpus (SQ8's 8× is the floor; PQ is what makes
+#: billion-vector corpora cache-resident)
+PQ_M = 16
+PQ_KSUB = 16
+PQ_ITERS = 1
 
 
 def max_abs(vec: Column) -> Column:
@@ -174,3 +182,434 @@ def knn_quantized(
         )
     )
     return rank_topk(scored, k, "qcosine_sim")
+
+
+# ------------------------------------------------ product quantization
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance (the dot() fold
+    discipline: term order is the element order, initial 0.0 — IEEE-
+    identical in any engine that folds left, which is how the t80
+    oracle replays the whole k-means)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id, sub, svec): each vector split into ``m`` contiguous
+    sub-vectors of dim/m elements — one explode, no UDF."""
+    dsub = dim // m
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("vec"),
+        )
+        .select(
+            "id",
+            "sub",
+            F.slice(
+                F.col("vec"), F.col("sub") * dsub + 1, F.lit(dsub)
+            ).alias("svec"),
+        )
+    )
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Per (id, sub): the L2-nearest codeword — (id, sub, code[, svec]).
+    The ONE home of the PQ argmin tie-break (l2 ASC, code ASC), shared
+    by training and encoding so they cannot drift.  The codebook side
+    is m × ksub rows — broadcast by construction; the per-(id, sub)
+    window spans ksub rows, bounded whatever the corpus size."""
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        "id",
+        "sub",
+        "svec",
+        F.col("cluster_id").alias("code"),
+        _l2sq(F.col("svec"), F.col("centroid")).alias("d2"),
+    )
+    w = Window.partitionBy("id", "sub").orderBy(
+        F.asc("d2"), F.asc("code")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "sub", "code", "svec")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = None,
+) -> DataFrame:
+    """Train ``m`` product-quantization codebooks (Jégou, Douze,
+    Schmid 2011 — the published PQ design behind FAISS's IVFPQ): the
+    vector space is split into m sub-spaces and each gets its own
+    ksub-codeword L2 k-means codebook, so a vector encodes into m
+    small codes (log2(ksub) bits each) and distances are answered from
+    per-sub lookup tables without ever touching floats (knn_pq).
+
+    ALL m codebooks train in ONE DataFrame flow — no per-sub-space
+    driver loop: sub-vectors are one explode, seeding is one bounded
+    window over the md5-hash-sampled candidates (the _seed_centroids
+    discipline — the same ~SEED_OVERSAMPLE·ksub sampled ids seed every
+    sub-space, so the window partition is ≤ that many rows whatever
+    N), each k-means pass is one broadcast join + one bounded window +
+    one decimal-exact grouped mean (the ivf_train update discipline:
+    exact SUM, one cast, one IEEE division — SQL-replayable), and
+    empty codewords carry over via left join + coalesce.
+
+    ``train_mod``: md5-modulus sampled training (ivf_train(train_mod=)
+    — every pass costs O(N/train_mod); encode the full corpus against
+    the trained books afterwards).  Returns (sub int, cluster_id int,
+    centroid array<double>)."""
+    from .similarity import SEED_OVERSAMPLE, _seed_hkey
+
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    if train_mod is not None and int(train_mod) > 1:
+        v = v.filter(_seed_hkey(F.col("id")) % int(train_mod) == 0)
+    n = v.count()
+    if n == 0:
+        raise ValueError(
+            "pq_train: empty training set — lower train_mod or train "
+            "unsampled"
+        )
+    # (id, sub, svec) materialized once: reused by the seed stage and
+    # every training pass (the ivf_train cache-the-training-set rule)
+    sv = _subvectors(v, "id", "vec", m, dim).withColumn(
+        "hkey", _seed_hkey(F.col("id"))
+    ).localCheckpoint()
+    mod = max(1, n // (SEED_OVERSAMPLE * ksub))
+    cand = sv.filter(F.col("hkey") % mod == 0)
+    if mod > 1 and cand.select("id").distinct().limit(ksub).count() < ksub:
+        cand = sv  # deterministic short-sample fallback
+    w = Window.partitionBy("sub").orderBy("hkey", "id")
+    cents = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "sub",
+            (F.col("_rn") - 1).cast("int").alias("cluster_id"),
+            F.col("svec").cast("array<double>").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    dsub = dim // m
+    for _ in range(iters):
+        assigned = _pq_assign(sv.select("id", "sub", "svec"), cents)
+        upd = (
+            assigned.select(
+                "sub",
+                F.col("code").alias("cluster_id"),
+                F.posexplode("svec").alias("d", "val"),
+            )
+            .groupBy("sub", "cluster_id", "d")
+            # decimal-exact SUM, one cast, one IEEE division — the
+            # ivf_train cross-engine mean discipline
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+            .groupBy("sub", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mval"))),
+                    lambda s: s.mval,
+                ).alias("c_new")
+            )
+        )
+        cents = (
+            cents.join(upd, ["sub", "cluster_id"], "left")
+            .select(
+                "sub",
+                "cluster_id",
+                F.coalesce(F.col("c_new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's m nearest-codeword ids in
+    sub-space order — the 100 TB storage form (log2(ksub)·m bits per
+    vector; 8 bytes at the defaults vs 512 for float64, the ~32×
+    cache-residency lever).  Pure argmin through _pq_assign, so the
+    t80 oracle replays encoding verbatim."""
+    sv = _subvectors(vectors, id_col, vec_col, m, dim)
+    return (
+        _pq_assign(sv, codebooks)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s.code,
+            ).alias("codes")
+        )
+        .select(F.col("id").alias(id_col), "codes")
+    )
+
+
+def knn_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+    refine: int | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus:
+    (query_id, neighbor_id, rank, pq_cosine).  The published IVFADC
+    query shape: each query precomputes ONE m × ksub lookup table
+    (dot(q_sub, codeword) per cell, plus the codeword self-dots for
+    the reconstruction norm), and every candidate is scored by m table
+    lookups over its codes — the corpus side reads CODES ONLY, never a
+    float vector, so the scan+shuffle term is the 8-byte-per-vector
+    relation.  pq_cosine = table-summed dot(q, x̂) / (|q| · |x̂|) with
+    x̂ the codeword reconstruction — both folds run in fixed sub-space
+    order (zip_with + left fold), every op a single IEEE op, so the
+    oracle replays ranks bit-for-bit.  A degenerate all-zero
+    reconstruction scores 0.0 instead of raising under ANSI.
+
+    ``refine``: the published shortlist-then-refine composition
+    (FAISS's IVFADC+R): the ADC pass keeps the top ``refine``
+    candidates per query, then EXACT cosine re-ranks just those to the
+    final top-k (``pq_cosine`` is then the exact cosine).  Float
+    vectors are fetched for queries × refine rows only — a fixed
+    per-query cost however large the corpus, while recall@k rises to
+    the shortlist's containment rate (codes alone plateau on weakly
+    clustered data: 4-bit cells are coarser than the true top-k gaps).
+    ``refine`` must exceed ``k``.
+
+    ``codes``: a PRE-ENCODED (id, codes) relation (pq_encode output,
+    e.g. persisted in a TxTable) — the production entry point: with
+    codes supplied and ``refine=None``, the candidate side's float
+    vectors are never read at all (pinned by test); with refine, they
+    are read only for the shortlist join."""
+    enc = (
+        codes.select(F.col(id_col), "codes")
+        if codes is not None
+        else pq_encode(candidates, codebooks, m, dim, id_col, vec_col)
+    )
+    qs = _subvectors(queries, id_col, vec_col, m, dim)
+    from .similarity import dot, l2_norm, rank_topk
+
+    dt = qs.join(F.broadcast(codebooks), "sub").select(
+        F.col("id").alias("query_id"),
+        "sub",
+        F.col("cluster_id").alias("code"),
+        dot(F.col("svec"), F.col("centroid")).alias("pdot"),
+        dot(F.col("centroid"), F.col("centroid")).alias("pcc"),
+    )
+    # the per-query ADC table: tabs[sub+1][code+1] = dot(q_sub, c)
+    tabs = (
+        dt.groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "pdot"))),
+                lambda s: s.pdot,
+            ).alias("pd"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "pcc"))),
+                lambda s: s.pcc,
+            ).alias("pc"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "pd"))),
+                lambda s: s.pd,
+            ).alias("tabs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "pc"))),
+                lambda s: s.pc,
+            ).alias("ctabs"),
+        )
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+    )
+    tabs = tabs.join(qn, "query_id")
+
+    def fold_lookup(tab_col: str) -> Column:
+        # fixed sub-space order: zip the m tables with the m codes,
+        # look each cell up, left-fold — the deterministic ADC sum
+        return F.aggregate(
+            F.zip_with(
+                F.col(tab_col),
+                F.col("codes"),
+                lambda t, c: F.element_at(t, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc_dot = fold_lookup("tabs")
+    rnrm2 = fold_lookup("ctabs")
+    denom = F.col("qnrm") * F.sqrt(rnrm2)
+    scored = (
+        enc.crossJoin(F.broadcast(tabs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            quant(
+                F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    adc_dot / denom
+                ),
+                ndigits,
+            ).alias("pq_cosine"),
+        )
+    )
+    if refine is None:
+        return rank_topk(scored, k, "pq_cosine")
+    if refine <= k:
+        raise ValueError(
+            f"knn_pq: refine ({refine}) must exceed k ({k}) — the "
+            "shortlist is what the exact pass re-ranks"
+        )
+    shortlist = rank_topk(scored, refine, "pq_cosine").select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    refined = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias(
+                "pq_cosine"
+            ),
+        )
+    )
+    return rank_topk(refined, k, "pq_cosine")
+
+
+def knn_pq_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    dim: int = 64,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """PQ composed with the SRP coarse partitioner (the t69
+    IVF-in-front-of-codes discipline, codes now 4-bit PQ instead of
+    int8): candidates bucket by the SRP signature of their CODEWORD
+    RECONSTRUCTION — a pure function of the stored codes, so the
+    store still holds no floats — queries by their float vector, join
+    on bucket equality, rank by reconstruction cosine.  Per-query
+    work is a bucket, not the corpus; recall tuning is n_planes as in
+    knn_lsh (same shared hyperplanes)."""
+    from .similarity import _hyperplanes, lsh_signature, rank_topk
+
+    planes = _hyperplanes(dim, n_planes)
+    enc = pq_encode(candidates, codebooks, m, dim, id_col, vec_col)
+    recon = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(
+            F.broadcast(
+                codebooks.select(
+                    "sub", F.col("cluster_id").alias("code"), "centroid"
+                )
+            ),
+            ["sub", "code"],
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "centroid"))),
+                    lambda s: s.centroid,
+                )
+            ).alias("rvec")
+        )
+    )
+    c = recon.select(
+        "neighbor_id",
+        "rvec",
+        lsh_signature(F.col("rvec"), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    rnrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("rvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from .similarity import dot, l2_norm
+
+    denom = l2_norm(F.col("q_vec")) * rnrm
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(
+                F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                    dot(F.col("q_vec"), F.col("rvec")) / denom
+                ),
+                ndigits,
+            ).alias("pq_cosine"),
+        )
+    )
+    return rank_topk(scored, k, "pq_cosine")

@@ -3219,6 +3219,156 @@ def _t44b_oracle() -> str:
 LLMDATA_ORACLES["t44b_semdedup_sampled_training"] = _t44b_oracle()
 
 
+def _t80_oracle() -> str:
+    """DuckDB twin of the PQ pipeline (operators/quantize.pq_train /
+    pq_encode / knn_pq(refine=)): md5-sampled training half, per-sub
+    hash-seeded codebooks (the k (hkey, id)-smallest sampled
+    sub-vectors per sub-space), one L2 k-means pass (left-fold squared
+    distance, decimal-exact per-dim means, empty-codeword carryover),
+    full-corpus encoding through the SAME argmin (l2 ASC, code ASC),
+    per-query ADC tables, the sub-space-ordered lookup fold for
+    dot(q, x̂) and |x̂|², the ADC shortlist, and the exact-cosine
+    refine — every float op a fixed-order fold or one IEEE op (the
+    t44b discipline), so ranks match bit-for-bit."""
+    from ..operators.similarity import SEED_OVERSAMPLE
+    from .llmdata import (
+        PQ_GATE_ITERS,
+        PQ_GATE_K,
+        PQ_GATE_KSUB,
+        PQ_GATE_M,
+        PQ_GATE_REFINE,
+        PQ_GATE_TRAIN_MOD,
+    )
+
+    m, ksub, iters = PQ_GATE_M, PQ_GATE_KSUB, PQ_GATE_ITERS
+    dim = 64
+    dsub = dim // m
+    hkey = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dsub + 1}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+            "(x, y) -> x + y)"
+        )
+
+    fold = "list_reduce({l}, (x, y) -> x + y)"
+    sl = f"embedding[(sub * {dsub} + 1):((sub + 1) * {dsub})]"
+    ctes = [
+        f"subs AS (SELECT unnest(range(0, {m})) AS sub)",
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        # training half: the md5-modulus sample (pq_train(train_mod=))
+        f"vt AS (SELECT vec_id, embedding, {hkey} AS hkey FROM v "
+        f"WHERE {hkey} % {PQ_GATE_TRAIN_MOD} = 0)",
+        f"svt AS (SELECT vec_id, hkey, sub, {sl} AS svec "
+        "FROM vt CROSS JOIN subs)",
+        # per-sub seeds: hash-sample candidate ids (mod = max(1,
+        # n_train // (SEED_OVERSAMPLE·ksub)), full-sample fallback when
+        # short of ksub ids), then the ksub (hkey, id)-smallest per sub
+        f"sdm AS (SELECT GREATEST(1, COUNT(*) // {SEED_OVERSAMPLE * ksub})"
+        " AS md FROM vt)",
+        "cand AS (SELECT * FROM svt WHERE hkey % (SELECT md FROM sdm) = 0)",
+        "candf AS (SELECT * FROM cand WHERE "
+        f"(SELECT COUNT(DISTINCT vec_id) FROM cand) >= {ksub} "
+        "UNION ALL SELECT * FROM svt WHERE "
+        f"(SELECT COUNT(DISTINCT vec_id) FROM cand) < {ksub})",
+        "c0 AS (SELECT sub, cid, cvec FROM (SELECT sub, "
+        "ROW_NUMBER() OVER (PARTITION BY sub ORDER BY hkey, vec_id) - 1 "
+        "AS cid, list_transform(svec, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM candf) WHERE cid < {ksub})",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, sub, cid AS code FROM ("
+            "SELECT s.vec_id, s.sub, c.cid, ROW_NUMBER() OVER ("
+            "PARTITION BY s.vec_id, s.sub ORDER BY "
+            f"{l2sq('s.svec', 'c.cvec')} ASC, c.cid ASC) AS rn "
+            f"FROM svt s JOIN {prev} c ON s.sub = c.sub) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{r} AS (SELECT sub, code, d, "
+            "CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) "
+            "AS mval FROM (SELECT a.sub, a.code, "
+            f"unnest(range(1, {dsub + 1})) AS d, unnest(s.svec) AS val "
+            f"FROM a{r} a JOIN svt s ON a.vec_id = s.vec_id "
+            "AND a.sub = s.sub) GROUP BY sub, code, d)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT p.sub, p.cid, "
+            "COALESCE(n.centroid, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN (SELECT sub, code AS cid, "
+            f"list(mval ORDER BY d) AS centroid FROM u{r} "
+            "GROUP BY sub, code) n ON p.sub = n.sub AND p.cid = n.cid)"
+        )
+    cb = f"c{iters}"
+    ctes += [
+        # full-corpus encoding through the same argmin
+        f"sv AS (SELECT vec_id, sub, {sl} AS svec FROM v CROSS JOIN subs)",
+        "e AS (SELECT vec_id, sub, cid AS code FROM ("
+        "SELECT s.vec_id, s.sub, c.cid, ROW_NUMBER() OVER ("
+        "PARTITION BY s.vec_id, s.sub ORDER BY "
+        f"{l2sq('s.svec', 'c.cvec')} ASC, c.cid ASC) AS rn "
+        f"FROM sv s JOIN {cb} c ON s.sub = c.sub) WHERE rn = 1)",
+        # queries + per-query ADC tables
+        "q AS (SELECT vec_id, embedding, "
+        f"sqrt({_dot('embedding', 'embedding')}) AS qnrm FROM v "
+        "WHERE vec_id % 10 = 0)",
+        f"qs AS (SELECT vec_id AS qid, sub, {sl} AS qsv "
+        "FROM q CROSS JOIN subs)",
+        "dt AS (SELECT qs.qid, qs.sub, c.cid, "
+        f"{_dot('qs.qsv', 'c.cvec')} AS pdot, "
+        f"{_dot('c.cvec', 'c.cvec')} AS pcc "
+        f"FROM qs JOIN {cb} c ON qs.sub = c.sub)",
+        # the sub-space-ordered ADC folds (Spark: zip_with + left fold)
+        "sc AS (SELECT qid, nid, "
+        + fold.format(l="list(pdot ORDER BY sub)")
+        + " AS ds, "
+        + fold.format(l="list(pcc ORDER BY sub)")
+        + " AS rn2 FROM (SELECT d.qid, e.vec_id AS nid, e.sub, d.pdot, "
+        "d.pcc FROM e JOIN dt d ON e.sub = d.sub AND e.code = d.cid) "
+        "GROUP BY qid, nid)",
+        "adc AS (SELECT s.qid, s.nid, "
+        + SQL_QUANT(
+            "CASE WHEN q.qnrm * sqrt(s.rn2) = 0 THEN 0.0 "
+            "ELSE s.ds / (q.qnrm * sqrt(s.rn2)) END",
+            6,
+        )
+        + " AS pq_cosine FROM sc s JOIN q ON s.qid = q.vec_id "
+        "WHERE s.nid <> s.qid)",
+        "shortlist AS (SELECT qid, nid FROM (SELECT qid, nid, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pq_cosine DESC, "
+        f"nid ASC) AS rnk FROM adc) WHERE rnk <= {PQ_GATE_REFINE})",
+        # exact-cosine refine over the shortlist only
+        "refined AS (SELECT s.qid, s.nid, "
+        + SQL_QUANT(
+            _dot("qv.embedding", "cv.embedding")
+            + f" / (qv.qnrm * sqrt({_dot('cv.embedding', 'cv.embedding')}))",
+            6,
+        )
+        + " AS pq_cosine FROM shortlist s "
+        "JOIN q qv ON s.qid = qv.vec_id "
+        "JOIN v cv ON s.nid = cv.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(rnk AS BIGINT) AS rank, pq_cosine
+    FROM (SELECT qid, nid, pq_cosine, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY pq_cosine DESC, nid ASC) AS rnk
+          FROM refined)
+    WHERE rnk <= {PQ_GATE_K}
+    ORDER BY query_id, rank
+"""
+    )
+
+
+LLMDATA_ORACLES["t80_product_quantization"] = _t80_oracle()
+
+
 # t77: shallow clone — the source's final state IS the raw corpus
 # (never written after init); the clone's is corpus minus the % 7 band
 # plus the derived % 3 batch.  The metadata pins (clone v1 references
