@@ -80,12 +80,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # displacing the newest (b) entries below the marker.  (c) past the
 # window: the remaining r6-greens (t66 onward) are next in line for
 # ROUND 9, followed by (d) round 7's own 50.
-# ROUND-9 PLAN: window = any round-8 gates that missed this window,
-# then the 35 remaining r6-green gates (t66...t18), then the oldest
-# r7-greens (t19, t1-t7, q17, q20-q24, q11) to fill 50.  With 135+
-# gates and a 50-slot window, full-registry freshness cycles every
-# ~2.7 rounds; the all-gate pytest twin (tests/test_oracle_parity.py)
-# runs every session regardless.
+# ROUND-9 PLAN: window = the 39 remaining r6-green gates (t62b, t63,
+# t64, t65 — displaced below the marker by round 8's four new gates
+# t78/s15/t79/t80 — then t66...t18), then the oldest r7-greens (t19,
+# t1-t7, q17, q20...) to fill 50.  With 139 gates and a 50-slot
+# window, full-registry freshness cycles every ~2.8 rounds; the
+# all-gate pytest twin (tests/test_oracle_parity.py) runs every
+# session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (0) new round-8 gates: zero driver evidence, head of window -
         "t78_column_mapping": llmdata.t78_column_mapping,

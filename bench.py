@@ -670,6 +670,173 @@ def run_matview_scale_probe(
     return {"sf_dir": sf_dir, "points": points}
 
 
+#: replication factor of the cached sf1 evidence dir (sf0.1 × 10)
+SF1_FACTOR = 10
+
+
+def ensure_scaled_dir(
+    spark, src_dir: str, dst_dir: str, factor: int = SF1_FACTOR
+) -> str:
+    """Materialize (once — marker-cached across rounds) a ``factor``×
+    replica of the sf0.1 tables with CONSISTENT foreign-key remapping,
+    giving a REAL order-of-magnitude evidence point (~6M lineitem ≈
+    TPC-H SF1) instead of only the probes' synthetic in-plan unions
+    (VERDICT r7 ask #2).  Replica r shifts every key by r·span(table)
+    — the scale-probe discipline — so join multiplicities per key are
+    PRESERVED: orders reference the customer replica they came from,
+    lineitem the orders/part/supplier replicas.  Embeddings get the
+    semdedup-probe dim-0 perturbation (identical replicas would be
+    wall-to-wall near-dups).  nation/region keep TPC-H's fixed size;
+    events/documents copy through so any gate can run against the
+    dir."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(dst_dir, "_SCALED_OK")
+    if os.path.exists(marker):
+        return dst_dir
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def src(name: str):
+        return spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+
+    def span(df, key: str) -> int:
+        mx = df.agg(F.max(key)).collect()[0][0]
+        if mx is None:
+            raise RuntimeError(f"ensure_scaled_dir: {key} is all-NULL")
+        return int(mx) + 1
+
+    cust, part, supp = src("customer"), src("part"), src("supplier")
+    orders, li, emb = src("orders"), src("lineitem"), src("embeddings")
+    sp_c, sp_p = span(cust, "c_custkey"), span(part, "p_partkey")
+    sp_s, sp_o = span(supp, "s_suppkey"), span(orders, "o_orderkey")
+    sp_v = span(emb, "vec_id")
+
+    def shift(col: str, sp: int):
+        return (F.col(col) + F.col("_r").cast("long") * sp).alias(col)
+
+    def write(df, name: str):
+        df.drop("_r").repartition(n_files).write.parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+
+    write(
+        _with_replicas(cust, factor).select(
+            shift("c_custkey", sp_c), "c_name", "c_nationkey",
+            "c_acctbal", "c_mktsegment", "_r",
+        ),
+        "customer",
+    )
+    write(
+        _with_replicas(part, factor).select(
+            shift("p_partkey", sp_p), "p_name", "p_brand", "p_type",
+            "p_size", "p_retailprice", "_r",
+        ),
+        "part",
+    )
+    write(
+        _with_replicas(supp, factor).select(
+            shift("s_suppkey", sp_s), "s_name", "s_nationkey",
+            "s_acctbal", "_r",
+        ),
+        "supplier",
+    )
+    write(
+        _with_replicas(orders, factor).select(
+            shift("o_orderkey", sp_o), shift("o_custkey", sp_c),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority", "_r",
+        ),
+        "orders",
+    )
+    write(
+        _with_replicas(li, factor).select(
+            shift("l_orderkey", sp_o), shift("l_partkey", sp_p),
+            shift("l_suppkey", sp_s), "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate", "_r",
+        ),
+        "lineitem",
+    )
+    write(
+        _with_replicas(emb, factor).select(
+            shift("vec_id", sp_v),
+            F.concat(
+                F.array(
+                    F.element_at("embedding", 1)
+                    + F.col("_r").cast("float") * F.lit(0.01)
+                ),
+                F.slice("embedding", 2, 10_000),
+            ).alias("embedding"),
+            "label",
+            "_r",
+        ),
+        "embeddings",
+    )
+    for name in ("nation", "region", "events", "documents"):
+        shutil.copy(
+            os.path.join(src_dir, f"{name}.parquet"),
+            os.path.join(dst_dir, f"{name}.parquet"),
+        )
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} src={src_dir}\n")
+    return dst_dir
+
+
+def run_sf1_block(
+    spark, sf_dir: str, queries, timings: dict, errors: dict
+) -> dict:
+    """The sf1 evidence point: q1–q10 timed (warm + best-of-3 each) on
+    the cached 10× dir, per-query ratios against 10× the sf0.1 time
+    (linear scaling would be 1.0; the acceptance bar is ≤ 2), plus the
+    semdedup/sketch/matview probes' 1× points — real-data throughput
+    at ~6M fact rows rather than a synthetic union."""
+    sf1_dir = ensure_scaled_dir(
+        spark,
+        sf_dir,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"
+        ),
+    )
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — a hint, never load-bearing
+        pass
+    q_sf1: dict[str, float] = {}
+    for name in headline_names(queries):
+        try:
+            df = queries[name](spark, sf1_dir)
+            q_sf1[name] = round(_best_of(df.collect, n=3), 4)
+        except Exception as exc:  # noqa: BLE001 — partial block > no block
+            errors[f"__sf1_{name}__"] = f"{type(exc).__name__}: {exc}"[:500]
+    block: dict = {
+        "factor_vs_sf0.1": SF1_FACTOR,
+        "queries_sec": q_sf1,
+        "headline_total_sec": round(sum(q_sf1.values()), 4),
+    }
+    ratios = {
+        n: round(q_sf1[n] / (SF1_FACTOR * timings[n]), 2)
+        for n in q_sf1
+        if timings.get(n)
+    }
+    if ratios:
+        block["per_query_vs_sf0.1_scaled"] = ratios
+        block["max_vs_scaled"] = max(ratios.values())
+    for nm, fn_p in (
+        ("semdedup", run_semdedup_scale_probe),
+        ("sketch", run_sketch_scale_probe),
+        ("matview", run_matview_scale_probe),
+    ):
+        try:
+            block[nm] = fn_p(spark, sf1_dir, factors=())
+        except Exception as exc:  # noqa: BLE001 — partial block > no block
+            errors[f"__sf1_{nm}__"] = f"{type(exc).__name__}: {exc}"[:500]
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -848,6 +1015,16 @@ def main() -> None:
     # COMPOSED path is visible round-over-round, not just per-gate.
     capstone_sec = timings.get("t38_curation_v2")
 
+    # sf1 evidence point (VERDICT r7 ask #2): a REAL 10× dir (cached
+    # across rounds), run last so a failure here can never cost the
+    # sf0.1 record; SPARK_GRAFT_SF1=0 skips it.
+    sf1_block: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        try:
+            sf1_block = run_sf1_block(spark, sf_dir, queries, timings, errors)
+        except Exception as exc:  # noqa: BLE001 — never forfeit the line
+            errors["__sf1__"] = f"{type(exc).__name__}: {exc}"[:500]
+
     out = {
         "metric": "ref_analytics10_total_seconds",
         "value": total,
@@ -860,6 +1037,7 @@ def main() -> None:
         "pipeline_sf_ref_steps_sec": steps,
         "pipeline_sf_ref_ok": pipeline_ok,
         "scale_probe": probe,
+        "sf1": sf1_block,
         "sf": sf,
     }
     if errors:
@@ -891,22 +1069,38 @@ def main() -> None:
         "headline_incomplete": bool(failed_headline),
         "sf": sf,
     }
-    probe_points = probe.get("points", {})
-    for k, v in probe_points.items():
+    # Probe points publish ABSOLUTE seconds + throughput alongside the
+    # ratios (VERDICT r7 "What's wrong" #1: a ratio moves when its 1x
+    # DENOMINATOR jitters — r7's sketch 2.19→2.78 "regression" was a
+    # faster 1x; the absolutes had improved).  Every point, 1x included.
+    for k, v in probe.get("points", {}).items():
+        tail[f"scale_probe_{k}_sec"] = v["sec"]
+        tail[f"scale_probe_{k}_rows_per_sec"] = v["rows_per_sec"]
         if k != "1x":
             tail[f"scale_probe_{k}_slowdown"] = v["slowdown_vs_1x"]
     for k, v in probe.get("llm", {}).get("points", {}).items():
+        tail[f"scale_probe_llm_{k}_sec"] = v["sec"]
+        tail[f"scale_probe_llm_{k}_docs_per_sec"] = v["docs_per_sec"]
         if k != "1x":
             tail[f"scale_probe_llm_{k}_slowdown"] = v["slowdown_vs_1x"]
     for k, v in probe.get("curation", {}).get("points", {}).items():
+        tail[f"scale_probe_curation_{k}_sec"] = v["sec"]
+        tail[f"scale_probe_curation_{k}_docs_per_sec"] = v["docs_per_sec"]
         if k != "1x":
             tail[f"scale_probe_curation_{k}_slowdown"] = v["slowdown_vs_1x"]
     for k, v in probe.get("bpe", {}).get("points", {}).items():
+        tail[f"bpe_{k}_sec"] = v["sec"]
         tail[f"bpe_{k}_merges_per_sec"] = v["merges_per_sec"]
     for k, v in probe.get("semdedup", {}).get("points", {}).items():
+        tail[f"scale_probe_semdedup_{k}_sec"] = v["sec"]
+        tail[f"scale_probe_semdedup_{k}_vectors_per_sec"] = v[
+            "vectors_per_sec"
+        ]
         if k != "1x":
             tail[f"scale_probe_semdedup_{k}_slowdown"] = v["slowdown_vs_1x"]
     for k, v in probe.get("sketch", {}).get("points", {}).items():
+        tail[f"sketch_{k}_sec"] = v["sketch_sec"]
+        tail[f"sketch_{k}_exact_sec"] = v["exact_sec"]
         if k != "1x":
             tail[f"scale_probe_sketch_{k}_slowdown"] = v[
                 "sketch_slowdown_vs_1x"
@@ -915,6 +1109,8 @@ def main() -> None:
                 v["exact_state_rows"] / max(v["sketch_state_rows"], 1), 1
             )
     for k, v in probe.get("matview", {}).get("points", {}).items():
+        tail[f"matview_{k}_refresh_sec"] = v["refresh_sec"]
+        tail[f"matview_{k}_recompute_sec"] = v["recompute_sec"]
         if k != "1x":
             tail[f"matview_{k}_refresh_slowdown"] = v[
                 "refresh_slowdown_vs_1x"
@@ -922,6 +1118,19 @@ def main() -> None:
             tail[f"matview_{k}_recompute_slowdown"] = v[
                 "recompute_slowdown_vs_1x"
             ]
+    if sf1_block:
+        tail["sf1_headline_total_sec"] = sf1_block.get("headline_total_sec")
+        tail["sf1_max_vs_scaled"] = sf1_block.get("max_vs_scaled")
+        for nm, key in (
+            ("semdedup", "vectors_per_sec"),
+            ("sketch", "sketch_sec"),
+        ):
+            pt = sf1_block.get(nm, {}).get("points", {}).get("1x", {})
+            if pt:
+                tail[f"sf1_{nm}_{key}"] = pt.get(key)
+        mv = sf1_block.get("matview", {}).get("points", {}).get("1x", {})
+        if mv:
+            tail["sf1_matview_refresh_sec"] = mv.get("refresh_sec")
     tail["capstone_sec"] = capstone_sec
     print(json.dumps(tail))
 
