@@ -61,6 +61,22 @@ def _materialize(spark, df, path: str, n_files: int):
     return spark.read.parquet(path)
 
 
+def _perturbed_embedding(fac_col: str = "_r"):
+    """The ONE replica perturbation for embedding corpora (shared by
+    the semdedup probe and the sf1 dir): dim 0 shifted by replica·0.01
+    — identical replicas would be wall-to-wall near-dups, a different
+    workload than the one being scaled."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.array(
+            F.element_at("embedding", 1)
+            + F.col(fac_col).cast("float") * F.lit(0.01)
+        ),
+        F.slice("embedding", 2, 10_000),
+    ).alias("embedding")
+
+
 def headline_names(names) -> list[str]:
     """The q1-q10 reference-suite subset of the query names — tolerant of
     any naming (q22b, t-gates, s-gates) so a new gate can never crash
@@ -462,13 +478,7 @@ def run_semdedup_scale_probe(
                 (F.col("vec_id") + F.col("_r").cast("long") * span).alias(
                     "vec_id"
                 ),
-                F.concat(
-                    F.array(
-                        F.element_at("embedding", 1)
-                        + F.col("_r").cast("float") * F.lit(0.01)
-                    ),
-                    F.slice("embedding", 2, 10_000),
-                ).alias("embedding"),
+                _perturbed_embedding(),
             )
             emb_fac = _materialize(spark, rep, e_path, n_files)
             n = base_n * fac
@@ -694,8 +704,26 @@ def ensure_scaled_dir(
     from pyspark.sql import functions as F
 
     marker = os.path.join(dst_dir, "_SCALED_OK")
+    # the cache is only valid for THIS factor and THIS source state —
+    # a regenerated testdata dir or a different factor must rebuild,
+    # or the published sf1 ratios would divide fresh sf0.1 timings
+    # into timings measured on mismatched cached data
+    stamp = json.dumps(
+        {
+            "factor": factor,
+            "src": src_dir,
+            "src_mtime": round(
+                os.path.getmtime(
+                    os.path.join(src_dir, "lineitem.parquet")
+                )
+            ),
+        },
+        sort_keys=True,
+    )
     if os.path.exists(marker):
-        return dst_dir
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return dst_dir
     shutil.rmtree(dst_dir, ignore_errors=True)
     os.makedirs(dst_dir, exist_ok=True)
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -764,13 +792,7 @@ def ensure_scaled_dir(
     write(
         _with_replicas(emb, factor).select(
             shift("vec_id", sp_v),
-            F.concat(
-                F.array(
-                    F.element_at("embedding", 1)
-                    + F.col("_r").cast("float") * F.lit(0.01)
-                ),
-                F.slice("embedding", 2, 10_000),
-            ).alias("embedding"),
+            _perturbed_embedding(),
             "label",
             "_r",
         ),
@@ -782,7 +804,7 @@ def ensure_scaled_dir(
             os.path.join(dst_dir, f"{name}.parquet"),
         )
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} src={src_dir}\n")
+        fh.write(stamp)
     return dst_dir
 
 

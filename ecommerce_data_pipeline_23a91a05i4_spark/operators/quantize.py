@@ -207,8 +207,22 @@ def _subvectors(
     df: DataFrame, id_col: str, vec_col: str, m: int, dim: int
 ) -> DataFrame:
     """(id, sub, svec): each vector split into ``m`` contiguous
-    sub-vectors of dim/m elements — one explode, no UDF."""
+    sub-vectors of dim/m elements — one explode, no UDF.  An in-plan
+    guard (the sketch-module _geometry_guard discipline) raises when a
+    vector's ACTUAL length differs from ``dim`` — without it a wrong
+    dim would silently slice a prefix and every downstream rank would
+    be confidently wrong (self-review r8)."""
     dsub = dim // m
+    bad = F.when(
+        F.size(F.col("vec")) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit("pq: vector of length "),
+                F.size(F.col("vec")).cast("string"),
+                F.lit(f" but the operator was called with dim={dim}"),
+            )
+        ).cast("int"),
+    )  # NULL when the length is right; raises before any slice is used
     return (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .select(
@@ -220,7 +234,9 @@ def _subvectors(
             "id",
             "sub",
             F.slice(
-                F.col("vec"), F.col("sub") * dsub + 1, F.lit(dsub)
+                F.col("vec"),
+                F.col("sub") * dsub + 1 + F.coalesce(bad, F.lit(0)),
+                F.lit(dsub),
             ).alias("svec"),
         )
     )
@@ -551,7 +567,13 @@ def knn_pq_lsh(
     on bucket equality, rank by reconstruction cosine.  Per-query
     work is a bucket, not the corpus; recall tuning is n_planes as in
     knn_lsh (same shared hyperplanes)."""
-    from .similarity import _hyperplanes, lsh_signature, rank_topk
+    from .similarity import (
+        _hyperplanes,
+        dot,
+        l2_norm,
+        lsh_signature,
+        rank_topk,
+    )
 
     planes = _hyperplanes(dim, n_planes)
     enc = pq_encode(candidates, codebooks, m, dim, id_col, vec_col)
@@ -588,16 +610,7 @@ def knn_pq_lsh(
         F.col(vec_col).alias("q_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    rnrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("rvec"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    from .similarity import dot, l2_norm
-
-    denom = l2_norm(F.col("q_vec")) * rnrm
+    denom = l2_norm(F.col("q_vec")) * l2_norm(F.col("rvec"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

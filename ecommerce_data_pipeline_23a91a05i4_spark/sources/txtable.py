@@ -398,12 +398,22 @@ class TxTable:
         column mapping expects.  Stats are keyed by PHYSICAL name —
         the key that survives renames."""
         phys = mapping or {}
-        # logical-named stats columns resolved BEFORE the physical flip
-        scols = [c for c in self.stats_cols if c in df.columns]
         if any(phys.get(c, c) != c for c in df.columns):
             df = df.select(
                 [F.col(c).alias(phys.get(c, c)) for c in df.columns]
             )
+        # stats columns resolve against the PHYSICAL frame: a handle
+        # configured with the column's CURRENT logical name maps through
+        # ``mapping``; one configured with a pre-rename name falls
+        # through identity — which IS the physical name the rename froze
+        # — so stats keep being recorded either way (self-review r8: the
+        # pre-flip logical check silently staged stat-less files after a
+        # rename when the handle still held the old name)
+        scols = []
+        for s in self.stats_cols:
+            p = phys.get(s, s)
+            if p in df.columns and p not in scols:
+                scols.append(p)
         if partition_by is not None:
             partition_by = phys.get(partition_by, partition_by)
         commit_dir = posixpath.join(self.path, DATA_DIR, f"c-{uuid.uuid4().hex}")
@@ -435,7 +445,7 @@ class TxTable:
             entries.append(
                 {"path": posixpath.join(rel_commit, rel), "part": part}
             )
-        pcols = [phys.get(c, c) for c in scols]
+        pcols = scols  # already physical (resolved above)
         if pcols and entries:
             # ONE distributed pass over the freshly staged files whatever
             # the column count: per-file min/max of every stats column
@@ -808,7 +818,9 @@ class TxTable:
             f"drop_column on {self.path} lost {max_retries} commit races"
         )
 
-    def purge_dropped_columns(self, n_files: int | None = None) -> int:
+    def purge_dropped_columns(
+        self, n_files: int | None = None, max_retries: int = 5
+    ) -> int:
         """The hard-delete escalation for drop_column: rewrite the
         CURRENT snapshot so the new files physically contain only the
         mapped columns — dropped columns' bytes exist nowhere in the
@@ -817,20 +829,30 @@ class TxTable:
         destroy the old files once retention allows, completing the
         column-level takedown.  Keeps the file count (or ``n_files``)
         and the current mapping — logical names, stats keys, and any
-        later rename semantics are unchanged."""
-        m = self.manifest()
-        if n_files is None:
-            n_files = max(1, len(m["files"]))
-        pcol = m.get("partition_by")
-        df = self.snapshot(m["version"])
-        if pcol is None:
-            df = df.repartition(n_files)
-        return self._commit(
-            self._stage(df, pcol, _col_mapping(m)),
-            "purge_columns",
-            m["version"],
-            StructType.fromJson(json.loads(m["schema"])),
-            pcol,
+        later rename semantics are unchanged.  Concurrent commits are
+        absorbed by recompute-and-retry (the delete() discipline — the
+        rewrite must restate whatever the new head holds; the losing
+        attempt's staged files are vacuum()-collected garbage)."""
+        for _ in range(max_retries):
+            m = self.manifest()
+            files = max(1, len(m["files"])) if n_files is None else n_files
+            pcol = m.get("partition_by")
+            df = self.snapshot(m["version"])
+            if pcol is None:
+                df = df.repartition(files)
+            try:
+                return self._commit(
+                    self._stage(df, pcol, _col_mapping(m)),
+                    "purge_columns",
+                    m["version"],
+                    StructType.fromJson(json.loads(m["schema"])),
+                    pcol,
+                )
+            except CommitConflict:
+                continue  # re-derive against the new snapshot
+        raise CommitConflict(
+            f"purge_dropped_columns on {self.path} lost {max_retries} "
+            "commit races"
         )
 
     def restore(self, version: int, max_retries: int = 5) -> int:
@@ -1526,6 +1548,16 @@ class TxTableStreamSink:
             raise ValueError("small_file_limit must be >= 1")
         if compact_target_files < 1:
             raise ValueError("compact_target_files must be >= 1")
+        if (
+            small_file_limit is not None
+            and compact_target_files >= small_file_limit
+        ):
+            raise ValueError(
+                f"compact_target_files ({compact_target_files}) must be "
+                f"< small_file_limit ({small_file_limit}): compacting TO "
+                "at-or-above the trigger threshold would rewrite the "
+                "whole table after every micro-batch"
+            )
         if zorder_by is not None and small_file_limit is None:
             raise ValueError(
                 "zorder_by without small_file_limit: auto-compaction "

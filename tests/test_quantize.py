@@ -254,3 +254,19 @@ def test_pq_lsh_buckets_and_recall_floor(spark):
     ).count()
     assert hits / total >= 0.15  # bucket-restricted floor, n_planes=2
     assert out.count() > 0
+
+
+def test_pq_dim_mismatch_fails_loudly(spark):
+    """A wrong dim must raise, never silently slice a prefix and
+    return confidently wrong neighbors (self-review r8)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    emb = _emb(spark)
+    with _pytest.raises(Exception, match="dim=32|SparkRuntimeException"):
+        qz.pq_train(emb, m=16, dim=32).collect()
+    books = qz.pq_train(emb, train_mod=4)
+    with _pytest.raises((Py4JJavaError, Exception)):
+        qz.pq_encode(emb, books, m=8, dim=32).collect()
+    with _pytest.raises(ValueError, match="not divisible"):
+        qz.pq_train(emb, m=7, dim=64)

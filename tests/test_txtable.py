@@ -1070,6 +1070,20 @@ def test_stats_keep_pruning_across_rename(spark, tmp_path):
         t2.prune_counts("k", 5, 5)
     rows = t2.snapshot(prune=("id", 5, 5)).filter(F.col("id") == 5)
     assert rows.count() == 1
+    # a handle still configured with the OLD logical name keeps
+    # recording stats on appends: the stale name falls through to the
+    # physical name the rename froze (self-review r8 — it used to
+    # silently stage stat-less, forever-unprunable files)
+    t.append(
+        spark.range(100, 200)
+        .select(F.col("id").alias("id"), F.lit("y").alias("v"))
+        .repartition(4, "id")
+    )
+    scanned2, total2 = t2.prune_counts("id", 5, 5)
+    assert total2 == total0 + 4 and scanned2 == scanned0
+    assert all(
+        "stats" in e for e in t.manifest()["files"]
+    )  # every entry carries stats, pre- and post-rename alike
 
 
 def test_clone_restore_and_matview_carry_mapping(spark, tmp_path):
@@ -1125,3 +1139,6 @@ def test_stream_sink_autocompaction_bounds_files_and_keeps_exactly_once(
         TxTableStreamSink(t, small_file_limit=0)
     with pytest.raises(ValueError, match="zorder_by"):
         TxTableStreamSink(t, zorder_by=["k"])
+    # target >= limit would rewrite the whole table every micro-batch
+    with pytest.raises(ValueError, match="compact_target_files"):
+        TxTableStreamSink(t, small_file_limit=3, compact_target_files=3)
