@@ -108,3 +108,18 @@ def approx_distinct(col: Column, rsd: float = 0.01) -> Column:
     option).  Not used in oracle-gated queries (approximation has no
     cross-engine twin); callers opt in per query."""
     return F.approx_count_distinct(col, rsd)
+
+
+def plan_guard(fire: Column, *message: Column) -> Column:
+    """In-plan validation: NULL when ``fire`` is false, raise_error
+    with the concatenated ``message`` columns when true — designed to
+    be F.coalesce()-folded into the expression whose value the guard
+    protects, so validation costs ZERO extra jobs and fails before any
+    guarded value can be consumed.  The shared home of the idiom
+    sketch._geometry_guard and quantize._subvectors both use (a NULL
+    ``fire`` is treated as false — make NULL-input misuse explicit in
+    the condition, e.g. via coalesce, when NULL must also fire)."""
+    return F.when(
+        F.coalesce(fire, F.lit(False)),
+        F.raise_error(F.concat(*message)),
+    )

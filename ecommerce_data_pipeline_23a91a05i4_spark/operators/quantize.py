@@ -208,35 +208,42 @@ def _subvectors(
 ) -> DataFrame:
     """(id, sub, svec): each vector split into ``m`` contiguous
     sub-vectors of dim/m elements — one explode, no UDF.  An in-plan
-    guard (the sketch-module _geometry_guard discipline) raises when a
-    vector's ACTUAL length differs from ``dim`` — without it a wrong
-    dim would silently slice a prefix and every downstream rank would
-    be confidently wrong (self-review r8)."""
+    guard (the shared exprs.plan_guard idiom) raises when a vector's
+    ACTUAL length differs from ``dim`` — without it a wrong dim would
+    silently slice a prefix and every downstream rank would be
+    confidently wrong (self-review r8).  A NULL vector fires the same
+    guard (size(NULL) is NULL; coalesced to -1): left through, it
+    would encode as codeword 0 in every sub-space — NULLs-first argmin
+    — and rank as if it were the cluster-0 reconstruction."""
+    from ..functions.exprs import plan_guard
+
     dsub = dim // m
-    bad = F.when(
-        F.size(F.col("vec")) != dim,
-        F.raise_error(
-            F.concat(
-                F.lit("pq: vector of length "),
-                F.size(F.col("vec")).cast("string"),
-                F.lit(f" but the operator was called with dim={dim}"),
-            )
-        ).cast("int"),
-    )  # NULL when the length is right; raises before any slice is used
+    bad = plan_guard(
+        F.coalesce(F.size(F.col("vec")), F.lit(-1)) != dim,
+        F.lit("pq: vector of length "),
+        F.coalesce(F.size(F.col("vec")).cast("string"), F.lit("NULL")),
+        F.lit(f" but the operator was called with dim={dim}"),
+    ).cast("int")
+    # the guard rides the SEQUENCE BOUND, not the slice start: slice()
+    # is null-intolerant and short-circuits on a NULL vector without
+    # evaluating its start argument, which would let NULL vectors sail
+    # through; sequence's bounds always evaluate
     return (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .select(
             "id",
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.lit(m - 1) + F.coalesce(bad, F.lit(0))
+                )
+            ).alias("sub"),
             F.col("vec"),
         )
         .select(
             "id",
             "sub",
             F.slice(
-                F.col("vec"),
-                F.col("sub") * dsub + 1 + F.coalesce(bad, F.lit(0)),
-                F.lit(dsub),
+                F.col("vec"), F.col("sub") * dsub + 1, F.lit(dsub)
             ).alias("svec"),
         )
     )

@@ -285,21 +285,21 @@ def _geometry_guard(value: Column, bound: int, what: str) -> Column:
     reads no estimated values and skips validation with them (Catalyst
     column pruning); the contract is that mismatches fail before any
     estimated VALUE can be consumed, not that every degenerate
-    projection of the relation revalidates geometry."""
-    return F.when(
+    projection of the relation revalidates geometry.  Thin wrapper
+    over the shared exprs.plan_guard idiom (quantize._subvectors is
+    the other user)."""
+    from ..functions.exprs import plan_guard
+
+    return plan_guard(
         value >= F.lit(bound),
-        F.raise_error(
-            F.concat(
-                F.lit(f"{what}: sketch addresses cell "),
-                value.cast("string"),
-                F.lit(
-                    f" but the estimate was called with a bound of "
-                    f"{bound} — build and estimate must share the same "
-                    "geometry parameters"
-                ),
-            )
-        ).cast("long"),
-    )
+        F.lit(f"{what}: sketch addresses cell "),
+        value.cast("string"),
+        F.lit(
+            f" but the estimate was called with a bound of "
+            f"{bound} — build and estimate must share the same "
+            "geometry parameters"
+        ),
+    ).cast("long")
 
 
 def cms_build(

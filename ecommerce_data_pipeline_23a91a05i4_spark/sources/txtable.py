@@ -1520,7 +1520,10 @@ class TxTableStreamSink:
     generator on manifest tables, and without periodic compaction the
     manifest — and every scan's file-open count — grows one entry per
     batch forever.  After any batch commit that leaves the manifest
-    holding >= small_file_limit file entries, the sink issues a
+    grown >= small_file_limit file entries past the LAST compaction's
+    result (a growth trigger, so a partitioned table whose compacted
+    form keeps one file per partition value is not rewritten every
+    batch), the sink issues a
     ``compact(compact_target_files, zorder_by=...)`` commit.  The
     composition preserves every existing contract for free: compaction
     inherits the parent manifest's ``stream_floors`` (every commit
@@ -1544,8 +1547,11 @@ class TxTableStreamSink:
                 f"app_id {app_id!r} must be non-empty and ':'-free (it "
                 "is embedded in the manifest op field)"
             )
-        if small_file_limit is not None and small_file_limit < 1:
-            raise ValueError("small_file_limit must be >= 1")
+        if small_file_limit is not None and small_file_limit < 2:
+            raise ValueError(
+                "small_file_limit must be >= 2 (a 1-file floor would "
+                "trigger a rewrite after every micro-batch)"
+            )
         if compact_target_files < 1:
             raise ValueError("compact_target_files must be >= 1")
         if (
@@ -1563,11 +1569,26 @@ class TxTableStreamSink:
                 "zorder_by without small_file_limit: auto-compaction "
                 "is off, so the Z-order spec would never apply"
             )
+        if zorder_by is not None and table.latest_version() is not None:
+            # fail at CONSTRUCTION, not N batches into production:
+            # compact(zorder_by=) refuses partitioned layouts, and that
+            # ValueError would otherwise escape _maybe_compact mid-run
+            if table.manifest().get("partition_by") is not None:
+                raise ValueError(
+                    "zorder_by on a PARTITIONED table: compact(zorder_by="
+                    "...) refuses partitioned layouts (the partition "
+                    "column already dictates file grouping)"
+                )
         self.table = table
         self.app_id = app_id
         self.small_file_limit = small_file_limit
         self.compact_target_files = compact_target_files
         self.zorder_by = list(zorder_by) if zorder_by else None
+        # file count right after OUR last compact (0 = never compacted):
+        # the trigger is GROWTH past the floor, not the absolute count —
+        # a partitioned table whose compacted form keeps >= limit files
+        # (one per partition value) must not rewrite after every batch
+        self._compact_floor = 0
         # (batch ids seen for THIS app, versions already scanned) — the
         # committed set only grows, so each micro-batch reads just the
         # manifests NEWER than the last scan instead of re-parsing the
@@ -1631,20 +1652,26 @@ class TxTableStreamSink:
             ):
                 raise
             return
-        self._maybe_compact()
+        # the count the commit just produced — no second manifest read
+        # on the per-batch hot path
+        self._maybe_compact(len(base["files"]) + len(staged))
 
-    def _maybe_compact(self) -> None:
+    def _maybe_compact(self, n_files: int) -> None:
         """Auto-compaction step: one compact commit when the manifest
-        has accumulated ``small_file_limit`` file entries.  A lost
-        commit race is swallowed — the next batch re-evaluates; the
-        data already committed is never at stake."""
+        has grown ``small_file_limit`` file entries past the LAST
+        compaction's result (the floor — absolute count would rewrite
+        a partitioned table after every batch when its compacted form
+        keeps one file per partition value).  A lost commit race is
+        swallowed — the next batch re-evaluates; the data already
+        committed is never at stake."""
         if self.small_file_limit is None:
             return
-        if len(self.table.manifest()["files"]) < self.small_file_limit:
+        if n_files - self._compact_floor < self.small_file_limit:
             return
         try:
             self.table.compact(
                 self.compact_target_files, zorder_by=self.zorder_by
             )
         except CommitConflict:
-            pass
+            return
+        self._compact_floor = len(self.table.manifest()["files"])

@@ -260,13 +260,22 @@ def test_pq_dim_mismatch_fails_loudly(spark):
     """A wrong dim must raise, never silently slice a prefix and
     return confidently wrong neighbors (self-review r8)."""
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     emb = _emb(spark)
-    with _pytest.raises(Exception, match="dim=32|SparkRuntimeException"):
+    with _pytest.raises(Exception, match="dim=32"):
         qz.pq_train(emb, m=16, dim=32).collect()
     books = qz.pq_train(emb, train_mod=4)
-    with _pytest.raises((Py4JJavaError, Exception)):
+    with _pytest.raises(Exception, match="dim=32"):
         qz.pq_encode(emb, books, m=8, dim=32).collect()
     with _pytest.raises(ValueError, match="not divisible"):
         qz.pq_train(emb, m=7, dim=64)
+    # a NULL vector fires the same guard instead of silently encoding
+    # as codeword 0 everywhere (NULLs-first argmin — self-review r8)
+    nulled = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 3, None)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    with _pytest.raises(Exception, match="NULL"):
+        qz.pq_encode(nulled, books).collect()
