@@ -80,12 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # displacing the newest (b) entries below the marker.  (c) past the
 # window: the remaining r6-greens (t66 onward) are next in line for
 # ROUND 9, followed by (d) round 7's own 50.
-# ROUND-9 PLAN: window = the 39 remaining r6-green gates (t62b, t63,
-# t64, t65 — displaced below the marker by round 8's four new gates
-# t78/s15/t79/t80 — then t66...t18), then the oldest r7-greens (t19,
-# t1-t7, q17, q20...) to fill 50.  With 139 gates and a 50-slot
-# window, full-registry freshness cycles every ~2.8 rounds; the
-# all-gate pytest twin (tests/test_oracle_parity.py) runs every
+# ROUND-9 PLAN: window = the 40 remaining r6-green gates (t57b,
+# t62b, t63, t64, t65 — displaced below the marker by round 8's five
+# new gates t78/s15/t79/t80/t81 — then t66...t18), then the oldest
+# r7-greens (t19, t1-t7, q17...) to fill 50.  With 140 gates and a
+# 50-slot window, full-registry freshness cycles every ~2.8 rounds;
+# the all-gate pytest twin (tests/test_oracle_parity.py) runs every
 # session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (0) new round-8 gates: zero driver evidence, head of window -
@@ -93,6 +93,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
         "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
         "t80_product_quantization": llmdata.t80_product_quantization,
+        "t81_type_widening": llmdata.t81_type_widening,
         # -- (a) r5-green gates, 3 rounds driver-stale ------------------
         "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
         "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
@@ -140,8 +141,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t59_card_pii": llmdata.t59_card_pii,
         "t60_classifier_training": llmdata.t60_classifier_training,
         "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         # ---- driver window ends after the 50th entry above ------------
+        "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,

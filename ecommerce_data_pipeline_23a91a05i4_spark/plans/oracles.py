@@ -3939,6 +3939,39 @@ LLMDATA_ORACLES["t72_schema_evolution"] = """
     FROM final GROUP BY lang ORDER BY lang
 """
 
+# t81: the type-widened table's final state rebuilt relationally —
+# even orderkeys are the narrow init batch (int/smallint/float — the
+# float round-trip is the one value-changing cast, replayed verbatim),
+# odd orderkeys the post-widen append with shifted keys/quantities;
+# key % 7 rows are deleted; lifecycle facts are pinned literals.
+LLMDATA_ORACLES["t81_type_widening"] = f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CASE WHEN l_orderkey % 2 = 0
+                    THEN CAST(l_orderkey AS BIGINT)
+                    ELSE l_orderkey + 10000000000 END AS key,
+               CASE WHEN l_orderkey % 2 = 0
+                    THEN CAST(l_quantity AS BIGINT)
+                    ELSE CAST(l_quantity + 100000 AS BIGINT) END AS qty,
+               CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price
+        FROM lineitem
+    ),
+    final AS (SELECT * FROM base WHERE key % 7 <> 0)
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(key) AS BIGINT) AS sum_key,
+           CAST({SQL_DSUM('price', 'DECIMAL(28,12)')} AS DOUBLE)
+               AS sum_price,
+           TRUE AS files_untouched,
+           'widen_column:qty:smallint->int' AS widen_op,
+           CAST(6 AS BIGINT) AS n_versions,
+           'smallint' AS tt_qty_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey % 2 = 0) AS tt_n
+    FROM final GROUP BY flag ORDER BY flag
+"""
+
 # t78: the column-mapped table's final state rebuilt relationally —
 # even doc_ids (the init batch, written before the re-add of text_len
 # as a string) carry NULL there; odd doc_ids (the evolved append)

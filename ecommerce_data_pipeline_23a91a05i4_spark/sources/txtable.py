@@ -119,6 +119,12 @@ def _manifest_name(version: int) -> str:
     return f"{version:020d}.json"
 
 
+def _parse_ddl_type(ddl: str):
+    """One-column DDL type string -> Spark DataType (the add_columns /
+    widen_column type-spelling surface)."""
+    return StructType.fromDDL(f"x {ddl}")[0].dataType
+
+
 class TxTable:
     """Handle on one manifest-log table rooted at ``path``.
 
@@ -706,6 +712,82 @@ class TxTable:
                 continue
         raise CommitConflict(
             f"add_columns on {self.path} lost {max_retries} commit races"
+        )
+
+    #: read-time-safe type widenings (probed on this Spark's parquet
+    #: reader, the SPARK-40876 family): a footer written at the key
+    #: type reads correctly through a scan schema at any listed type.
+    #: int->double / long->double are NOT read-safe (the reader raises
+    #: PARQUET_COLUMN_DATA_TYPE_MISMATCH) and stay overwrite() jobs.
+    _WIDENINGS: dict[str, tuple[str, ...]] = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
+    def widen_column(
+        self, name: str, new_type: str, max_retries: int = 5
+    ) -> int:
+        """Metadata-only TYPE WIDENING (the third schema-evolution verb
+        after ADD and RENAME/DROP): the logical schema restates the
+        column at a WIDER type from the probed read-safe set
+        (byte/short/int up the integral ladder, float->double) — no
+        data file is touched, O(1) whatever the table size, because
+        parquet schema-on-read promotes the old footers' values
+        through the wider scan schema.  Appends must then carry the
+        widened type (append()'s exact-match rule), so post-widen
+        files mix wider footers with the old narrow ones — both read
+        correctly under the new schema, while time travel to
+        pre-widen versions still reads ONLY narrow files under the
+        old schema (a version's manifest never references files
+        younger than it).  Any other retype — narrowing, integral to
+        floating, string changes — is rejected loudly and remains an
+        overwrite() restatement.  The partition column widens too:
+        its value is re-injected from the manifest's string form, and
+        data files do not carry it."""
+        for _ in range(max_retries):
+            m = self.manifest()
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(
+                    f"widen_column: {name!r} is not a column of "
+                    f"{self.path} (have {names})"
+                )
+            cur = schema[name].dataType.simpleString()
+            want = str(new_type).lower()
+            if want not in self._WIDENINGS.get(cur, ()):
+                allowed = self._WIDENINGS.get(cur, ())
+                raise ValueError(
+                    f"widen_column: {cur} -> {want} is not a read-safe "
+                    f"widening (from {cur}: {list(allowed) or 'none'}); "
+                    "other retypes go through overwrite()"
+                )
+            evolved = StructType(
+                [
+                    StructField(
+                        f.name,
+                        _parse_ddl_type(want)
+                        if f.name == name
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            try:
+                return self._commit(
+                    m["files"],
+                    f"widen_column:{name}:{cur}->{want}",
+                    m["version"],
+                    evolved,
+                    m.get("partition_by"),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"widen_column on {self.path} lost {max_retries} commit races"
         )
 
     def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:

@@ -1142,3 +1142,73 @@ def test_stream_sink_autocompaction_bounds_files_and_keeps_exactly_once(
     # target >= limit would rewrite the whole table every micro-batch
     with pytest.raises(ValueError, match="compact_target_files"):
         TxTableStreamSink(t, small_file_limit=3, compact_target_files=3)
+
+
+def test_widen_column_is_metadata_only_and_mixes_footers(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(1, 10, 1.5), (2, 20, 2.5)], "k int, qty smallint, price float"
+        )
+    )
+    v2 = t.widen_column("qty", "int")      # O(1)
+    v3 = t.widen_column("price", "double")
+    t.widen_column("k", "bigint")
+    assert (v2, v3) == (2, 3)
+    assert t.manifest(1)["files"] == t.manifest(4)["files"]
+    assert dict(t.snapshot().dtypes) == {
+        "k": "bigint", "qty": "int", "price": "double",
+    }
+    # old narrow footers read through the wide schema
+    assert {(r.k, r.qty, r.price) for r in t.snapshot().collect()} == {
+        (1, 10, 1.5), (2, 20, 2.5),
+    }
+    # appends carry the widened schema; values needing the width land
+    t.append(
+        spark.createDataFrame(
+            [(5_000_000_000, 100_000, 3.5)],
+            "k bigint, qty int, price double",
+        )
+    )
+    assert {r.k for r in t.snapshot().collect()} == {1, 2, 5_000_000_000}
+    # DML across mixed narrow/wide footers
+    t.delete(F.col("qty") == 20)
+    assert {r.qty for r in t.snapshot().collect()} == {10, 100_000}
+    # time travel serves the narrow types on pre-widen versions
+    assert dict(t.snapshot(version=1).dtypes)["qty"] == "smallint"
+    # guard rails: narrowing / cross-family / unknown column are loud
+    with pytest.raises(ValueError, match="not a read-safe widening"):
+        t.widen_column("k", "int")
+    with pytest.raises(ValueError, match="not a read-safe widening"):
+        t.widen_column("qty", "double")
+    with pytest.raises(ValueError, match="not a column"):
+        t.widen_column("nope", "bigint")
+
+
+def test_widen_partition_column_and_mapping_interplay(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(1, 7, "a"), (2, 8, "b")], "k int, b int, v string"
+        ),
+        partition_by="b",
+    )
+    t.widen_column("b", "bigint")  # partition values re-inject via cast
+    assert dict(t.snapshot().dtypes)["b"] == "bigint"
+    assert {(r.k, r.b) for r in t.snapshot().collect()} == {(1, 7), (2, 8)}
+    # widening composes with column mapping: rename k, then widen the
+    # RENAMED logical name — the physical footer column stays 'k' int
+    # and reads through the wider scan schema under the mapping
+    t.rename_column("k", "key")
+    t.widen_column("key", "bigint")
+    assert dict(t.snapshot().dtypes)["key"] == "bigint"
+    assert {r.key for r in t.snapshot().collect()} == {1, 2}
+    t.append(
+        spark.createDataFrame(
+            [(6_000_000_000, 8, "c")], "key bigint, b bigint, v string"
+        )
+    )
+    assert {r.key for r in t.snapshot().collect()} == {1, 2, 6_000_000_000}
+    # string has no read-safe widening
+    with pytest.raises(ValueError, match="not a read-safe widening"):
+        t.widen_column("v", "bigint")
