@@ -671,7 +671,8 @@ class TxTable:
         loudly).  Subsequent appends must carry the evolved schema
         (append()'s usual exact-match rule).  RENAME and DROP are
         metadata-only too via column mapping (rename_column /
-        drop_column); retyping an EXISTING column still goes through
+        drop_column), and read-safe type WIDENING via widen_column;
+        any OTHER retype of an existing column still goes through
         overwrite(), which genuinely requires restating the data."""
         if not new_cols:
             raise ValueError("add_columns: no columns given")
@@ -683,7 +684,8 @@ class TxTable:
             if dup:
                 raise ValueError(
                     f"add_columns: {dup} already exist in {self.path}; "
-                    "retyping goes through overwrite()"
+                    "widening goes through widen_column(), other "
+                    "retypes through overwrite()"
                 )
             evolved = StructType(list(schema.fields))
             for c, t in new_cols.items():
@@ -756,7 +758,9 @@ class TxTable:
                     f"{self.path} (have {names})"
                 )
             cur = schema[name].dataType.simpleString()
-            want = str(new_type).lower()
+            # normalize DDL aliases ('long'=='bigint', 'short', ...) so
+            # both evolution verbs accept the same type spellings
+            want = _parse_ddl_type(str(new_type)).simpleString()
             if want not in self._WIDENINGS.get(cur, ()):
                 allowed = self._WIDENINGS.get(cur, ())
                 raise ValueError(

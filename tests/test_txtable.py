@@ -1212,3 +1212,13 @@ def test_widen_partition_column_and_mapping_interplay(spark, tmp_path):
     # string has no read-safe widening
     with pytest.raises(ValueError, match="not a read-safe widening"):
         t.widen_column("v", "bigint")
+
+
+def test_widen_column_accepts_ddl_aliases(spark, tmp_path):
+    """'long'/'short' spell the same types add_columns accepts —
+    the two evolution verbs share one type-spelling surface."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.createDataFrame([(1, 2)], "a int, b smallint"))
+    t.widen_column("a", "long")    # alias of bigint
+    t.widen_column("b", "integer")  # alias of int
+    assert dict(t.snapshot().dtypes) == {"a": "bigint", "b": "int"}
