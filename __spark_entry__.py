@@ -69,85 +69,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-8 ordering (executing round
-# 7's plan exactly): (a) the 37 gates last driver-checked in ROUND 5 —
-# q33/q34, t20-t25/t27/t28, q25/q27-q30, q12-q16, q18/q19/q22b, s1/s2,
-# t7b/t8/t9, t12/t14/t15, t26/t29/t30, q1/q2 (the two headline
-# reference-parity queries), t55 — go first; (b) the THIRTEEN oldest
-# round-6-green gates (t56, t57, t54b, s2c, t58-t60, t62, t57b, t62b,
-# t63, t64, t65) fill the window to 50.  New round-8 gates (zero
-# driver evidence) are inserted at the window head as they land,
-# displacing the newest (b) entries below the marker.  (c) past the
-# window: the remaining r6-greens (t66 onward) are next in line for
-# ROUND 9, followed by (d) round 7's own 50.
-# ROUND-9 PLAN: window = the 40 remaining r6-green gates (t57b,
-# t62b, t63, t64, t65 — displaced below the marker by round 8's five
-# new gates t78/s15/t79/t80/t81 — then t66...t18), then the oldest
-# r7-greens (t19, t1-t7, q17...) to fill 50.  With 140 gates and a
+# driver evidence must come first.  Round-9 ordering (executing round
+# 8's plan exactly): (a) the 40 round-6-green gates with the least
+# driver evidence — t57b/t62b/t63/t64/t65 (displaced below the marker
+# by round 8's five new gates) then t66...t18 — go first; (b) the ten
+# oldest round-7-green gates (t19, t1-t7, q17, q20) fill the window to
+# 50.  New round-9 gates (zero driver evidence) are inserted at the
+# window head as they land, displacing the newest (b) entries below
+# the marker.  (c) past the window: the remaining r7-greens (q21
+# onward) are next in line for ROUND 10, followed by (d) round 8's
+# own 50.
+# ROUND-10 PLAN: window = any (b) entries displaced this round by new
+# r9 gates, then the remaining r7-greens (q21, q22, q23, q24, q11,
+# q7-q10, q3-q6, t44, t61, s7, ...) to fill 50.  With 140+ gates and a
 # 50-slot window, full-registry freshness cycles every ~2.8 rounds;
 # the all-gate pytest twin (tests/test_oracle_parity.py) runs every
 # session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (0) new round-8 gates: zero driver evidence, head of window -
-        "t78_column_mapping": llmdata.t78_column_mapping,
-        "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
-        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
-        "t80_product_quantization": llmdata.t80_product_quantization,
-        "t81_type_widening": llmdata.t81_type_widening,
-        # -- (a) r5-green gates, 3 rounds driver-stale ------------------
-        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
-        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
-        "t21_neardup_clusters": corpus.t21_neardup_clusters,
-        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
-        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
-        "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
-        "q27_order_date_spine": relational.q27_order_date_spine,
-        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
-        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
-        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
-        "q13_freshness": monitoring.q13_freshness,
-        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
-        "q15_hourly_events": monitoring.q15_hourly_events,
-        "q16_user_sessions": monitoring.q16_user_sessions,
-        "q18_salted_event_stats": extras.q18_salted_event_stats,
-        "q19_props_json_stats": extras.q19_props_json_stats,
-        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
-        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
-        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
-        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
-        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
-        "t9_simhash": llmdata.t9_simhash,
-        "t12_event_asof_order": extras.t12_event_asof_order,
-        "t14_event_session_ranges": extras.t14_event_session_ranges,
-        "t15_winnow_dedup": extras.t15_winnow_dedup,
-        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
-        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
-        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
-        "q1_top_products": analytics.q1_top_products,
-        "q2_monthly_trend": analytics.q2_monthly_trend,
-        "t55_txtable_delete": llmdata.t55_txtable_delete,
-        # -- (b) oldest r6-green gates filling the window ----------------
-        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
-        "t57_bpe_batched": llmdata.t57_bpe_batched,
-        "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
-        "s2c_session_window_append": monitoring.s2c_session_window_append,
-        "t58_html_extract": llmdata.t58_html_extract,
-        "t59_card_pii": llmdata.t59_card_pii,
-        "t60_classifier_training": llmdata.t60_classifier_training,
-        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        # ---- driver window ends after the 50th entry above ------------
+        # -- (a) the 40 r6-green gates with the least driver evidence ----
+        #    (t57b..t65 were displaced below the r8 marker by round 8's
+        #    five new gates; t66..t18 were last driver-checked in r6)
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,
         "t65_quantized_knn": llmdata.t65_quantized_knn,
-        # -- (c) remaining r6-greens: next in line for ROUND 9 -----------
         "t66_txtable_cdc_merge": llmdata.t66_txtable_cdc_merge,
         "t67_hll_distinct": extras.t67_hll_distinct,
         "t68_incremental_matview": llmdata.t68_incremental_matview,
@@ -183,7 +129,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
-        # -- (d) driver-green in round 7 ---------------------------------
+        # -- (b) oldest r7-green gates filling the window to 50 ----------
         "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
@@ -194,6 +140,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t7_embedding_neardup": llmdata.t7_embedding_neardup,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q20_orders_without_items": extras.q20_orders_without_items,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (c) remaining r7-greens: next in line for ROUND 10 ----------
         "q21_priority_pivot": extras.q21_priority_pivot,
         "q22_price_percentiles": extras.q22_price_percentiles,
         "q23_monthly_growth": relational.q23_monthly_growth,
@@ -234,6 +182,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
+        # -- (d) driver-green in round 8 ---------------------------------
+        "t78_column_mapping": llmdata.t78_column_mapping,
+        "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
+        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
+        "t80_product_quantization": llmdata.t80_product_quantization,
+        "t81_type_widening": llmdata.t81_type_widening,
+        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
+        "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
+        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
+        "q1_top_products": analytics.q1_top_products,
+        "q2_monthly_trend": analytics.q2_monthly_trend,
+        "t55_txtable_delete": llmdata.t55_txtable_delete,
+        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
+        "t57_bpe_batched": llmdata.t57_bpe_batched,
+        "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
+        "s2c_session_window_append": monitoring.s2c_session_window_append,
+        "t58_html_extract": llmdata.t58_html_extract,
+        "t59_card_pii": llmdata.t59_card_pii,
+        "t60_classifier_training": llmdata.t60_classifier_training,
+        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
 }
 
 
