@@ -55,6 +55,7 @@ import json
 import posixpath
 import re
 import uuid
+import warnings
 from operator import or_
 from urllib.parse import unquote
 
@@ -69,6 +70,16 @@ DATA_DIR = "data"
 
 #: _commit sentinel: carry the parent manifest's column mapping forward
 _INHERIT = object()
+
+#: internal column names the engine injects at read time: snapshot
+#: (_with_file=True) adds ``_tx_file`` for file-granular DML, so a user
+#: column under that name would collide with the lineage column and
+#: break delete()/merge() on the table.  Enforced at the _commit
+#: chokepoint, so EVERY schema-carrying verb (init, overwrite,
+#: add_columns, rename_column) rejects them; append can't introduce
+#: one (its _check_schema exact-match is against a committed schema,
+#: which by this invariant never contains a reserved name).
+_RESERVED_COLS = frozenset({"_tx_file"})
 
 
 def _col_mapping(manifest: dict) -> dict[str, str]:
@@ -534,6 +545,13 @@ class TxTable:
         erase a sink's idempotence memory — any retained manifest knows
         it.  The sink passes its own entry raised to max(floor,
         batch_id) on its own commits."""
+        reserved = _RESERVED_COLS.intersection(f.name for f in schema.fields)
+        if reserved:
+            raise ValueError(
+                f"column name(s) {sorted(reserved)} are reserved for "
+                f"internal row lineage on {self.path} (snapshot injects "
+                "them for delete()/merge()); pick different names"
+            )
         version = (base_version or 0) + 1
         parent = None
         if base_version is not None and (
@@ -919,6 +937,11 @@ class TxTable:
         absorbed by recompute-and-retry (the delete() discipline — the
         rewrite must restate whatever the new head holds; the losing
         attempt's staged files are vacuum()-collected garbage)."""
+        if n_files is not None and n_files < 1:
+            raise ValueError(
+                f"purge_dropped_columns: n_files must be >= 1, got "
+                f"{n_files}"
+            )
         for _ in range(max_retries):
             m = self.manifest()
             files = max(1, len(m["files"])) if n_files is None else n_files
@@ -1760,4 +1783,25 @@ class TxTableStreamSink:
             )
         except CommitConflict:
             return
+        except ValueError as exc:
+            # Constructed-before-init() sinks miss the construction-time
+            # partition check: if the table was later initialized (or
+            # overwritten) as partitioned, compact(zorder_by=) refuses
+            # the layout here, N batches in.  Compaction is a
+            # maintenance heuristic, never a correctness step — drop
+            # the Z-order spec loudly and keep plain compaction instead
+            # of aborting the streaming query mid-run (ADVICE r8).
+            if self.zorder_by is None:
+                raise
+            warnings.warn(
+                f"auto-compaction on {self.table.path}: dropping "
+                f"zorder_by={self.zorder_by} ({exc}); continuing with "
+                "plain compaction",
+                stacklevel=2,
+            )
+            self.zorder_by = None
+            try:
+                self.table.compact(self.compact_target_files)
+            except CommitConflict:
+                return
         self._compact_floor = len(self.table.manifest()["files"])

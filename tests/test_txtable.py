@@ -1222,3 +1222,66 @@ def test_widen_column_accepts_ddl_aliases(spark, tmp_path):
     t.widen_column("a", "long")    # alias of bigint
     t.widen_column("b", "integer")  # alias of int
     assert dict(t.snapshot().dtypes) == {"a": "bigint", "b": "int"}
+
+
+def test_reserved_internal_column_names_rejected_everywhere(spark, tmp_path):
+    """'_tx_file' is the lineage column snapshot(_with_file=True) injects
+    for file-granular DML; a user column under that name would shadow it
+    and break delete()/merge().  The _commit chokepoint rejects it on
+    every schema-carrying verb (ADVICE r8)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.init(spark.createDataFrame([(1, "a")], "k long, _tx_file string"))
+    t.init(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("v", "_tx_file")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_columns({"_tx_file": "string"})
+    with pytest.raises(ValueError, match="reserved"):
+        t.overwrite(
+            spark.createDataFrame([(1, "a")], "k long, _tx_file string")
+        )
+    # the table is untouched by the rejected attempts and DML still works
+    t.delete(F.col("k") == 1)
+    assert t.snapshot().count() == 0
+
+
+def test_purge_dropped_columns_validates_n_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]))
+    t.add_columns({"w": "string"})
+    t.drop_column("w")
+    with pytest.raises(ValueError, match="n_files must be >= 1"):
+        t.purge_dropped_columns(n_files=0)
+    assert t.purge_dropped_columns(n_files=1) > 0
+
+
+def test_sink_built_before_init_degrades_zorder_on_partitioned_table(
+    spark, tmp_path
+):
+    """A sink constructed BEFORE the table's first commit misses the
+    construction-time partition check; if the table is then initialized
+    partitioned, the first auto-compaction must degrade to plain
+    compaction with a warning — not abort the stream (ADVICE r8)."""
+    import warnings as _warnings
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    sink = TxTableStreamSink(
+        t, app_id="s", small_file_limit=3, compact_target_files=1,
+        zorder_by=["k"],
+    )
+    t.init(
+        spark.createDataFrame([], "k long, v string"), partition_by="v"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        for i in range(6):
+            sink(_df(spark, [(i, "x")]).coalesce(1), i)
+    assert any("zorder_by" in str(w.message) for w in caught)
+    assert sink.zorder_by is None          # degraded once, permanently
+    assert "compact" in [h["op"] for h in t.history()]
+    assert {r.k for r in t.snapshot().collect()} == set(range(6))
