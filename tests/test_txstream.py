@@ -1,0 +1,294 @@
+"""TxTable change feed as a streaming SOURCE (sources/txstream.py):
+offsets are commit versions, one micro-batch per bounded version range,
+partitions are changed files Arrow-read on executors.  Pins the CDF
+semantics (rewrites emit delete+re-insert pairs, compaction emits
+nothing), checkpointed restart/resume, throttled batching, partition-
+column re-injection, column-mapping awareness, and the loud schema-
+change failure."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_data_pipeline_23a91a05i4_spark.sources.matview import (
+    table_changes,
+)
+from ecommerce_data_pipeline_23a91a05i4_spark.sources.txstream import (
+    stream_table_changes,
+)
+from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _drain(feed, name, ckpt):
+    """availableNow drain into a memory sink; returns the query."""
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_feed_matches_batch_table_changes(spark, tmp_path):
+    """Stream-from-version-0 == per-commit batch CDF, as multisets."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.append(_df(spark, [(4, "d"), (5, "e")]).coalesce(1))
+    t.delete(F.col("k") <= 2)  # rewrites the first file: 3 survives
+
+    _drain(stream_table_changes(spark, str(tmp_path / "t")), "f1",
+           str(tmp_path / "c1"))
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.table("f1").collect()
+    }
+    want = set()
+    for v in range(2, t.latest_version() + 1):
+        for r in table_changes(t, v - 1, v).collect():
+            want.add((r.k, r.v, r._change_type, v))
+    for r in t.snapshot(1).collect():
+        want.add((r.k, r.v, "insert", 1))
+    assert got == want
+    # the rewrite emitted the survivor as a delete+insert pair
+    assert (3, "c", "delete", 3) in got and (3, "c", "insert", 3) in got
+    spark.catalog.dropTempView("f1")
+
+
+def test_restart_resumes_from_checkpoint_and_replays_nothing(
+    spark, tmp_path
+):
+    """Offsets live in the query checkpoint (the memory sink cannot
+    recover one, so the collector is a foreachBatch closure)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def run_once() -> list[tuple]:
+        del seen[:]
+        q = (
+            stream_table_changes(spark, str(tmp_path / "t"))
+            .writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    (r.k, r._commit_version) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(seen)
+
+    assert run_once() == [(1, 1)]
+    # no new commits: a restarted stream emits nothing
+    assert run_once() == []
+    # two more commits: the restart picks up EXACTLY those
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    assert sorted(run_once()) == [(2, 2), (3, 3)]
+
+
+def test_throttled_batching_splits_commits_across_microbatches(
+    spark, tmp_path
+):
+    """Under a processing-time trigger, max_versions_per_batch=1 rate-
+    limits the feed: the three commits arrive across MULTIPLE micro-
+    batches, each row exactly once.  The limit is approximate by
+    design (progress-metric latestOffset polls are indistinguishable
+    from planning polls — see the reader's ratchet comment), so the
+    pin is >= 2 data batches, not exactly 3."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    feed = stream_table_changes(
+        spark, str(tmp_path / "t"), max_versions_per_batch=1
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("f3")
+        .option("checkpointLocation", str(tmp_path / "c3"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.table("f3").count() == 3:
+                break
+            time.sleep(0.2)
+        rows = spark.table("f3").collect()
+        assert sorted((r.k, r._commit_version) for r in rows) == [
+            (1, 1), (2, 2), (3, 3),
+        ]  # every commit delivered exactly once
+        batches = [
+            p["batchId"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        assert len(batches) >= 2  # genuinely rate-limited, not one drain
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("f3")
+
+
+def test_compaction_emits_nothing_but_data_commits_still_flow(
+    spark, tmp_path
+):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.compact(1)
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    _drain(stream_table_changes(spark, str(tmp_path / "t")), "f4",
+           str(tmp_path / "c4"))
+    got = {(r.k, r._change_type, r._commit_version)
+           for r in spark.table("f4").collect()}
+    assert got == {
+        (1, "insert", 1), (2, "insert", 2), (3, "insert", 4),
+    }  # version 3 (compact) is dataChange=false: silent
+    spark.catalog.dropTempView("f4")
+
+
+def test_partition_column_reinjected_and_mapping_respected(
+    spark, tmp_path
+):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "k long, grp string"
+        ).repartition("grp"),
+        partition_by="grp",
+    )
+    t.append(
+        spark.createDataFrame([(4, "y")], "k long, grp string")
+        .repartition("grp")
+    )
+    # partitioned staging keeps grp in the directory name, not the
+    # footer: the stream must re-inject the literal per file
+    _drain(stream_table_changes(spark, str(tmp_path / "t")), "f5",
+           str(tmp_path / "c5"))
+    got = {(r.k, r.grp, r._commit_version)
+           for r in spark.table("f5").collect()}
+    assert got == {(1, "x", 1), (2, "y", 1), (3, "x", 1), (4, "y", 2)}
+    spark.catalog.dropTempView("f5")
+
+    # rename k -> key (v3, metadata-only): a feed declared AFTER the
+    # rename serves logical names; its files carry the OLD physical
+    # name, so the executor read goes through the mapping
+    t.rename_column("k", "key")
+    t.append(
+        spark.createDataFrame([(5, "x")], "key long, grp string")
+        .repartition("grp")
+    )
+    feed = stream_table_changes(
+        spark, str(tmp_path / "t"), starting_version=3
+    )
+    assert feed.schema.simpleString() == (
+        "struct<key:bigint,grp:string,"
+        "_change_type:string,_commit_version:bigint>"
+    )
+    _drain(feed, "f5b", str(tmp_path / "c5b"))
+    got = {(r.key, r.grp, r._commit_version)
+           for r in spark.table("f5b").collect()}
+    assert got == {(5, "x", 4)}
+    spark.catalog.dropTempView("f5b")
+
+
+def test_schema_change_mid_history_fails_loudly(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    t.add_columns({"w": "long"})
+    t.append(
+        spark.createDataFrame([(2, "b", 9)], "k long, v string, w long")
+        .coalesce(1)
+    )
+    # from version 0 the feed crosses the evolution boundary: commit 1
+    # has a different schema than the stream's declared (head) shape
+    feed = stream_table_changes(spark, str(tmp_path / "t"))
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("f6")
+        .option("checkpointLocation", str(tmp_path / "c6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="different schema"):
+        q.awaitTermination()
+    # starting AFTER the evolution streams cleanly
+    _drain(
+        stream_table_changes(
+            spark, str(tmp_path / "t"), starting_version=2
+        ),
+        "f6b",
+        str(tmp_path / "c6b"),
+    )
+    got = {(r.k, r.v, r.w) for r in spark.table("f6b").collect()}
+    assert got == {(2, "b", 9)}
+    for n in ("f6", "f6b"):
+        spark.catalog.dropTempView(n)
+
+
+def test_table_to_table_hop_is_exactly_once(spark, tmp_path):
+    """The multi-hop composition: feed(A) --foreachBatch--> sink(B).
+    The source's checkpointed offsets + the sink's batch-id floor give
+    end-to-end exactly-once; a replayed batch against B no-ops."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    a = TxTable(spark, str(tmp_path / "a"))
+    a.init(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    a.append(_df(spark, [(3, "c")]).coalesce(1))
+    a.delete(F.col("k") == 3)
+
+    b = TxTable(spark, str(tmp_path / "b"))
+    b.init(
+        spark.createDataFrame(
+            [],
+            "k long, v string, _change_type string, _commit_version long",
+        )
+    )
+    feed = stream_table_changes(spark, str(tmp_path / "a"))
+    sink = TxTableStreamSink(b, app_id="hop")
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in b.snapshot().collect()
+    }
+    want = {(1, "insert", 1), (2, "insert", 1), (3, "insert", 2),
+            (3, "delete", 3)}
+    assert got == want
+    # replaying batch 0 against B through a FRESH sink instance no-ops
+    v = b.latest_version()
+    TxTableStreamSink(b, app_id="hop")(b.snapshot().limit(0), 0)
+    assert b.latest_version() == v
+    # and a restarted source stream finds nothing new
+    q2 = (
+        stream_table_changes(spark, str(tmp_path / "a"))
+        .writeStream.foreachBatch(
+            TxTableStreamSink(b, app_id="hop")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert b.latest_version() == v
