@@ -4267,6 +4267,57 @@ MONITORING_ORACLES["s6_streaming_txtable_sink"] = """
     ORDER BY source
 """
 
+# s16: the change-feed hop's target table must hold EXACTLY the
+# per-commit diff of A's four commits, recomputed from raw documents.
+# File-granular delete semantics are replayed explicitly: v1/v2 stage
+# one file per (source, commit-modulus) — repartition("source") puts
+# each value in exactly one task — so v3's delete rewrites precisely
+# the (source, m) groups CONTAINING an even doc_id: all their rows
+# stream as deletes, their odd-id rows as re-inserts.
+MONITORING_ORACLES["s16_streaming_change_feed"] = """
+    WITH s12 AS (
+        SELECT doc_id, source, n_chars, doc_id % 3 AS m
+        FROM documents
+        WHERE doc_id % 3 IN (0, 1)
+    ),
+    hit AS (
+        SELECT DISTINCT source, m FROM s12 WHERE doc_id % 2 = 0
+    ),
+    feed AS (
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               doc_id, source, n_chars
+        FROM s12 WHERE m = 0
+        UNION ALL
+        SELECT 2, 'insert', doc_id, source, n_chars
+        FROM s12 WHERE m = 1
+        UNION ALL
+        SELECT 3, 'delete', doc_id, source, n_chars
+        FROM s12
+        WHERE EXISTS (SELECT 1 FROM hit h
+                      WHERE h.source = s12.source AND h.m = s12.m)
+        UNION ALL
+        SELECT 3, 'insert', doc_id, source, n_chars
+        FROM s12
+        WHERE EXISTS (SELECT 1 FROM hit h
+                      WHERE h.source = s12.source AND h.m = s12.m)
+          AND doc_id % 2 <> 0
+        UNION ALL
+        SELECT 4, 'insert', doc_id, source, n_chars
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version,
+           change_type,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS replay_noop,
+           TRUE AS restart_noop
+    FROM feed
+    GROUP BY commit_version, change_type, source
+    ORDER BY commit_version, change_type, source
+"""
+
 # s15: the auto-compacted table must hold EXACTLY the raw corpus (s6's
 # contract through interleaved compact commits); the lifecycle facts
 # are pinned literals.
