@@ -57,12 +57,14 @@ try:  # preferred codec, used only when explicitly requested (fake=False)
 except ImportError:  # Pillow absent: the vendored PNG codec takes over
     _PILImage = None
 
+from . import jpeg as _jpeg
 from . import png as _png
 
 
 def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
     """THE codec seam: (width, height, rgb_bytes) via Pillow when
-    importable (any format), else the vendored pure-Python PNG codec.
+    importable (any format), else the vendored pure-Python codecs
+    (operators/png.py for PNG, operators/jpeg.py for baseline JPEG).
     decode_image and resize_images both dispatch through here so the
     two operators can never disagree on which inputs are decodable or
     on the RGB conversion convention."""
@@ -72,13 +74,15 @@ def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
         with _PILImage.open(io.BytesIO(content or b"")) as im:
             rgb = im.convert("RGB")
             return rgb.width, rgb.height, rgb.tobytes()
-    if not _png.is_png(content or b""):
-        raise NotImplementedError(
-            "no codec for this format: Pillow is not installed and "
-            "the vendored decoder handles PNG only; pass fake=True "
-            "for the deterministic test double"
-        )
-    return _png.decode_png(content or b"")
+    if _png.is_png(content or b""):
+        return _png.decode_png(content or b"")
+    if _jpeg.is_jpeg(content or b""):
+        return _jpeg.decode_jpeg(content or b"")
+    raise NotImplementedError(
+        "no codec for this format: Pillow is not installed and the "
+        "vendored decoders handle PNG and baseline JPEG only; pass "
+        "fake=True for the deterministic test double"
+    )
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
@@ -89,12 +93,15 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     engine-independent, so t24's static oracle stays pinned to it.
 
     fake=False decodes for real: Pillow when importable (any format),
-    else the vendored pure-Python PNG codec (operators/png.py — RGB
-    conversion contract matches PIL.convert("RGB"), so both paths yield
-    the same pixel_checksum for the same PNG).  Non-PNG bytes without
-    Pillow raise NotImplementedError, malformed PNGs raise ValueError —
-    a misconfigured deployment fails loudly instead of producing stub
-    numbers.
+    else the vendored pure-Python codecs — operators/png.py (RGB
+    conversion contract matches PIL.convert("RGB"), so both paths
+    yield the same pixel_checksum for the same PNG) and
+    operators/jpeg.py (baseline sequential JFIF; JPEG pixel output is
+    decoder-specific by spec, so its checksum contract is this
+    engine's own — see that module's docstring).  Other formats
+    without Pillow raise NotImplementedError, malformed inputs raise
+    ValueError — a misconfigured deployment fails loudly instead of
+    producing stub numbers.
     """
     if not fake:
         width, height, pixels = _decode_rgb(content)
