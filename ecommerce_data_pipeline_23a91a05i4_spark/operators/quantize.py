@@ -565,23 +565,47 @@ def knn_pq_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
+    candidate_filter: Column | str | None = None,
+    refine: int | None = None,
 ) -> DataFrame:
     """PQ composed with the SRP coarse partitioner (the t69
     IVF-in-front-of-codes discipline, codes now 4-bit PQ instead of
     int8): candidates bucket by the SRP signature of their CODEWORD
     RECONSTRUCTION — a pure function of the stored codes, so the
     store still holds no floats — queries by their float vector, join
-    on bucket equality, rank by reconstruction cosine.  Per-query
-    work is a bucket, not the corpus; recall tuning is n_planes as in
-    knn_lsh (same shared hyperplanes)."""
+    on bucket equality, rank by reconstruction cosine (mathematically
+    the ADC score: table-fold and full-vector dot agree by linearity).
+    Per-query work is a bucket, not the corpus; recall tuning is
+    n_planes as in knn_lsh (same shared hyperplanes).
+
+    ``candidate_filter`` (VERDICT r8 ask #4) is the retrieval-filter
+    pushdown: a predicate over the candidate relation's columns
+    (Column or SQL string) applied BEFORE encoding and bucketing, so
+    non-matching vectors are pruned at the scan — Catalyst pushes it
+    below the bucket join (plan-asserted) — and per-query work shrinks
+    to the matching members of one bucket.  Filtering AFTER ranking
+    would silently return < k rows whenever matches rank past k — the
+    classic filtered-ANN bug this parameter exists to prevent.  With a
+    persisted codes table, apply the same predicate to the metadata
+    relation and semi-join the codes instead; the bucket/rank stages
+    are unchanged.
+
+    ``refine``: exact-cosine re-rank of the top-``refine`` bucket
+    shortlist (the knn_pq shortlist-then-refine contract): float
+    vectors are fetched for the FILTERED shortlist rows only, and
+    recall@k under filtering rises to the shortlist's containment rate
+    (pinned in test_quantize)."""
     from .similarity import (
         _hyperplanes,
+        cosine,
         dot,
         l2_norm,
         lsh_signature,
         rank_topk,
     )
 
+    if candidate_filter is not None:
+        candidates = candidates.filter(candidate_filter)
     planes = _hyperplanes(dim, n_planes)
     enc = pq_encode(candidates, codebooks, m, dim, id_col, vec_col)
     recon = (
@@ -632,4 +656,31 @@ def knn_pq_lsh(
             ).alias("pq_cosine"),
         )
     )
-    return rank_topk(scored, k, "pq_cosine")
+    if refine is None:
+        return rank_topk(scored, k, "pq_cosine")
+    if refine <= k:
+        raise ValueError(
+            f"knn_pq_lsh: refine ({refine}) must exceed k ({k}) — the "
+            "shortlist is what the exact pass re-ranks"
+        )
+    shortlist = rank_topk(scored, refine, "pq_cosine").select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = candidates.select(  # already filtered: the shortlist is too
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    refined = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant(cosine(F.col("q_vec"), F.col("c_vec")), ndigits).alias(
+                "pq_cosine"
+            ),
+        )
+    )
+    return rank_topk(refined, k, "pq_cosine")

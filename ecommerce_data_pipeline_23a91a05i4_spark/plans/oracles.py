@@ -3219,28 +3219,19 @@ def _t44b_oracle() -> str:
 LLMDATA_ORACLES["t44b_semdedup_sampled_training"] = _t44b_oracle()
 
 
-def _t80_oracle() -> str:
-    """DuckDB twin of the PQ pipeline (operators/quantize.pq_train /
-    pq_encode / knn_pq(refine=)): md5-sampled training half, per-sub
-    hash-seeded codebooks (the k (hkey, id)-smallest sampled
-    sub-vectors per sub-space), one L2 k-means pass (left-fold squared
-    distance, decimal-exact per-dim means, empty-codeword carryover),
-    full-corpus encoding through the SAME argmin (l2 ASC, code ASC),
-    per-query ADC tables, the sub-space-ordered lookup fold for
-    dot(q, x̂) and |x̂|², the ADC shortlist, and the exact-cosine
-    refine — every float op a fixed-order fold or one IEEE op (the
-    t44b discipline), so ranks match bit-for-bit."""
+def _pq_train_ctes(
+    m: int, ksub: int, iters: int, train_mod: int
+) -> tuple[list[str], str, str, "callable"]:
+    """The PQ codebook-training CTE chain shared by the t80 and t82
+    oracles (operators/quantize.pq_train's twin): md5-sampled training
+    half, per-sub hash-seeded codebooks (the k (hkey, id)-smallest
+    sampled sub-vectors per sub-space), one-or-more L2 k-means passes
+    (left-fold squared distance, decimal-exact per-dim means,
+    empty-codeword carryover).  Returns (ctes, codebook_cte_name,
+    sub-slice expr, l2sq builder); callers append their own encoding
+    and scoring stages."""
     from ..operators.similarity import SEED_OVERSAMPLE
-    from .llmdata import (
-        PQ_GATE_ITERS,
-        PQ_GATE_K,
-        PQ_GATE_KSUB,
-        PQ_GATE_M,
-        PQ_GATE_REFINE,
-        PQ_GATE_TRAIN_MOD,
-    )
 
-    m, ksub, iters = PQ_GATE_M, PQ_GATE_KSUB, PQ_GATE_ITERS
     dim = 64
     dsub = dim // m
     hkey = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
@@ -3253,14 +3244,13 @@ def _t80_oracle() -> str:
             "(x, y) -> x + y)"
         )
 
-    fold = "list_reduce({l}, (x, y) -> x + y)"
     sl = f"embedding[(sub * {dsub} + 1):((sub + 1) * {dsub})]"
     ctes = [
         f"subs AS (SELECT unnest(range(0, {m})) AS sub)",
         "v AS (SELECT vec_id, embedding FROM embeddings)",
         # training half: the md5-modulus sample (pq_train(train_mod=))
         f"vt AS (SELECT vec_id, embedding, {hkey} AS hkey FROM v "
-        f"WHERE {hkey} % {PQ_GATE_TRAIN_MOD} = 0)",
+        f"WHERE {hkey} % {train_mod} = 0)",
         f"svt AS (SELECT vec_id, hkey, sub, {sl} AS svec "
         "FROM vt CROSS JOIN subs)",
         # per-sub seeds: hash-sample candidate ids (mod = max(1,
@@ -3302,7 +3292,30 @@ def _t80_oracle() -> str:
             f"list(mval ORDER BY d) AS centroid FROM u{r} "
             "GROUP BY sub, code) n ON p.sub = n.sub AND p.cid = n.cid)"
         )
-    cb = f"c{iters}"
+    return ctes, f"c{iters}", sl, l2sq
+
+
+def _t80_oracle() -> str:
+    """DuckDB twin of the PQ pipeline (operators/quantize.pq_train /
+    pq_encode / knn_pq(refine=)): codebook training (_pq_train_ctes),
+    full-corpus encoding through the SAME argmin (l2 ASC, code ASC),
+    per-query ADC tables, the sub-space-ordered lookup fold for
+    dot(q, x̂) and |x̂|², the ADC shortlist, and the exact-cosine
+    refine — every float op a fixed-order fold or one IEEE op (the
+    t44b discipline), so ranks match bit-for-bit."""
+    from .llmdata import (
+        PQ_GATE_ITERS,
+        PQ_GATE_K,
+        PQ_GATE_KSUB,
+        PQ_GATE_M,
+        PQ_GATE_REFINE,
+        PQ_GATE_TRAIN_MOD,
+    )
+
+    fold = "list_reduce({l}, (x, y) -> x + y)"
+    ctes, cb, sl, l2sq = _pq_train_ctes(
+        PQ_GATE_M, PQ_GATE_KSUB, PQ_GATE_ITERS, PQ_GATE_TRAIN_MOD
+    )
     ctes += [
         # full-corpus encoding through the same argmin
         f"sv AS (SELECT vec_id, sub, {sl} AS svec FROM v CROSS JOIN subs)",
@@ -3367,6 +3380,113 @@ def _t80_oracle() -> str:
 
 
 LLMDATA_ORACLES["t80_product_quantization"] = _t80_oracle()
+
+
+def _t82_oracle() -> str:
+    """DuckDB twin of FILTERED ANN (operators/quantize.knn_pq_lsh with
+    candidate_filter + refine): codebooks train on the FULL corpus
+    (_pq_train_ctes, t80's pins), then the metadata band — and only it
+    — is encoded, reconstructed (flatten of codewords in sub order),
+    SRP-bucketed on the reconstruction (queries bucket on their float
+    vector, same seed-42 hyperplane literals as t69's replay), scored
+    by reconstruction cosine inside bucket equality, shortlisted, and
+    exactly re-ranked.  Every float op replays Spark's fold order, so
+    ranks match bit-for-bit."""
+    from ..operators.similarity import _hyperplanes
+    from .llmdata import (
+        PQ_GATE_ITERS,
+        PQ_GATE_K,
+        PQ_GATE_KSUB,
+        PQ_GATE_M,
+        PQ_GATE_REFINE,
+        PQ_GATE_TRAIN_MOD,
+        T82_FILTER_BAND,
+        T82_FILTER_MOD,
+    )
+
+    ctes, cb, sl, l2sq = _pq_train_ctes(
+        PQ_GATE_M, PQ_GATE_KSUB, PQ_GATE_ITERS, PQ_GATE_TRAIN_MOD
+    )
+    planes = _hyperplanes(64, 4)
+
+    def plane_lit(coeffs: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+    def bucket_of(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_dot(vec, plane_lit(planes[p]))} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(4)
+        )
+
+    ctes += [
+        # the retrieval filter lands BEFORE encoding: only the band
+        # is encoded/bucketed, exactly like candidates.filter() ahead
+        # of pq_encode on the Spark side
+        "vf AS (SELECT vec_id, embedding FROM v "
+        f"WHERE vec_id % {T82_FILTER_MOD} = {T82_FILTER_BAND})",
+        f"sv AS (SELECT vec_id, sub, {sl} AS svec FROM vf CROSS JOIN subs)",
+        "e AS (SELECT vec_id, sub, cid AS code FROM ("
+        "SELECT s.vec_id, s.sub, c.cid, ROW_NUMBER() OVER ("
+        "PARTITION BY s.vec_id, s.sub ORDER BY "
+        f"{l2sq('s.svec', 'c.cvec')} ASC, c.cid ASC) AS rn "
+        f"FROM sv s JOIN {cb} c ON s.sub = c.sub) WHERE rn = 1)",
+        # codeword reconstruction (pure function of the codes) and its
+        # SRP bucket
+        "rv AS (SELECT e.vec_id AS nid, "
+        "flatten(list(c.cvec ORDER BY e.sub)) AS rvec "
+        f"FROM e JOIN {cb} c ON e.sub = c.sub AND e.code = c.cid "
+        "GROUP BY e.vec_id)",
+        "cbkt AS (SELECT nid, rvec, " + bucket_of("rvec") + " AS bucket "
+        "FROM rv)",
+        # queries: % 10 band, bucketed on the float vector
+        "q AS (SELECT vec_id, embedding, "
+        + bucket_of("embedding")
+        + " AS bucket FROM v WHERE vec_id % 10 = 0)",
+        # reconstruction cosine inside bucket equality (knn_pq_lsh's
+        # scored stage: denom product of the two norms, 0-guarded)
+        "scored AS (SELECT q.vec_id AS qid, c.nid, "
+        + SQL_QUANT(
+            "CASE WHEN sqrt(" + _dot("q.embedding", "q.embedding") + ") * "
+            "sqrt(" + _dot("c.rvec", "c.rvec") + ") = 0 THEN 0.0 "
+            "ELSE " + _dot("q.embedding", "c.rvec") + " / (sqrt("
+            + _dot("q.embedding", "q.embedding") + ") * sqrt("
+            + _dot("c.rvec", "c.rvec") + ")) END",
+            6,
+        )
+        + " AS pq_cosine FROM cbkt c JOIN q "
+        "ON c.bucket = q.bucket AND c.nid <> q.vec_id)",
+        "shortlist AS (SELECT qid, nid FROM (SELECT qid, nid, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pq_cosine DESC, "
+        f"nid ASC) AS rnk FROM scored) WHERE rnk <= {PQ_GATE_REFINE})",
+        # exact-cosine refine over the filtered shortlist only
+        "refined AS (SELECT s.qid, s.nid, "
+        + SQL_QUANT(
+            _dot("qv.embedding", "cv.embedding")
+            + " / (sqrt(" + _dot("qv.embedding", "qv.embedding") + ") * "
+            "sqrt(" + _dot("cv.embedding", "cv.embedding") + "))",
+            6,
+        )
+        + " AS pq_cosine FROM shortlist s "
+        "JOIN q qv ON s.qid = qv.vec_id "
+        "JOIN vf cv ON s.nid = cv.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(rnk AS BIGINT) AS rank, pq_cosine
+    FROM (SELECT qid, nid, pq_cosine, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY pq_cosine DESC, nid ASC) AS rnk
+          FROM refined)
+    WHERE rnk <= {PQ_GATE_K}
+    ORDER BY query_id, rank
+"""
+    )
+
+
+LLMDATA_ORACLES["t82_filtered_ann"] = _t82_oracle()
 
 
 # t77: shallow clone — the source's final state IS the raw corpus

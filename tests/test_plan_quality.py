@@ -310,3 +310,28 @@ def test_incremental_segment_dedup_plan_is_clean(spark):
     plan = explain_str(q)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filtered_ann_filter_lands_below_bucket_join(spark):
+    """t82's metadata predicate must reach the candidate side BELOW
+    the SRP bucket join (filtering ranked output instead silently
+    under-fills k), and the whole filtered-ANN plan stays
+    bucket-blocked — no cartesian anywhere.  Physical plans print
+    parents before children, so 'below the join' means the Filter
+    line indexes AFTER the join line."""
+    df = llmdata.t82_filtered_ann(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lines = plan.splitlines()
+    join_idx = [
+        i for i, l in enumerate(lines)
+        if "Join" in l and "bucket" in l
+    ]
+    filt_idx = [
+        i for i, l in enumerate(lines)
+        if "Filter" in l and "% 5" in l
+    ]
+    assert join_idx, "no bucket join in the filtered-ANN plan"
+    assert filt_idx, "the metadata predicate vanished from the plan"
+    assert min(filt_idx) > min(join_idx)

@@ -279,3 +279,47 @@ def test_pq_dim_mismatch_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="NULL"):
         qz.pq_encode(nulled, books).collect()
+
+
+def test_filtered_ann_recall_and_filter_semantics(spark):
+    """knn_pq_lsh(candidate_filter=, refine=): the t82 contracts the
+    gate can't see.  Ground truth is exact kNN over the FILTERED
+    candidate set; the bucket-restricted recall floor (same 0.15
+    contract as the unfiltered pin, n_planes=2) must survive
+    filtering; no returned neighbor may violate the predicate; and
+    every query still fills k rows — the under-fill that filtering
+    AFTER ranking would cause is the bug this parameter prevents."""
+    import pytest as _pytest
+
+    emb = _emb(spark)
+    pred = F.col("vec_id") % 5 == 2
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = sim.knn_bruteforce(
+        queries, emb.filter(pred), k=10
+    ).localCheckpoint(eager=True)
+    total = exact.count()
+    books = qz.pq_train(emb, train_mod=2).localCheckpoint(eager=True)
+    out = qz.knn_pq_lsh(
+        queries, emb, books, k=10, n_planes=2,
+        candidate_filter=pred, refine=100,
+    ).localCheckpoint(eager=True)
+    # predicate semantics: zero leaks, full k per query
+    assert out.filter(~(F.col("neighbor_id") % 5 == 2)).count() == 0
+    per_q = out.groupBy("query_id").count()
+    assert per_q.filter(F.col("count") != 10).count() == 0
+    # recall floor vs exact FILTERED ground truth
+    hits = out.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "leftsemi",
+    ).count()
+    assert hits / total >= 0.15
+    # the refined scores are EXACT cosines: agree on the intersection
+    both = out.join(exact, ["query_id", "neighbor_id"]).select(
+        (F.col("pq_cosine") == F.col("cosine_sim")).alias("same")
+    )
+    assert both.filter(~F.col("same")).count() == 0
+    with _pytest.raises(ValueError, match="refine"):
+        qz.knn_pq_lsh(
+            queries, emb, books, k=10, candidate_filter=pred, refine=10
+        )
