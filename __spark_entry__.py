@@ -89,6 +89,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (0) new round-9 gates: zero driver evidence, head of window -
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
         "t82_filtered_ann": llmdata.t82_filtered_ann,
+        "t83_commit_invariants": llmdata.t83_commit_invariants,
+        "t84_bigram_fluency": llmdata.t84_bigram_fluency,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +141,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t3_quality_score": llmdata.t3_quality_score,
         "t4_dedup_exact": llmdata.t4_dedup_exact,
         "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
         # ---- driver window ends after the 50th entry above ------------
         # -- (b') displaced below the marker by round 9's new gates ------
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
         "q20_orders_without_items": extras.q20_orders_without_items,
         # -- (c) remaining r7-greens: next in line for ROUND 10 ----------

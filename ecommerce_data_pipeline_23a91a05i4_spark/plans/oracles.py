@@ -10,7 +10,13 @@ embeddings.
 
 # Shared with plans/llmdata.py so the t39 oracle's LIMIT can never
 # drift from the Spark gate's vocabulary cap.
-from .llmdata_constants import FLUENCY_VOCAB_CAP  # noqa: F401
+from .llmdata_constants import (  # noqa: F401
+    BIGRAM_FLUENCY_MEAN_MIN,
+    BIGRAM_LAMBDA_DEN,
+    BIGRAM_LAMBDA_NUM,
+    BIGRAM_VOCAB_CAP,
+    FLUENCY_VOCAB_CAP,
+)
 
 # Operator tunables interpolated into the oracle SQL below — importing
 # the very constants the Spark operators run with, so retuning an
@@ -979,6 +985,70 @@ LLMDATA_ORACLES["t39_unigram_fluency"] = f"""
     FROM per_doc
     ORDER BY doc_id
 """
+
+
+# t84: the interpolated bigram fold replayed bit-for-bit — position
+# structs from the token list (no window), full-count conditional
+# denominators, integer DIV interpolation, backoff for position 1 and
+# bigram-OOV, one IEEE division for the mean (the t39 discipline).
+LLMDATA_ORACLES["t84_bigram_fluency"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split({NORM}, ' ') AS l FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, s['w'] AS w, s['prev'] AS prev
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l) + 1),
+                       i -> {{'w': l[i],
+                             'prev': CASE WHEN i >= 2 THEN l[i - 1]
+                                          ELSE NULL END}})) AS s
+            FROM d
+        )
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n_total FROM uni),
+    kept_u AS (SELECT w, c FROM uni
+               ORDER BY c DESC, w ASC LIMIT {FLUENCY_VOCAB_CAP}),
+    microp_u AS (
+        SELECT w, (c * 1000000) // n_total AS up FROM kept_u CROSS JOIN tot
+    ),
+    big AS (
+        SELECT prev AS w1, w AS w2, COUNT(*) AS c2
+        FROM tok WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    kept_b AS (SELECT w1, w2, c2 FROM big
+               ORDER BY c2 DESC, w1 ASC, w2 ASC LIMIT {BIGRAM_VOCAB_CAP}),
+    microp_b AS (
+        SELECT b.w1, b.w2, (b.c2 * 1000000) // u.c AS bp
+        FROM kept_b b JOIN uni u ON b.w1 = u.w
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN b.bp IS NOT NULL
+                    THEN ({BIGRAM_LAMBDA_NUM} * b.bp
+                          + {BIGRAM_LAMBDA_DEN - BIGRAM_LAMBDA_NUM}
+                            * COALESCE(u.up, 0))
+                         // {BIGRAM_LAMBDA_DEN}
+                    ELSE COALESCE(u.up, 0) END AS score
+        FROM tok t
+        LEFT JOIN microp_u u ON t.w = u.w
+        LEFT JOIN microp_b b ON t.prev = b.w1 AND t.w = b.w2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_fluency,
+               CAST(MIN(score) AS BIGINT) AS min_fluency
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {{SQLQ}} AS mean_fluency,
+           min_fluency,
+           (mean_fluency >= {BIGRAM_FLUENCY_MEAN_MIN}) AS keep
+    FROM per_doc
+    ORDER BY doc_id
+""".replace("{SQLQ}", SQL_QUANT("mean_fluency", 6))
 
 
 LLMDATA_ORACLES["t33_repetition_filters"] = f"""
@@ -3487,6 +3557,26 @@ def _t82_oracle() -> str:
 
 
 LLMDATA_ORACLES["t82_filtered_ann"] = _t82_oracle()
+
+
+# t83: the constrained table's final contents are exactly the three
+# clean bands (init %4==0, append %4==1, merged %4==2 — doc_id is
+# unique, so the clean merge inserts the whole band); every violating
+# write was rejected at staging and committed nothing, which the
+# recomputed stats prove and the pinned booleans record.
+LLMDATA_ORACLES["t83_commit_invariants"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS violation_rejected,
+           TRUE AS null_rejected,
+           TRUE AS merge_rejected,
+           TRUE AS log_intact
+    FROM documents
+    WHERE doc_id % 4 IN (0, 1, 2)
+    GROUP BY source
+    ORDER BY source
+"""
 
 
 # t77: shallow clone — the source's final state IS the raw corpus

@@ -97,6 +97,14 @@ def _col_mapping(manifest: dict) -> dict[str, str]:
     return {f.name: cm.get(f.name, f.name) for f in schema.fields}
 
 
+def _constraints(manifest: dict) -> list[dict]:
+    """The manifest's CHECK invariants: [{"name", "expr"}, ...] —
+    table metadata every commit carries forward (like stream_floors),
+    so constraints survive overwrite/compact/restore until explicitly
+    drop_constraint()ed."""
+    return list(manifest.get("constraints") or [])
+
+
 def _fresh_physical(logical: str) -> str:
     """A never-before-used physical column name.  Uniqueness is the
     correctness point: a column RE-ADDED after a drop must not read
@@ -406,6 +414,7 @@ class TxTable:
         df: DataFrame,
         partition_by: str | None,
         mapping: dict[str, str] | None = None,
+        constraints: list[dict] | None = None,
     ) -> list[dict]:
         """Write ``df``'s files under a fresh commit dir (never visible
         until a manifest references them); return their file entries.
@@ -413,7 +422,34 @@ class TxTable:
         (logical -> physical) renames columns on the way to disk so
         every staged file carries the physical layout its manifest's
         column mapping expects.  Stats are keyed by PHYSICAL name —
-        the key that survives renames."""
+        the key that survives renames.
+
+        ``constraints`` (the owning manifest's CHECK invariants, see
+        add_check_constraint) are enforced IN the write plan: each row
+        passes through a plan_guard filter that raises on violation,
+        so enforcement is distributed, costs zero extra jobs, and the
+        write fails before a single violating row can be committed —
+        Delta's invariant-check operator re-expressed as a Catalyst
+        filter.  SQL CHECK semantics: a row violates only when the
+        expression is FALSE; NULL passes (add NOT NULL explicitly via
+        add_not_null)."""
+        from ..functions.exprs import plan_guard
+
+        for c in constraints or []:
+            cond = F.coalesce(F.expr(c["expr"]), F.lit(True))
+            df = df.filter(
+                F.coalesce(
+                    plan_guard(
+                        ~cond,
+                        F.lit(
+                            f"TxTable constraint {c['name']!r} violated "
+                            f"by a staged row on {self.path}: CHECK "
+                            f"({c['expr']})"
+                        ),
+                    ),
+                    F.lit(True),
+                )
+            )
         phys = mapping or {}
         if any(phys.get(c, c) != c for c in df.columns):
             df = df.select(
@@ -534,6 +570,7 @@ class TxTable:
         partition_by: str | None,
         stream_floors: dict[str, int] | None = None,
         column_mapping: dict[str, str] | None | object = _INHERIT,
+        constraints: list[dict] | object = _INHERIT,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -555,7 +592,9 @@ class TxTable:
         version = (base_version or 0) + 1
         parent = None
         if base_version is not None and (
-            stream_floors is None or column_mapping is _INHERIT
+            stream_floors is None
+            or column_mapping is _INHERIT
+            or constraints is _INHERIT
         ):
             parent = self.manifest(base_version)
         if stream_floors is None and parent is not None:
@@ -567,6 +606,12 @@ class TxTable:
             # knowing; overwrite() resets it explicitly
             column_mapping = (
                 parent.get("column_mapping") if parent is not None else None
+            )
+        if constraints is _INHERIT:
+            # constraints are table metadata: carried by every commit
+            # (overwrite included) until drop_constraint()
+            constraints = (
+                _constraints(parent) if parent is not None else []
             )
         manifest = {
             "version": version,
@@ -582,6 +627,8 @@ class TxTable:
             }
         if column_mapping:
             manifest["column_mapping"] = dict(column_mapping)
+        if constraints:
+            manifest["constraints"] = [dict(c) for c in constraints]
         self._try_commit(manifest, version)
         return version
 
@@ -626,7 +673,7 @@ class TxTable:
         schema_json = base["schema"]
         cmap = base.get("column_mapping")
         self._check_schema(df, StructType.fromJson(json.loads(schema_json)))
-        staged = self._stage(df, pcol, _col_mapping(base))
+        staged = self._stage(df, pcol, _col_mapping(base), _constraints(base))
         for _ in range(max_retries):
             base = self.manifest()
             if (
@@ -666,7 +713,7 @@ class TxTable:
         time travel."""
         base = self.manifest()
         return self._commit(
-            self._stage(df, partition_by),
+            self._stage(df, partition_by, constraints=_constraints(base)),
             "overwrite",
             base["version"],
             df.schema,
@@ -951,7 +998,7 @@ class TxTable:
                 df = df.repartition(files)
             try:
                 return self._commit(
-                    self._stage(df, pcol, _col_mapping(m)),
+                    self._stage(df, pcol, _col_mapping(m), _constraints(m)),
                     "purge_columns",
                     m["version"],
                     StructType.fromJson(json.loads(m["schema"])),
@@ -961,6 +1008,118 @@ class TxTable:
                 continue  # re-derive against the new snapshot
         raise CommitConflict(
             f"purge_dropped_columns on {self.path} lost {max_retries} "
+            "commit races"
+        )
+
+    # ------------------------------------------------------ constraints
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK invariants as {name: sql_expr}."""
+        return {
+            c["name"]: c["expr"] for c in _constraints(self.manifest())
+        }
+
+    def add_check_constraint(
+        self, name: str, expr: str, max_retries: int = 5
+    ) -> int:
+        """Commit-time CHECK invariant (Delta's ``ADD CONSTRAINT``,
+        reproducing the reference's production-DDL constraints —
+        sql/ddl/create_production_schema.sql:35-88 — at the table
+        layer; VERDICT r8 ask #5).  ``expr`` is a SQL boolean over the
+        table's logical columns; from this commit on, EVERY verb that
+        stages rows (append, overwrite, merge, apply_cdc, streaming
+        sink) fails loudly if any staged row evaluates it to FALSE —
+        enforcement rides the write plan itself (see _stage), so it is
+        distributed and costs no extra pass.  NULL satisfies a CHECK
+        (SQL semantics); use :meth:`add_not_null` for null rejection.
+
+        Adding the constraint validates the EXISTING snapshot first —
+        one O(table) scan, the same contract Delta documents — so a
+        committed constraint is a real invariant, not a promise about
+        future writes only.  An expression naming unknown columns
+        fails that scan loudly.  Constraints survive overwrite/compact
+        /restore (carried like stream_floors) until
+        :meth:`drop_constraint`; an overwrite that drops a constrained
+        column therefore fails at staging — drop the constraint
+        first."""
+        if not name or ":" in name:
+            raise ValueError(
+                f"constraint name {name!r} must be non-empty and "
+                "':'-free (it is embedded in the manifest op field)"
+            )
+        for _ in range(max_retries):
+            m = self.manifest()
+            cons = _constraints(m)
+            if any(c["name"] == name for c in cons):
+                raise ValueError(
+                    f"constraint {name!r} already exists on {self.path}"
+                )
+            n_bad = (
+                self.snapshot(m["version"])
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"add_check_constraint {name!r} on {self.path}: "
+                    f"{n_bad} existing row(s) violate CHECK ({expr}); "
+                    "a constraint must hold over the data it governs"
+                )
+            try:
+                return self._commit(
+                    m["files"],
+                    f"add_constraint:{name}",
+                    m["version"],
+                    StructType.fromJson(json.loads(m["schema"])),
+                    m.get("partition_by"),
+                    constraints=cons + [{"name": name, "expr": expr}],
+                )
+            except CommitConflict:
+                continue  # re-validate against the new head
+        raise CommitConflict(
+            f"add_check_constraint on {self.path} lost {max_retries} "
+            "commit races"
+        )
+
+    def add_not_null(self, col: str, max_retries: int = 5) -> int:
+        """NOT NULL at commit time: sugar for a CHECK the shared
+        enforcement path understands (``col IS NOT NULL`` never
+        evaluates to NULL, so the CHECK-passes-NULL rule cannot
+        weaken it)."""
+        m = self.manifest()
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"add_not_null: {col!r} is not a column of {self.path}"
+            )
+        return self.add_check_constraint(
+            f"{col}_not_null", f"{col} IS NOT NULL", max_retries
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 5) -> int:
+        """Remove a CHECK invariant (metadata-only, O(1))."""
+        for _ in range(max_retries):
+            m = self.manifest()
+            cons = _constraints(m)
+            kept = [c for c in cons if c["name"] != name]
+            if len(kept) == len(cons):
+                raise ValueError(
+                    f"drop_constraint: {name!r} is not a constraint of "
+                    f"{self.path} (have "
+                    f"{sorted(c['name'] for c in cons)})"
+                )
+            try:
+                return self._commit(
+                    m["files"],
+                    f"drop_constraint:{name}",
+                    m["version"],
+                    StructType.fromJson(json.loads(m["schema"])),
+                    m.get("partition_by"),
+                    constraints=kept,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_constraint on {self.path} lost {max_retries} "
             "commit races"
         )
 
@@ -1055,6 +1214,7 @@ class TxTable:
             StructType.fromJson(json.loads(m["schema"])),
             m.get("partition_by"),
             column_mapping=m.get("column_mapping"),
+            constraints=_constraints(m),  # clones inherit invariants
         )
         return dst
 
@@ -1093,7 +1253,7 @@ class TxTable:
 
             df = zorder_frame(self.snapshot(), list(zorder_by), n_files)
         return self._commit(
-            self._stage(df, m.get("partition_by"), _col_mapping(m)),
+            self._stage(df, m.get("partition_by"), _col_mapping(m), _constraints(m)),
             "compact",
             m["version"],
             StructType.fromJson(json.loads(m["schema"])),
@@ -1173,7 +1333,7 @@ class TxTable:
                 # tasks stage empty part files — dead manifest entries
                 # that also read as unprunable under data skipping
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
-            staged = self._stage(survivors, pcol, _col_mapping(m))
+            staged = self._stage(survivors, pcol, _col_mapping(m), _constraints(m))
             try:
                 self._commit(
                     carry + staged, "delete", m["version"], schema, pcol
@@ -1317,14 +1477,15 @@ class TxTable:
                 # the scan's partitioning stages empty part files
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
             mapping = _col_mapping(m)
+            cons = _constraints(m)
             staged = (
-                self._stage(survivors, pcol, mapping) if hit_uris else []
+                self._stage(survivors, pcol, mapping, cons) if hit_uris else []
             )
             if not ups_empty:
                 ins = upserts
                 if not insert_unmatched:
                     ins = ins.join(snap.select(keys), on=keys, how="leftsemi")
-                staged += self._stage(ins, pcol, mapping)
+                staged += self._stage(ins, pcol, mapping, cons)
             try:
                 self._commit(carry + staged, "merge", m["version"], schema, pcol)
                 return m["version"] + 1
@@ -1739,7 +1900,9 @@ class TxTableStreamSink:
         self.table._check_schema(
             df, StructType.fromJson(json.loads(base["schema"]))
         )
-        staged = self.table._stage(df, pcol, _col_mapping(base))
+        staged = self.table._stage(
+            df, pcol, _col_mapping(base), _constraints(base)
+        )
         floors = _stream_floors(base)
         floors[self.app_id] = max(floor, batch_id)
         # single writer per (table, app_id) by construction; a lost race

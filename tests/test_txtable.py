@@ -1285,3 +1285,103 @@ def test_sink_built_before_init_degrades_zorder_on_partitioned_table(
     assert sink.zorder_by is None          # degraded once, permanently
     assert "compact" in [h["op"] for h in t.history()]
     assert {r.k for r in t.snapshot().collect()} == set(range(6))
+
+
+def test_check_constraints_enforced_on_append_and_overwrite(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.createDataFrame([(1, "a", 10)], "k long, v string, n long"))
+    t.add_check_constraint("n_nonneg", "n >= 0")
+    t.add_not_null("v")
+    assert t.constraints() == {
+        "n_nonneg": "n >= 0", "v_not_null": "v IS NOT NULL",
+    }
+    t.append(spark.createDataFrame([(2, "b", 0)], "k long, v string, n long"))
+    v = t.latest_version()
+    with pytest.raises(Exception, match="n_nonneg"):
+        t.append(
+            spark.createDataFrame([(3, "c", -1)], "k long, v string, n long")
+        )
+    with pytest.raises(Exception, match="v_not_null"):
+        t.append(
+            spark.createDataFrame(
+                [(3, None, 1)], "k long, v string, n long"
+            )
+        )
+    assert t.latest_version() == v       # rejected writes left no commit
+    # NULL satisfies a CHECK (SQL semantics); NOT NULL is explicit
+    t.append(
+        spark.createDataFrame([(4, "d", None)], "k long, v string, n long")
+    )
+    # constraints survive overwrite, and overwrite enforces them
+    with pytest.raises(Exception, match="n_nonneg"):
+        t.overwrite(
+            spark.createDataFrame([(9, "z", -9)], "k long, v string, n long")
+        )
+    t.overwrite(
+        spark.createDataFrame([(9, "z", 9)], "k long, v string, n long")
+    )
+    assert set(t.constraints()) == {"n_nonneg", "v_not_null"}
+    # drop: the formerly-violating row now commits
+    t.drop_constraint("n_nonneg")
+    t.append(
+        spark.createDataFrame([(5, "e", -1)], "k long, v string, n long")
+    )
+    with pytest.raises(ValueError, match="not a constraint"):
+        t.drop_constraint("n_nonneg")
+
+
+def test_check_constraint_validates_existing_data_and_bad_exprs(
+    spark, tmp_path
+):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, None)]))
+    with pytest.raises(ValueError, match="existing row"):
+        t.add_check_constraint("k_small", "k < 2")
+    with pytest.raises(Exception):      # unknown column: loud at the scan
+        t.add_check_constraint("bad", "no_such_col > 0")
+    with pytest.raises(ValueError, match="non-empty"):
+        t.add_check_constraint("has:colon", "k > 0")
+    # NULL rows satisfy a CHECK, so this add passes over (2, NULL)...
+    t.add_check_constraint("v_short", "length(v) <= 3")
+    # ...but add_not_null over existing NULLs is rejected
+    with pytest.raises(ValueError, match="existing row"):
+        t.add_not_null("v")
+    with pytest.raises(ValueError, match="not a column"):
+        t.add_not_null("nope")
+
+
+def test_check_constraints_enforced_on_merge_cdc_stream_and_clone(
+    spark, tmp_path
+):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]))
+    t.add_check_constraint("v_nonempty", "length(v) > 0")
+    v = t.latest_version()
+    with pytest.raises(Exception, match="v_nonempty"):
+        t.merge(_df(spark, [(1, "")]), on="k")
+    assert t.latest_version() == v
+    t.merge(_df(spark, [(1, "A"), (3, "c")]), on="k")
+    with pytest.raises(Exception, match="v_nonempty"):
+        apply_cdc(
+            t,
+            spark.createDataFrame(
+                [(4, "", "I", 1)], "k long, v string, op string, seq long"
+            ),
+            on="k",
+        )
+    sink = TxTableStreamSink(t, app_id="s")
+    with pytest.raises(Exception, match="v_nonempty"):
+        sink(_df(spark, [(5, "")]), 0)
+    sink(_df(spark, [(5, "e")]), 1)
+    # compaction restates valid rows under the constraint
+    t.compact(1)
+    # a shallow clone inherits (and enforces) the invariants
+    c = t.clone_shallow(str(tmp_path / "c"))
+    assert c.constraints() == {"v_nonempty": "length(v) > 0"}
+    with pytest.raises(Exception, match="v_nonempty"):
+        c.append(_df(spark, [(9, "")]))
+    assert {r.k for r in t.snapshot().collect()} == {1, 2, 3, 5}
