@@ -228,6 +228,123 @@ def unigram_fluency_stats(
     )
 
 
+def bigram_fluency_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_cap: int | None = None,
+    bigram_cap: int | None = None,
+    lam_num: int = 70,
+    lam_den: int = 100,
+) -> DataFrame:
+    """Interpolated bigram-LM fluency scoring — the n-gram upgrade of
+    :func:`unigram_fluency_stats` (VERDICT r8 ask #6; CCNet's quality
+    signal is a 5-gram KenLM — the bigram is the smallest model with
+    CONTEXT, and the interpolation/backoff structure is the same).
+    Every arithmetic step before the final mean is integer-exact, for
+    the same reason as the unigram filter: ln()/double-pow are not
+    bit-portable across engines, integer division is.
+
+    Per token position i (corpus-level counts):
+
+    - unigram score   u_i = floor(c(w_i) · 10⁶ / total)   (0 if OOV)
+    - bigram score    b_i = floor(c(w_{i-1}, w_i) · 10⁶ / c(w_{i-1}))
+    - position score  s_i = (lam_num·b_i + (lam_den−lam_num)·u_i)
+                            DIV lam_den      when the bigram is in the
+                            kept table and i ≥ 2 (Jelinek-Mercer
+                            interpolation with integer weights),
+                      s_1 and bigram-OOV positions BACK OFF to u_i
+                      (Katz-style: no context evidence → unigram).
+
+    The conditional's denominator is the FULL corpus count of the
+    context token, never the capped table's, so capping cannot inflate
+    probabilities.  ``vocab_cap`` / ``bigram_cap`` bound both model
+    tables (top-K by count DESC, token(s) ASC — deterministic
+    tie-breaks) exactly as the unigram filter does: at web scale the
+    raw bigram vocabulary is quadratic in the unigram's, so a bounded
+    table is the only shippable model; OOV lumps to the backoff path.
+
+    Distributed shape: one pass builds (prev, cur) pairs by zipping
+    the token array with its shifted self (column exprs only — no
+    per-doc window, no O(len²) blowup), two bounded count tables, two
+    hint-free joins (Spark broadcasts them when small), one per-doc
+    integer aggregate.  Returns (id, n_tokens, mean_fluency double,
+    min_fluency long)."""
+    if not 0 <= lam_num <= lam_den or lam_den <= 0:
+        raise ValueError(
+            f"bigram_fluency_stats: need 0 <= lam_num ({lam_num}) <= "
+            f"lam_den ({lam_den}), lam_den > 0"
+        )
+    ws = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ws")
+    )
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(
+            F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))
+        ),
+    )
+    tok = ws.select(
+        "id",
+        F.posexplode(
+            F.zip_with(
+                F.col("ws"),
+                prevs,
+                lambda c, p: F.struct(c.alias("w"), p.alias("prev")),
+            )
+        ).alias("pos", "s"),
+    ).select("id", F.col("s.w").alias("w"), F.col("s.prev").alias("prev"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    kept_u = uni
+    if vocab_cap is not None:
+        kept_u = kept_u.orderBy(
+            F.col("c").desc(), F.col("w").asc()
+        ).limit(vocab_cap)
+    microp_u = kept_u.crossJoin(F.broadcast(total)).selectExpr(
+        "w", "(c * 1000000L) DIV n_total AS up"
+    )
+    big = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("w1"), F.col("w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    kept_b = big
+    if bigram_cap is not None:
+        kept_b = kept_b.orderBy(
+            F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(bigram_cap)
+    microp_b = kept_b.join(
+        uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+    ).selectExpr("w1", "w2", "(c2 * 1000000L) DIV c1 AS bp")
+    scored = (
+        tok.join(microp_u, "w", "left")
+        .join(
+            microp_b,
+            (F.col("prev") == F.col("w1")) & (F.col("w") == F.col("w2")),
+            "left",
+        )
+        .withColumn("up", F.coalesce(F.col("up"), F.lit(0)))
+        .withColumn(
+            "score",
+            F.when(
+                F.col("bp").isNotNull(),
+                F.expr(
+                    f"({lam_num}L * bp + {lam_den - lam_num}L * up) "
+                    f"DIV {lam_den}L"
+                ),
+            ).otherwise(F.col("up")),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias(
+            "mean_fluency"
+        ),
+        F.min("score").cast("long").alias("min_fluency"),
+    )
+
+
 def contamination_stats(
     candidates: DataFrame,
     benchmark: DataFrame,

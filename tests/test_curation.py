@@ -330,3 +330,55 @@ def test_trained_classifier_actually_learns_the_planted_signal(spark):
         (dd.md5_hash32(F.lit("qualmark")) % cu.CLS_BUCKETS).alias("b")
     ).collect()[0].b
     assert w[marker_bucket] == max(w.values())
+
+
+def test_bigram_fluency_interpolation_and_backoff(spark):
+    """Hand-computed corpus: 'a b a b' + 'a a'.  uni: a=4, b=2, total 6
+    -> up(a)=666666, up(b)=333333; bigrams (a,b)=2, (b,a)=1, (a,a)=1
+    -> bp(a,b)=500000, bp(b,a)=500000, bp(a,a)=250000.  Interpolated
+    position scores (70/30 DIV 100) and position-1 backoff are checked
+    exactly; then a bigram_cap of 1 keeps only (a,b) and every other
+    position backs off to its unigram score."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        curation as cu,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], "doc_id long, text string"
+    )
+    out = {
+        r.id: r
+        for r in cu.bigram_fluency_stats(docs, "doc_id", "text").collect()
+    }
+    # doc1: [up(a)=666666, (70*500000+30*333333)//100=449999,
+    #        (70*500000+30*666666)//100=549999, 449999]
+    assert out[1].n_tokens == 4
+    assert out[1].mean_fluency == (666666 + 449999 + 549999 + 449999) / 4
+    assert out[1].min_fluency == 449999
+    # doc2: [666666, (70*250000+30*666666)//100=374999]
+    assert out[2].mean_fluency == (666666 + 374999) / 2
+    assert out[2].min_fluency == 374999
+    # bigram_cap=1 keeps only (a,b): all other positions back off
+    capped = {
+        r.id: r
+        for r in cu.bigram_fluency_stats(
+            docs, "doc_id", "text", bigram_cap=1
+        ).collect()
+    }
+    assert capped[1].mean_fluency == (666666 + 449999) * 2 / 4
+    assert capped[2].mean_fluency == 666666.0
+    # vocab_cap=1 keeps only 'a' (up(b)=0), but the kept (a,b) bigram
+    # still contributes: b at position 2/4 scores (70*500000+30*0)//100
+    # — bigram evidence survives unigram OOV, the interpolation's point
+    vcap = {
+        r.id: r
+        for r in cu.bigram_fluency_stats(
+            docs, "doc_id", "text", vocab_cap=1, bigram_cap=1
+        ).collect()
+    }
+    assert vcap[1].min_fluency == 350000
+    assert vcap[1].mean_fluency == (666666 + 350000) * 2 / 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam_num"):
+        cu.bigram_fluency_stats(docs, "doc_id", "text", lam_num=101)
