@@ -41,6 +41,16 @@ def _best_of(action, n: int = 3) -> float:
     )
 
 
+
+def _reps(fac: int) -> int:
+    """Timed repetitions per probe point: the 1x point is every ratio's
+    DENOMINATOR, so it gets best-of-5 (VERDICT r8 ask #7: the sketch
+    probe's published 32x ratio rose on an IMPROVED absolute because
+    the 1x sec jittered between rounds; more floor samples on the
+    denominator stop the ratios crying wolf).  Scaled points keep
+    best-of-3 — their cost grows with the factor."""
+    return 5 if fac == 1 else 3
+
 def _with_replicas(df, fac: int):
     """Cross each row with replica ids 0..fac-1 in column ``_r`` — the
     shared skeleton of every probe's corpus replication; each probe then
@@ -187,8 +197,8 @@ def run_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) -> d
             orders = _materialize(
                 spark, replicate(ord_raw, "o_orderkey", fac), ord_path, n_files
             )
-            best = best_of(q1_shaped(li))
-            join_best = best_of(q2_shaped(li, orders))
+            best = best_of(q1_shaped(li), _reps(fac))
+            join_best = best_of(q2_shaped(li, orders), _reps(fac))
             if fac == 1:
                 base_rows, base_sec, base_join = li.count(), best, join_best
             rows = base_rows * fac
@@ -282,7 +292,7 @@ def run_llm_scale_probe(spark, sf_dir: str, factors: tuple[int, ...] = (8, 32)) 
                 ).count()
 
             pairs = run()
-            best = best_of(run)
+            best = best_of(run, _reps(fac))
             if fac == 1:
                 base_sec = best
             points[f"{fac}x"] = {
@@ -351,7 +361,7 @@ def run_curation_scale_probe(
                     F.md5(cu.redact_pii(F.col("text"))).alias("redacted_md5"),
                 ).count()
 
-            best = best_of(run)
+            best = best_of(run, _reps(fac))
             if fac == 1:
                 base_sec = best
             rows = base_docs * fac
@@ -561,9 +571,9 @@ def run_sketch_scale_probe(
                     .collect()
                 )
 
-            s_sec = _best_of(run_sketch)
+            s_sec = _best_of(run_sketch, _reps(fac))
             exact_rows = run_exact()  # doubles as _best_of's warm run
-            e_sec = _best_of(run_exact)
+            e_sec = _best_of(run_exact, _reps(fac))
             if fac == 1:
                 base_sketch, base_exact = s_sec, e_sec
             # the claim local[32] wall time CANNOT show (its shuffle is
