@@ -26,9 +26,14 @@ tables under the classic IJG quality scaling.  It writes its own
 canonically-valid table is legal JPEG, and the decoder consumes
 arbitrary DHT tables, so round-trips also exercise table parsing.
 
-Pure stdlib + numpy.  Scale note: per-row Python decode is the
-documented weak spot at 100-TB media scale (VERDICT r8); the seam is
-the fix point, not the callers.
+Pure stdlib + numpy.  The decode hot path is engineered, not naive
+(addressing VERDICT r8's interpreter-bound-decode finding): the entropy
+segment is unstuffed ONCE up front, Huffman symbols resolve through a
+flat 16-bit-peek LUT (one list index per symbol instead of a bit-by-bit
+tree walk), and dequant/IDCT/plane-scatter run as batched numpy over
+every block of a plane at once.  Only the irreducibly serial part —
+Huffman symbol sequencing, which carries a bit-position dependency from
+each symbol to the next — remains a Python loop.
 """
 
 from __future__ import annotations
@@ -91,95 +96,176 @@ def is_jpeg(data: bytes) -> bool:
 
 # --------------------------------------------------------------- decode
 class _Huff:
-    """Canonical Huffman table from a DHT segment: (length, code) ->
-    symbol, decoded bit-by-bit (tables are <= 16 levels deep)."""
+    """Canonical Huffman table from a DHT segment, compiled to a flat
+    16-bit-peek LUT: lut[next16bits] = (code_length << 8) | symbol, 0
+    marking prefixes no code starts with.  One list index replaces the
+    bit-by-bit walk (codes are <= 16 bits, T.81 B.2.4.2)."""
 
     def __init__(self, bits: list[int], values: bytes) -> None:
-        self.lut: dict[tuple[int, int], int] = {}
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 if k >= len(values):
                     raise ValueError("JPEG: DHT counts exceed symbols")
-                self.lut[(length, code)] = values[k]
+                base = code << (16 - length)
+                lut[base:base + (1 << (16 - length))] = (
+                    (length << 8) | values[k]
+                )
                 code += 1
                 k += 1
             code <<= 1
+        self.lut: list[int] = lut.tolist()  # list index beats np scalar
 
 
-class _MarkerHit(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
+#: DHT-segment -> compiled table.  A corpus of small images from one
+#: encoder repeats a handful of tables; compiling the 64Ki-entry LUT
+#: dominates small decodes, so memoize it (bounded; cleared when full).
+_HUFF_CACHE: dict[bytes, _Huff] = {}
 
 
-class _BitReader:
-    """Entropy-coded-segment bit reader with 0xFF00 unstuffing; a bare
-    marker inside the segment surfaces as _MarkerHit (RSTn handling)."""
+def _huff_cached(bits: list[int], values: bytes) -> _Huff:
+    key = bytes(bits) + bytes(values)
+    table = _HUFF_CACHE.get(key)
+    if table is None:
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.clear()
+        table = _Huff(bits, values)
+        _HUFF_CACHE[key] = table
+    return table
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
+def _split_ecs(data: bytes, pos: int) -> tuple[list[bytes], list[int]]:
+    """Unstuff the entropy-coded data starting at ``pos`` into clean ECS
+    byte chunks split at restart markers (returned alongside, in order).
+    Doing the 0xFF00 unstuffing once up front turns the bit reader into
+    straight-line arithmetic over plain bytes — the fast path the
+    per-byte stuffing check in the old reader could not take."""
+    chunks: list[bytes] = []
+    markers: list[int] = []
+    buf = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        if data[i] != 0xFF:
+            j = data.find(b"\xff", i)
+            if j == -1:
                 raise ValueError("JPEG: truncated entropy segment")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                if self.pos + 1 >= len(self.data):
-                    raise ValueError("JPEG: truncated after 0xFF")
-                nxt = self.data[self.pos + 1]
-                if nxt == 0x00:
-                    self.pos += 2
-                else:
-                    raise _MarkerHit(nxt)
-            else:
-                self.pos += 1
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_to_marker(self) -> int:
-        """Drop partial bits, expect and consume a marker; return it."""
-        self.nbits = 0
-        if (
-            self.pos + 1 >= len(self.data)
-            or self.data[self.pos] != 0xFF
-        ):
-            raise ValueError("JPEG: expected restart marker")
-        marker = self.data[self.pos + 1]
-        self.pos += 2
-        return marker
-
-    def decode_huff(self, table: _Huff) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("JPEG: invalid Huffman code")
+            buf += data[i:j]
+            i = j
+            continue
+        if i + 1 >= n:
+            raise ValueError("JPEG: truncated after 0xFF")
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed data byte
+            buf.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            chunks.append(bytes(buf))
+            buf = bytearray()
+            markers.append(nxt)
+            i += 2
+        else:  # terminating marker (EOI / next segment / 0xFF fill)
+            chunks.append(bytes(buf))
+            return chunks, markers
+    raise ValueError("JPEG: truncated entropy segment")
 
 
-def _extend(v: int, s: int) -> int:
-    """T.81 EXTEND: map the s-bit magnitude value to its signed DIFF."""
-    if s == 0:
-        return 0
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+def _decode_chunk(
+    data: bytes,
+    layout: list[tuple[int, list[int], list[int]]],
+    ncomps: int,
+    nmcus: int,
+    coeff_zz: list[list[list[float]]],
+) -> None:
+    """Decode ``nmcus`` MCUs from ONE unstuffed ECS chunk, appending
+    each block's zigzag coefficients to ``coeff_zz[ci]``.
+
+    This is the codec's irreducibly serial loop (every Huffman symbol's
+    bit position depends on the previous symbol's length), so it is
+    written for the interpreter: all bit-reader state lives in locals,
+    the accumulator refills 32 bits at a time via int.from_bytes, and
+    each symbol resolves through one flat-LUT index — no per-symbol
+    attribute access or call.  DC predictors reset per chunk, which is
+    exactly T.81's restart-marker semantics.  Refills past the chunk
+    end buffer 1-bits (T.81's padding value), but a legit stream never
+    *consumes* them — every symbol the encoder wrote lies within the
+    real bytes — so consuming any (checked once, after the last MCU)
+    is a truncated stream."""
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    pad_bits = 0
+    preds = [0] * ncomps
+    for _ in range(nmcus):
+        for ci, dc_lut, ac_lut in layout:
+            block = [0.0] * 64
+            rows = coeff_zz[ci]
+            k = 0  # 0 = the DC pass; 1..63 = AC coefficients
+            while k < 64:
+                if nbits < 32:  # refill: 32 bits covers code+magnitude
+                    if pos + 4 <= n:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4], "big"
+                        )
+                        pos += 4
+                    else:
+                        take = n - pos
+                        if take > 0:
+                            acc = (acc << (8 * take)) | int.from_bytes(
+                                data[pos:], "big"
+                            )
+                            pos = n
+                        miss = 8 * (4 - take)
+                        acc = (acc << miss) | ((1 << miss) - 1)
+                        pad_bits += miss
+                    nbits += 32
+                    acc &= (1 << nbits) - 1
+                entry = (dc_lut if k == 0 else ac_lut)[
+                    (acc >> (nbits - 16)) & 0xFFFF
+                ]
+                if entry == 0:
+                    raise ValueError("JPEG: invalid Huffman code")
+                nbits -= entry >> 8
+                sym = entry & 0xFF
+                size = sym & 15 if k else sym
+                if k == 0:
+                    if size:
+                        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        if v < (1 << (size - 1)):  # T.81 EXTEND
+                            v += 1 - (1 << size)
+                        preds[ci] += v
+                    block[0] = preds[ci]
+                    k = 1
+                    continue
+                if size == 0:
+                    if sym == 0xF0:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("JPEG: AC run past end of block")
+                v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                nbits -= size
+                if v < (1 << (size - 1)):  # T.81 EXTEND
+                    v += 1 - (1 << size)
+                block[k] = v
+                k += 1
+            rows.append(block)
+    if pad_bits > nbits:  # some buffered padding was decoded from
+        raise ValueError("JPEG: truncated entropy segment")
 
 
-def _idct_block(coeff: np.ndarray) -> np.ndarray:
-    return _C.T @ coeff @ _C
+def _idct_blocks(coeff: np.ndarray) -> np.ndarray:
+    """Batched separable IDCT: (n, 8, 8) coefficient blocks -> spatial,
+    one broadcast matmul pair for the whole plane.  Grouped
+    (C.T @ coeff) @ C to match the former block-at-a-time version
+    bit-for-bit (float matmul is not associative)."""
+    return np.matmul(np.matmul(_C.T, coeff), _C)
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
@@ -246,7 +332,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 bits = list(seg[p + 1:p + 17])
                 nv = sum(bits)
                 values = seg[p + 17:p + 17 + nv]
-                table = _Huff(bits, values)
+                table = _huff_cached(bits, values)
                 if tc_th >> 4 == 0:
                     huff_dc[tc_th & 15] = table
                 else:
@@ -308,74 +394,67 @@ def _decode_scan(
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        )
-    reader = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    zz = ZIGZAG
     dequants = []
+    tabs = []
     for s in scan:
         tq = s["comp"]["tq"]
         if tq not in qt:
             raise ValueError(f"JPEG: missing quantization table {tq}")
         dequants.append(np.array(qt[tq], dtype=np.float64))
-    mcu_index = 0
-    next_rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and (
-                mcu_index % restart_interval == 0
-            ):
-                marker = reader.align_to_marker()
-                if marker != 0xD0 + next_rst:
-                    raise ValueError(
-                        f"JPEG: expected RST{next_rst}, got "
-                        f"marker 0x{marker:02x}"
-                    )
-                next_rst = (next_rst + 1) % 8
-                preds = [0] * len(comps)
-            for ci, s in enumerate(scan):
-                comp = s["comp"]
-                dq = dequants[ci]
-                dc_tab = huff_dc.get(s["dc"])
-                ac_tab = huff_ac.get(s["ac"])
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError(
-                        f"JPEG: scan references missing Huffman table "
-                        f"(dc={s['dc']}, ac={s['ac']})"
-                    )
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        try:
-                            block_zz = _decode_block(
-                                reader,
-                                dc_tab,
-                                ac_tab,
-                                preds,
-                                ci,
-                            )
-                        except _MarkerHit as m:
-                            raise ValueError(
-                                f"JPEG: unexpected marker 0x{m.marker:02x} "
-                                "inside entropy data"
-                            ) from None
-                        coeff = np.zeros(64)
-                        coeff[zz] = block_zz * dq
-                        pix = _idct_block(coeff.reshape(8, 8))
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-            mcu_index += 1
+        dc_tab = huff_dc.get(s["dc"])
+        ac_tab = huff_ac.get(s["ac"])
+        if dc_tab is None or ac_tab is None:
+            raise ValueError(
+                f"JPEG: scan references missing Huffman table "
+                f"(dc={s['dc']}, ac={s['ac']})"
+            )
+        tabs.append((dc_tab, ac_tab))
+    chunks, rst_markers = _split_ecs(data, pos)
+    # per-MCU block layout: (component index, DC LUT, AC LUT) per block
+    layout: list[tuple[int, list[int], list[int]]] = []
+    for ci, s in enumerate(scan):
+        comp = s["comp"]
+        entry = (ci, tabs[ci][0].lut, tabs[ci][1].lut)
+        layout.extend([entry] * (comp["v"] * comp["h"]))
+    total_mcus = mcus_y * mcus_x
+    if restart_interval:
+        nchunks = -(-total_mcus // restart_interval)
+        if len(chunks) < nchunks:
+            raise ValueError("JPEG: expected restart marker")
+        for idx in range(nchunks - 1):
+            marker = rst_markers[idx]
+            if marker != 0xD0 + (idx % 8):
+                raise ValueError(
+                    f"JPEG: expected RST{idx % 8}, got "
+                    f"marker 0x{marker:02x}"
+                )
+        counts = [restart_interval] * (nchunks - 1)
+        counts.append(total_mcus - restart_interval * (nchunks - 1))
+    else:
+        nchunks = 1
+        counts = [total_mcus]
+    # entropy decode accumulates zigzag blocks per component in
+    # (my, mx, by, bx) order; dequant/IDCT/scatter run batched after
+    coeff_zz: list[list[list[float]]] = [[] for _ in comps]
+    for idx in range(nchunks):
+        _decode_chunk(chunks[idx], layout, len(comps), counts[idx], coeff_zz)
     out = []
     for ci, comp in enumerate(comps):
-        plane = planes[ci] + 128.0
-        if comp["h"] != hmax or comp["v"] != vmax:
+        h_, v_ = comp["h"], comp["v"]
+        zzb = np.array(coeff_zz[ci], dtype=np.float64) * dequants[ci]
+        nat = np.zeros((zzb.shape[0], 64))
+        nat[:, ZIGZAG] = zzb
+        pix = _idct_blocks(nat.reshape(-1, 8, 8))
+        # (my, mx, by, bx, py, px) -> rows (my, by, py), cols (mx, bx, px)
+        plane = (
+            pix.reshape(mcus_y, mcus_x, v_, h_, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * v_ * 8, mcus_x * h_ * 8)
+        ) + 128.0
+        if h_ != hmax or v_ != vmax:
             plane = np.repeat(
-                np.repeat(plane, vmax // comp["v"], axis=0),
-                hmax // comp["h"],
+                np.repeat(plane, vmax // v_, axis=0),
+                hmax // h_,
                 axis=1,
             )
         out.append(plane[:height, :width])
@@ -390,35 +469,6 @@ def _decode_scan(
     rgb = np.stack([r, g, b], axis=2)
     rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
-
-
-def _decode_block(
-    reader: _BitReader,
-    dc_table: _Huff,
-    ac_table: _Huff,
-    preds: list[int],
-    ci: int,
-) -> np.ndarray:
-    """One 8x8 block's dequant-ready coefficients in ZIGZAG order."""
-    block = np.zeros(64)
-    s = reader.decode_huff(dc_table)
-    preds[ci] += _extend(reader.receive(s), s)
-    block[0] = preds[ci]
-    k = 1
-    while k < 64:
-        rs = reader.decode_huff(ac_table)
-        r, size = rs >> 4, rs & 15
-        if size == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("JPEG: AC run past end of block")
-        block[k] = _extend(reader.receive(size), size)
-        k += 1
-    return block
 
 
 # --------------------------------------------------------------- encode
@@ -524,15 +574,17 @@ def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     of shape (blocks_y, blocks_x, 64) in ZIGZAG order."""
     h, w = plane.shape
     by, bx = h // 8, w // 8
-    out = np.zeros((by, bx, 64), dtype=np.int64)
-    shifted = plane - 128.0
-    for yy in range(by):
-        for xx in range(bx):
-            block = shifted[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8]
-            coeff = _C @ block @ _C.T
-            zzc = coeff.reshape(64)[ZIGZAG]
-            out[yy, xx] = np.floor(zzc / qt + 0.5).astype(np.int64)
-    return out
+    shifted = (
+        (plane - 128.0)
+        .reshape(by, 8, bx, 8)
+        .transpose(0, 2, 1, 3)  # (by, bx, 8, 8)
+    )
+    # batched fDCT, grouped (C @ B) @ C.T — float matmul is not
+    # associative, and this grouping is the module's historical (and
+    # therefore pinned-by-fixtures) rounding
+    coeff = np.matmul(np.matmul(_C, shifted), _C.T)
+    zzc = np.ascontiguousarray(coeff).reshape(by, bx, 64)[:, :, ZIGZAG]
+    return np.floor(zzc / qt + 0.5).astype(np.int64)
 
 
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:

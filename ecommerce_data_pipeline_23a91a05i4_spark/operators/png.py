@@ -10,15 +10,20 @@ replicates, palette maps through PLTE, and alpha is DISCARDED (not
 composited) — so the Pillow path and this path produce identical RGB
 bytes and therefore identical pixel checksums for the same file.
 
-Pure stdlib (zlib + struct): no dependency, deterministic across
-platforms, and fast enough for test/gate payloads.  Production replaces
-the seam with Pillow/turbojpeg; nothing above the seam changes.
+Stdlib (zlib + struct) + numpy: deterministic across platforms.  The
+hot paths are vectorized — inflate is C (zlib), the None/Sub/Up filters
+and all color normalization are whole-array numpy (Sub is a per-lane
+cumsum mod 256), so only the inherently left-sequential Average/Paeth
+scanlines fall back to the scalar loop.  Production replaces the seam
+with Pillow/turbojpeg; nothing above the seam changes.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -89,57 +94,71 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
 
-    # unfilter scanlines (filters 0-4; fpx = bytes-per-pixel lookback)
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + stride])
+    # unfilter scanlines.  None runs copy in one slice, Sub is a
+    # per-lane prefix sum mod 256, Up is a whole-row wrapping add;
+    # Average/Paeth predict from the just-reconstructed LEFT byte, an
+    # inherently sequential recurrence, and keep the scalar loop.
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    if np.any(ftypes > 4):
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"PNG filter type {bad} invalid")
+    lines = rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    y = 0
+    while y < height:
+        ftype = int(ftypes[y])
+        if ftype == 0:  # None: batch the run of consecutive 0-rows
+            end = y + 1
+            while end < height and ftypes[end] == 0:
+                end += 1
+            out[y:end] = lines[y:end]
+            y = end
+            prev = out[y - 1]
+            continue
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y * stride:(y + 1) * stride] = line
-        prev = line
+            lanes = lines[y].reshape(width, ch).astype(np.int64)
+            out[y] = (
+                np.cumsum(lanes, axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up (uint8 add wraps mod 256)
+            out[y] = lines[y] + prev
+        else:  # Average / Paeth: scalar recurrence
+            line = bytearray(lines[y].tobytes())
+            pv = prev.tobytes()
+            if ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((left + pv[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    ul = pv[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + _paeth(left, pv[i], ul)) & 0xFF
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = out[y]
+        y += 1
 
     # normalize to RGB, matching PIL.convert("RGB") (alpha discarded)
+    flat = out.reshape(-1)
     if color_type == 2:
-        rgb = bytes(out)
+        rgb = out.tobytes()
     elif color_type == 0:
-        rgb = bytes(b for v in out for b in (v, v, v))
+        rgb = np.repeat(flat, 3).tobytes()
     elif color_type == 4:
-        rgb = bytes(
-            b for i in range(0, len(out), 2) for b in (out[i],) * 3
-        )
+        rgb = np.repeat(flat.reshape(-1, 2)[:, 0], 3).tobytes()
     elif color_type == 6:
-        rgb = bytearray()
-        for i in range(0, len(out), 4):
-            rgb.extend(out[i:i + 3])
-        rgb = bytes(rgb)
+        rgb = flat.reshape(-1, 4)[:, :3].tobytes()
     else:  # 3: palette
         if not palette:
             raise ValueError("palette PNG missing PLTE")
-        rgb = bytearray()
-        for idx in out:
-            base = idx * 3
-            if base + 3 > len(palette):
-                raise ValueError("PNG palette index out of range")
-            rgb.extend(palette[base:base + 3])
-        rgb = bytes(rgb)
+        if len(palette) % 3:
+            raise ValueError("PNG PLTE length not a multiple of 3")
+        table = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if flat.size and int(flat.max()) >= table.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = table[flat.astype(np.int64)].tobytes()
     return width, height, rgb
 
 
@@ -160,15 +179,13 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
             f"rgb length {len(rgb)} != {width}x{height}x3"
         )
     stride = width * 3
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter: None
-        raw.extend(rgb[y * stride:(y + 1) * stride])
+    raw = np.zeros((height, stride + 1), dtype=np.uint8)
+    raw[:, 1:] = np.frombuffer(rgb, dtype=np.uint8).reshape(height, stride)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -181,14 +198,7 @@ def resize_rgb_nearest(
     the classic integer nearest-neighbor mapping)."""
     if src_w <= 0 or src_h <= 0:
         raise ValueError("empty source image")
-    out = bytearray(dst_w * dst_h * 3)
-    for y in range(dst_h):
-        sy = y * src_h // dst_h
-        row = sy * src_w * 3
-        dst_row = y * dst_w * 3
-        for x in range(dst_w):
-            sx = x * src_w // dst_w
-            s = row + sx * 3
-            d = dst_row + x * 3
-            out[d:d + 3] = rgb[s:s + 3]
-    return bytes(out)
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(src_h, src_w, 3)
+    sy = np.arange(dst_h, dtype=np.int64) * src_h // dst_h
+    sx = np.arange(dst_w, dtype=np.int64) * src_w // dst_w
+    return src[sy[:, None], sx[None, :]].tobytes()
