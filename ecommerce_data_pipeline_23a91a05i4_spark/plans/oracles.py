@@ -4542,3 +4542,35 @@ MONITORING_ORACLES["s15_streaming_sink_autocompact"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# t85: deletion vectors — three table states and two per-commit CDF
+# delete counts, all pure functions of the raw corpus and the two
+# predicates; 'delete_dv' op strings are part of the pinned contract.
+LLMDATA_ORACLES["t85_deletion_vectors"] = """
+    SELECT 1 AS version, 'init' AS op,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 = 0) AS n_match7,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 11 = 0) AS n_match11,
+           CAST(0 AS BIGINT) AS cdf_deletes
+    UNION ALL
+    SELECT 2, 'delete_dv',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 <> 0),
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 = 0)
+    UNION ALL
+    SELECT 3, 'delete_dv',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0),
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0)
+    ORDER BY version
+"""

@@ -76,10 +76,13 @@ def table_changes(
             "consumers from the new snapshot instead"
         )
     schema = StructType.fromJson(json.loads(m_to["schema"]))
-    paths_from = {e["path"] for e in m_from["files"]}
-    paths_to = {e["path"] for e in m_to["files"]}
-    added = [e for e in m_to["files"] if e["path"] not in paths_from]
-    removed = [e for e in m_from["files"] if e["path"] not in paths_to]
+    by_path_from = {e["path"]: e for e in m_from["files"]}
+    by_path_to = {e["path"]: e for e in m_to["files"]}
+    added = [e for e in m_to["files"] if e["path"] not in by_path_from]
+    removed = [e for e in m_from["files"] if e["path"] not in by_path_to]
+    # entries on both sides read with their own side's deletion vector
+    # applied (automatic in _read_entries), so a vectored file that is
+    # later rewritten contributes exactly its visible rows to each side
     ins = t._read_entries(
         schema, m_to.get("partition_by"), added, mapping=_col_mapping(m_to)
     )
@@ -89,6 +92,60 @@ def table_changes(
         removed,
         mapping=_col_mapping(m_from),
     )
+    # a path on BOTH sides with a different deletion vector changed
+    # rows without changing files (delete_dv, or a restore across
+    # one): the row-level diff is the POSITION diff of the two
+    # vectors, read once against the raw (vector-free) file rows
+    dv_changed = [
+        (by_path_from[p], by_path_to[p])
+        for p in sorted(by_path_from.keys() & by_path_to.keys())
+        if by_path_from[p].get("dv") != by_path_to[p].get("dv")
+    ]
+    if dv_changed:
+        cols = [f.name for f in schema.fields]
+        raw = t._read_entries(
+            schema,
+            m_to.get("partition_by"),
+            [{k: v for k, v in e.items() if k != "dv"} for _, e in dv_changed],
+            mapping=_col_mapping(m_to),
+            _with_pos=True,
+        )
+
+        def dv_pos(side: list[dict]) -> DataFrame | None:
+            paths = sorted(
+                {t._dv_abs(e) for e in side if e.get("dv")}
+            )
+            if not paths:
+                return None
+            return t.spark.read.parquet(*paths).select(
+                F.col("file_key").alias("_tx_key"),
+                F.col("pos").alias("_tx_pos"),
+            )
+
+        pos_from = dv_pos([ef for ef, _ in dv_changed])
+        pos_to = dv_pos([et for _, et in dv_changed])
+
+        def pos_diff(a: DataFrame | None, b: DataFrame | None):
+            if a is None:
+                return None
+            if b is None:
+                return a
+            return a.join(b, ["_tx_key", "_tx_pos"], "left_anti")
+
+        newly_deleted = pos_diff(pos_to, pos_from)
+        newly_visible = pos_diff(pos_from, pos_to)  # a restore shrank a dv
+        if newly_deleted is not None:
+            rem = rem.unionByName(
+                raw.join(
+                    newly_deleted, ["_tx_key", "_tx_pos"], "leftsemi"
+                ).select(cols)
+            )
+        if newly_visible is not None:
+            ins = ins.unionByName(
+                raw.join(
+                    newly_visible, ["_tx_key", "_tx_pos"], "leftsemi"
+                ).select(cols)
+            )
     return ins.withColumn("_change_type", F.lit(CHANGE_INSERT)).unionByName(
         rem.withColumn("_change_type", F.lit(CHANGE_DELETE))
     )

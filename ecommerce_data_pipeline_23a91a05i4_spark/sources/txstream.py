@@ -79,6 +79,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .txtable import _dv_key
+
 #: manifest ops that restate the same rows in new files (Delta's
 #: dataChange=false): the feed emits nothing for them
 _NON_DATA_OPS = frozenset({"compact", "purge_columns"})
@@ -129,7 +131,17 @@ def _shape(manifest: dict) -> tuple[str, str]:
 
 
 class _ChangeFilePartition(InputPartition):
-    """One changed data file of one commit — the executor-side work unit."""
+    """One changed data file of one commit — the executor-side work unit.
+
+    ``dv_mode`` selects the deletion-vector row restriction:
+
+    - ``None`` — emit every row of the file.
+    - ``"visible"`` — emit rows NOT in ``dv_a``'s positions (an added/
+      removed entry that carries a vector: its visible rows are the
+      change).
+    - ``"diff"`` — emit rows in ``dv_a``'s positions minus ``dv_b``'s
+      (a delete_dv commit: same file on both sides, the vector
+      position diff IS the row-level change)."""
 
     def __init__(
         self,
@@ -139,6 +151,10 @@ class _ChangeFilePartition(InputPartition):
         columns: list[tuple[str, str | None]],
         part_value: str | None,
         arrow_schema,
+        dv_mode: str | None = None,
+        dv_a: str | None = None,
+        dv_b: str | None = None,
+        file_key: str | None = None,
     ) -> None:
         self.path = path
         self.change_type = change_type
@@ -149,6 +165,23 @@ class _ChangeFilePartition(InputPartition):
         self.columns = columns
         self.part_value = part_value
         self.arrow_schema = arrow_schema
+        self.dv_mode = dv_mode
+        self.dv_a = dv_a
+        self.dv_b = dv_b
+        self.file_key = file_key
+
+
+def _dv_positions(dv_path: str, file_key: str) -> set[int]:
+    """This file's deleted row positions recorded in one vector file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_local_path(dv_path), columns=["file_key", "pos"])
+    return set(
+        t.filter(pc.equal(t.column("file_key"), file_key))
+        .column("pos")
+        .to_pylist()
+    )
 
 
 def _read_change_file(part: _ChangeFilePartition) -> Iterator:
@@ -159,6 +192,23 @@ def _read_change_file(part: _ChangeFilePartition) -> Iterator:
 
     phys_cols = [ph for _, ph in part.columns if ph is not None]
     tbl = pq.read_table(part.path, columns=phys_cols)
+    if part.dv_mode == "visible":
+        drop = _dv_positions(part.dv_a, part.file_key)
+        if drop:
+            tbl = tbl.take(
+                [i for i in range(tbl.num_rows) if i not in drop]
+            )
+    elif part.dv_mode == "diff":
+        a = _dv_positions(part.dv_a, part.file_key)
+        b = (
+            _dv_positions(part.dv_b, part.file_key)
+            if part.dv_b
+            else set()
+        )
+        keep = sorted(a - b)
+        # an empty take-list reaches pyarrow as a null-typed index
+        # array and fails; an empty diff is a zero-row change
+        tbl = tbl.take(keep) if keep else tbl.slice(0, 0)
     n = tbl.num_rows
     arrays = []
     out_schema = part.arrow_schema
@@ -258,11 +308,19 @@ class TxChangeFeedReader(DataSourceStreamReader):
                 parent_files = _read_manifest(self.root, m["parent"])["files"]
             if m["op"].split(":", 1)[0] in _NON_DATA_OPS:
                 continue  # dataChange=false: same rows, new files
-            paths_new = {e["path"] for e in m["files"]}
-            paths_old = {e["path"] for e in parent_files}
-            added = [e for e in m["files"] if e["path"] not in paths_old]
-            removed = [e for e in parent_files if e["path"] not in paths_new]
-            if not added and not removed:
+            by_old = {e["path"]: e for e in parent_files}
+            by_new = {e["path"]: e for e in m["files"]}
+            added = [e for e in m["files"] if e["path"] not in by_old]
+            removed = [e for e in parent_files if e["path"] not in by_new]
+            # same path on both sides, different deletion vector: a
+            # delete_dv commit (or a restore across one) — the row
+            # change is the vector position diff, no file changed
+            dv_changed = [
+                (by_old[p], by_new[p])
+                for p in sorted(by_old.keys() & by_new.keys())
+                if by_old[p].get("dv") != by_new[p].get("dv")
+            ]
+            if not added and not removed and not dv_changed:
                 continue  # metadata-only commit (stream floors etc.)
             if _shape(m) != self._shape:
                 raise ValueError(
@@ -271,11 +329,22 @@ class TxChangeFeedReader(DataSourceStreamReader):
                     "stream's — restart the stream from the "
                     "post-evolution version"
                 )
+
+            def dv_abs(e: dict) -> str | None:
+                dv = e.get("dv")
+                if not dv:
+                    return None
+                return posixpath.join(dv.get("base") or self.root, dv["path"])
+
             for change_type, entries in (
                 ("insert", added),
                 ("delete", removed),
             ):
                 for e in entries:
+                    # an entry carrying a vector (restored past a
+                    # delete_dv, or removed while vectored) changes
+                    # only its VISIBLE rows
+                    dv_path = dv_abs(e)
                     out.append(
                         _ChangeFilePartition(
                             posixpath.join(
@@ -286,6 +355,34 @@ class TxChangeFeedReader(DataSourceStreamReader):
                             self._columns,
                             e.get("part"),
                             self._arrow_schema,
+                            dv_mode="visible" if dv_path else None,
+                            dv_a=dv_path,
+                            file_key=_dv_key(e) if dv_path else None,
+                        )
+                    )
+            for e_old, e_new in dv_changed:
+                abs_path = posixpath.join(
+                    e_new.get("base") or self.root, e_new["path"]
+                )
+                # rows newly hidden by the commit stream as deletes;
+                # rows newly visible (a restore shrank the vector) as
+                # inserts — empty diffs emit zero rows, harmlessly
+                if e_new.get("dv"):
+                    out.append(
+                        _ChangeFilePartition(
+                            abs_path, "delete", v, self._columns,
+                            e_new.get("part"), self._arrow_schema,
+                            dv_mode="diff", dv_a=dv_abs(e_new),
+                            dv_b=dv_abs(e_old), file_key=_dv_key(e_new),
+                        )
+                    )
+                if e_old.get("dv"):
+                    out.append(
+                        _ChangeFilePartition(
+                            abs_path, "insert", v, self._columns,
+                            e_old.get("part"), self._arrow_schema,
+                            dv_mode="diff", dv_a=dv_abs(e_old),
+                            dv_b=dv_abs(e_new), file_key=_dv_key(e_old),
                         )
                     )
         return out

@@ -79,7 +79,7 @@ _INHERIT = object()
 #: add_columns, rename_column) rejects them; append can't introduce
 #: one (its _check_schema exact-match is against a committed schema,
 #: which by this invariant never contains a reserved name).
-_RESERVED_COLS = frozenset({"_tx_file"})
+_RESERVED_COLS = frozenset({"_tx_file", "_tx_key", "_tx_pos"})
 
 
 def _col_mapping(manifest: dict) -> dict[str, str]:
@@ -132,6 +132,44 @@ def _commit_rel(path: str) -> str:
     if last is None:
         return path
     return path[last.start() + 1 :]
+
+
+#: separator inside deletion-vector file keys — a char no filesystem
+#: allows in names, so the three components can never be confused
+_DV_SEP = "\x00"
+
+
+def _dv_key(e: dict) -> str:
+    """A manifest entry's deletion-vector join key:
+    ``commit-dir \\x00 partition-value \\x00 basename``.  Every
+    component is encoding-safe (commit dirs and Spark part filenames
+    use [a-zA-Z0-9._-]; the partition VALUE comes from the manifest,
+    never from a Hive-escaped dir name), so the Python form here and
+    the Spark form (:func:`_dv_key_col`) agree for any table path or
+    partition value — the property input_file_name-style URI keys do
+    not have."""
+    path = e["path"]
+    last = None
+    for last in _COMMIT_DIR_RE.finditer("/" + path):
+        pass
+    cdir = last.group(1) if last is not None else ""
+    return _DV_SEP.join(
+        (cdir, e.get("part") or "", posixpath.basename(path))
+    )
+
+
+def _dv_key_col(part_value: str | None):
+    """The Spark-side twin of :func:`_dv_key`, computed from the scan's
+    ``_metadata.file_path`` (greedy ``.*`` prefix = the LAST commit-dir
+    component, matching _commit_rel's last-match rule)."""
+    fp = F.col("_metadata.file_path")
+    return F.concat(
+        F.regexp_extract(fp, ".*/(c-[0-9a-f]{32})/", 1),
+        F.lit(_DV_SEP),
+        F.lit(part_value or ""),
+        F.lit(_DV_SEP),
+        F.element_at(F.split(fp, "/"), -1),
+    )
 
 
 def _manifest_name(version: int) -> str:
@@ -309,6 +347,7 @@ class TxTable:
         version: int | None = None,
         _with_file: bool = False,
         prune: tuple | None = None,
+        _with_pos: bool = False,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest).  Partitioned
         tables re-inject the partition column from the manifest's
@@ -335,8 +374,37 @@ class TxTable:
             )
             entries = self._prune_entries(entries, conds)
         return self._read_entries(
-            schema, pcol, entries, _with_file, mapping=mapping
+            schema, pcol, entries, _with_file, mapping=mapping,
+            _with_pos=_with_pos,
         )
+
+    def _dv_abs(self, e: dict) -> str:
+        """A manifest entry's absolute deletion-vector path.  The
+        vector is owned by the table whose delete_dv() staged it —
+        ``dv.base`` when the entry was shallow-cloned from there, this
+        table otherwise — independent of who owns the DATA file: a
+        clone's delete_dv on a referenced file stages a clone-owned
+        vector over source-owned bytes."""
+        dv = e["dv"]
+        return posixpath.join(dv.get("base") or self.path, dv["path"])
+
+    def _apply_dv(self, out: DataFrame, entries: list[dict]) -> DataFrame:
+        """Filter out rows whose (file, position) is recorded in a
+        referenced deletion vector — the merge-on-read half of
+        delete_dv().  An anti-join on the two-column key, which AQE
+        plans as a broadcast for the typical (small-vector) case; a
+        vector file may carry rows for files outside ``entries`` or
+        already rewritten — those keys match nothing, harmlessly."""
+        dv_paths = sorted(
+            {self._dv_abs(e) for e in entries if e.get("dv")}
+        )
+        if not dv_paths:
+            return out
+        dv = self.spark.read.parquet(*dv_paths).select(
+            F.col("file_key").alias("_tx_key"),
+            F.col("pos").alias("_tx_pos"),
+        )
+        return out.join(dv, ["_tx_key", "_tx_pos"], "left_anti")
 
     def _read_entries(
         self,
@@ -345,6 +413,8 @@ class TxTable:
         entries: list[dict],
         _with_file: bool = False,
         mapping: dict[str, str] | None = None,
+        _with_pos: bool = False,
+        _apply_dvs: bool = True,
     ) -> DataFrame:
         """Read an arbitrary SUBSET of manifest file entries with the
         partition-column reinjection snapshot() uses — also the engine
@@ -355,19 +425,34 @@ class TxTable:
         -> physical, from the owning manifest's ``column_mapping``)
         names the columns the parquet footers actually carry — the
         scan binds physically and the final projection restores the
-        logical names, so a rename never touches a data file."""
+        logical names, so a rename never touches a data file.
+
+        Entries carrying a ``dv`` (deletion vector, see delete_dv) have
+        the recorded row positions filtered out unless
+        ``_apply_dvs=False`` (table_changes' raw diff needs the
+        pre-vector rows).  ``_with_pos`` keeps the internal ``_tx_key``
+        / ``_tx_pos`` lineage columns (the vector's join key) in the
+        output."""
         phys = mapping or {}
 
         def p(name: str) -> str:
             return phys.get(name, name)
 
+        has_dv = _apply_dvs and any(e.get("dv") for e in entries)
+        need_pos = _with_pos or has_dv
         sel = [F.col(p(f.name)).alias(f.name) for f in schema.fields]
         if _with_file:
             sel.append(F.col("_tx_file"))
+        if _with_pos:
+            sel.append(F.col("_tx_key"))
+            sel.append(F.col("_tx_pos"))
         if not entries:
             out_schema = StructType(schema.fields)
             if _with_file:
                 out_schema = out_schema.add("_tx_file", "string")
+            if _with_pos:
+                out_schema = out_schema.add("_tx_key", "string")
+                out_schema = out_schema.add("_tx_pos", "long")
             return self.spark.createDataFrame([], out_schema)
         if pcol is None:
             phys_schema = StructType(
@@ -380,6 +465,12 @@ class TxTable:
             out = self.spark.read.schema(phys_schema).parquet(*paths)
             if _with_file:
                 out = out.withColumn("_tx_file", F.input_file_name())
+            if need_pos:
+                out = out.withColumn(
+                    "_tx_key", _dv_key_col(None)
+                ).withColumn("_tx_pos", F.col("_metadata.row_index"))
+                if has_dv:
+                    out = self._apply_dv(out, entries)
             return out.select(sel)
         ptype = schema[pcol].dataType
         data_schema = StructType(
@@ -402,10 +493,17 @@ class TxTable:
             if _with_file:
                 # input_file_name must bind before the union/literal cols
                 part = part.withColumn("_tx_file", F.input_file_name())
+            if need_pos:
+                # _metadata likewise binds per-scan, before the union
+                part = part.withColumn(
+                    "_tx_key", _dv_key_col(val)
+                ).withColumn("_tx_pos", F.col("_metadata.row_index"))
             parts.append(part.withColumn(p(pcol), F.lit(val).cast(ptype)))
         out = parts[0]
         for part in parts[1:]:
             out = out.unionAll(part)
+        if has_dv:
+            out = self._apply_dv(out, entries)
         return out.select(sel)
 
     # ---------------------------------------------------------- writes
@@ -1145,6 +1243,10 @@ class TxTable:
             e["path"]
             for e in src["files"]
             if not self.fs.exists(self._abs(e))
+        ] + [
+            e["dv"]["path"]
+            for e in src["files"]
+            if e.get("dv") and not self.fs.exists(self._dv_abs(e))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1204,9 +1306,18 @@ class TxTable:
                 f"clone_shallow: table already initialized: {dst_path}"
             )
         m = self.manifest(version)
-        entries = [
-            {**e, "base": e.get("base") or self.path} for e in m["files"]
-        ]
+        entries = []
+        for e in m["files"]:
+            ne = {**e, "base": e.get("base") or self.path}
+            if e.get("dv"):
+                # the vector is owned by whoever staged it — this
+                # table unless the entry was itself clone-inherited
+                # with a vector already marked
+                ne["dv"] = {
+                    **e["dv"],
+                    "base": e["dv"].get("base") or self.path,
+                }
+            entries.append(ne)
         dst._commit(
             entries,
             f"clone:{self.path}@{m['version']}",
@@ -1343,6 +1454,132 @@ class TxTable:
                 continue  # re-derive against the new snapshot
         raise CommitConflict(
             f"delete on {self.path} lost {max_retries} commit races"
+        )
+
+    def _stage_dv(self, df: DataFrame) -> str:
+        """Write deletion-vector rows (``file_key`` string, ``pos``
+        long) as ONE staged parquet under a fresh commit dir; return
+        its manifest-relative path.  Single-file on purpose: a vector
+        is read wholesale on every snapshot, so it must not fan out."""
+        commit_dir = posixpath.join(
+            self.path, DATA_DIR, f"c-{uuid.uuid4().hex}"
+        )
+        df.select(
+            F.col("file_key").cast("string"), F.col("pos").cast("long")
+        ).coalesce(1).write.mode("errorifexists").parquet(commit_dir)
+        rels = self.fs.list_data_files(commit_dir)
+        if len(rels) != 1:
+            raise RuntimeError(
+                f"delete_dv on {self.path}: staged vector is "
+                f"{len(rels)} files, expected 1"
+            )
+        return posixpath.join(
+            posixpath.relpath(commit_dir, self.path), rels[0]
+        )
+
+    def delete_dv(self, predicate, max_retries: int = 5) -> int:
+        """Row-level DELETE via DELETION VECTORS — the merge-on-read
+        twin of :meth:`delete` (Delta's deletion-vector DML
+        re-expressed on the manifest log).  Matching rows' (file,
+        position) pairs are written to ONE staged sidecar parquet and
+        the hit entries point at it; data files are never rewritten.
+        Cost is O(matched rows + old vector), not O(rows in hit files)
+        — the shape that matters at 100 TB, where deleting a thousand
+        scattered rows must not rewrite a thousand gigabyte files.
+        Rows where ``predicate`` is FALSE or NULL survive (SQL DELETE
+        semantics); a no-match delete commits nothing.
+
+        Readers apply the vector as a two-column anti-join inside
+        snapshot()/_read_entries (positions come from the parquet
+        scan's ``_metadata.row_index``), so every verb built on
+        snapshot — delete, merge, compact, matviews, clones — sees the
+        post-delete rows automatically.  A file whose every visible
+        row is deleted is DROPPED from the manifest instead of
+        vectored.  Vectors only ever grow for a given file; compact()
+        or any rewriting verb MATERIALIZES them (the rewrite reads the
+        vector-filtered snapshot and stages vector-free files), which
+        is the read-amplification escape valve.  Old versions still
+        time-travel to the pre-delete rows; vacuum() treats referenced
+        vectors as live and destroys dropped files' bytes — so the
+        delete()+vacuum() takedown contract holds, but a takedown of a
+        SUBSET of a file's rows needs delete() (or delete_dv +
+        compact) + vacuum before the bytes are truly gone: the vector
+        hides rows, the rewrite removes them.
+
+        Concurrent commits are absorbed by recompute-and-retry (the
+        delete() discipline).  Returns the committed version, or the
+        current version unchanged on no match."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        for _ in range(max_retries):
+            m = self.manifest()
+            pcol = m.get("partition_by")
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            snap = self.snapshot(m["version"], _with_pos=True)
+            hit = F.coalesce(pred.cast("boolean"), F.lit(False))
+            # one pass: per-file matched and visible counts (bounded
+            # by file count) — visible==hits detects full deletion
+            stats = (
+                snap.groupBy("_tx_key")
+                .agg(
+                    F.sum(hit.cast("long")).alias("hits"),
+                    F.count(F.lit(1)).alias("visible"),
+                )
+                .filter(F.col("hits") > 0)
+                .collect()
+            )
+            hit_info = {r._tx_key: (r.hits, r.visible) for r in stats}
+            if not hit_info:
+                return m["version"]
+            by_key = {_dv_key(e): e for e in m["files"]}
+            unknown = set(hit_info) - set(by_key)
+            if unknown:
+                raise RuntimeError(
+                    f"delete_dv on {self.path}: scanned file set does "
+                    "not match the manifest (concurrent vacuum?)"
+                )
+            # the new vector = new hits ∪ the hit files' OLD vector
+            # rows (each entry references exactly ONE vector file);
+            # entries outside the hit set keep their old reference
+            dv_rows = snap.filter(hit).select(
+                F.col("_tx_key").alias("file_key"),
+                F.col("_tx_pos").alias("pos"),
+            )
+            old_paths = sorted(
+                {
+                    self._dv_abs(by_key[k])
+                    for k in hit_info
+                    if by_key[k].get("dv")
+                }
+            )
+            if old_paths:
+                dv_rows = dv_rows.unionByName(
+                    self.spark.read.parquet(*old_paths)
+                    .select("file_key", "pos")
+                    .filter(F.col("file_key").isin(list(hit_info)))
+                )
+            dv_rel = self._stage_dv(dv_rows)
+            new_entries = []
+            for e in m["files"]:
+                info = hit_info.get(_dv_key(e))
+                if info is None:
+                    new_entries.append(e)
+                    continue
+                hits_n, visible_n = info
+                if hits_n == visible_n:
+                    continue  # fully deleted: drop the entry outright
+                old_n = (e.get("dv") or {}).get("count", 0)
+                ne = {k: v for k, v in e.items() if k != "dv"}
+                ne["dv"] = {"path": dv_rel, "count": old_n + int(hits_n)}
+                new_entries.append(ne)
+            try:
+                self._commit(
+                    new_entries, "delete_dv", m["version"], schema, pcol
+                )
+                return m["version"] + 1
+            except CommitConflict:
+                continue  # re-derive against the new snapshot
+        raise CommitConflict(
+            f"delete_dv on {self.path} lost {max_retries} commit races"
         )
 
     def merge(
@@ -1534,6 +1771,14 @@ class TxTable:
         live: dict[str, set[str]] = {}
         for v in keep:
             for e in self.manifest(v)["files"]:
+                dv = e.get("dv")
+                if dv and not dv.get("base"):
+                    # a referenced deletion vector is live DATA: the
+                    # snapshot is wrong without it.  Ownership mirrors
+                    # the entry rule — a clone-inherited vector
+                    # (dv.base set) lives under the source's root.
+                    _, cdir, rel = dv["path"].split("/", 2)
+                    live.setdefault(cdir, set()).add(rel)
                 if e.get("base"):
                     # shallow-clone reference: the file lives under the
                     # SOURCE table's root, which this vacuum never scans

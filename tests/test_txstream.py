@@ -292,3 +292,47 @@ def test_table_to_table_hop_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination()
     assert b.latest_version() == v
+
+
+def test_feed_streams_deletion_vector_commits(spark, tmp_path):
+    """A delete_dv commit changes rows without changing any file: the
+    feed must emit exactly the newly-hidden rows as deletes (the vector
+    position diff), stay equivalent to batch table_changes, and emit
+    vector-aware visible rows when a vectored version is restored."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.init(
+        spark.range(20).withColumn("v", F.col("id") * 2).coalesce(2)
+    )
+    t.delete_dv("id % 4 = 0")            # 5 hidden, no path changes
+    t.append(
+        spark.range(20, 25).withColumn("v", F.col("id") * 2).coalesce(1)
+    )
+    t.delete_dv("id % 3 = 0")            # folds into existing vectors
+    t.restore(v1)                         # vectors shrink: rows return
+
+    _drain(stream_table_changes(spark, str(tmp_path / "t")), "dvf",
+           str(tmp_path / "c"))
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.table("dvf").collect()
+    }
+    want = set()
+    for v in range(2, t.latest_version() + 1):
+        for r in table_changes(t, v - 1, v).collect():
+            want.add((r.id, r._change_type, v))
+    for r in t.snapshot(1).collect():
+        want.add((r.id, "insert", 1))
+    assert got == want
+    # the first dv commit emitted exactly the 5 newly-hidden rows
+    assert {r for r in got if r[2] == 2} == {
+        (i, "delete", 2) for i in (0, 4, 8, 12, 16)
+    }
+    # the restore surfaced the hidden original rows again (inserts),
+    # and removed the appended file (deletes)
+    v_restore = t.latest_version()
+    restored = {r for r in got if r[2] == v_restore}
+    assert all(c == "insert" for (_, c, _) in restored - {
+        (i, "delete", v_restore) for i in range(20, 25)
+    })
+    assert t.snapshot().count() == 20
+    spark.catalog.dropTempView("dvf")

@@ -1385,3 +1385,146 @@ def test_check_constraints_enforced_on_merge_cdc_stream_and_clone(
     with pytest.raises(Exception, match="v_nonempty"):
         c.append(_df(spark, [(9, "")]))
     assert {r.k for r in t.snapshot().collect()} == {1, 2, 3, 5}
+
+
+# ------------------------------------------------------ deletion vectors
+def test_delete_dv_basic_noop_and_null_semantics(spark, tmp_path):
+    """delete_dv removes matching rows without rewriting any data file:
+    every original entry path survives in the child manifest, hit ones
+    gaining a dv reference; NULL predicates keep rows (SQL DELETE);
+    a no-match delete commits nothing."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    )
+    v1 = t.init(df.coalesce(1))  # one file: the hit is vectored, not dropped
+    paths_before = {e["path"] for e in t.manifest()["files"]}
+    v2 = t.delete_dv(F.col("v") < "c")  # NULL v -> survives
+    assert v2 == v1 + 1
+    assert {r.k for r in t.snapshot().collect()} == {2, 3, 4}
+    m = t.manifest()
+    assert m["op"] == "delete_dv"
+    assert {e["path"] for e in m["files"]} <= paths_before  # no rewrite
+    assert sum((e.get("dv") or {}).get("count", 0) for e in m["files"]) == 1
+    # no-op: nothing matches -> same version, no commit
+    assert t.delete_dv(F.col("k") > 100) == v2
+    # time travel still serves the pre-delete rows
+    assert t.snapshot(v1).count() == 4
+
+
+def test_delete_dv_grows_vector_and_drops_fully_deleted_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.range(40).withColumn("g", F.col("id") % 4).repartition(4))
+    t.delete_dv("id % 2 = 0")  # 20 rows
+    t.delete_dv("id % 3 = 0")  # odd multiples of 3: 3,9,15,21,27,33,39
+    assert t.snapshot().count() == 40 - 20 - 7
+    # the second delete FOLDED the first vector's surviving rows in:
+    # per-entry counts accumulate, and never exceed the hidden total
+    total_dv = sum(
+        (e.get("dv") or {}).get("count", 0) for e in t.manifest()["files"]
+    )
+    assert 0 < total_dv <= 27
+    # a file whose every visible row is deleted must leave the manifest
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.init(spark.range(10).withColumn("g", F.lit(0)).coalesce(2))
+    t2.delete_dv("id >= 0")
+    # every row-bearing file is fully deleted -> dropped, never vectored
+    assert all(not e.get("dv") for e in t2.manifest()["files"])
+    assert t2.manifest()["files"] == []
+    assert t2.snapshot().count() == 0
+
+
+def test_delete_dv_then_copy_on_write_verbs_materialize(spark, tmp_path):
+    """merge/compact/delete on a vectored table read through the vector
+    (never resurrect hidden rows) and their rewrites drop it."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.delete_dv("k % 2 = 0")
+    # merge replaces k=1, inserts k=100; hidden evens must not return
+    t.merge(_df(spark, [(1, "X"), (100, "new")]), on="k")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[1] == "X" and 100 in got and 0 not in got and 2 not in got
+    # copy-on-write delete on the vectored table
+    t.delete(F.col("k") == 3)
+    assert 3 not in {r.k for r in t.snapshot().collect()}
+    t.compact(1)
+    m = t.manifest()
+    assert all(not e.get("dv") for e in m["files"])  # materialized
+    assert {r.k for r in t.snapshot().collect()} == {1, 5, 7, 9, 100}
+
+
+def test_delete_dv_partitioned_and_full_partition_drop(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.range(30).withColumn("g", (F.col("id") % 3).cast("string"))
+    t.init(df, partition_by="g")
+    t.delete_dv("id % 10 = 0")
+    assert t.snapshot().count() == 27
+    assert t.snapshot().filter("id % 10 = 0").count() == 0
+    # deleting a whole partition drops its entries outright
+    t.delete_dv(F.col("g") == "1")
+    m = t.manifest()
+    assert all(e.get("part") != "1" for e in m["files"])
+    assert t.snapshot().filter("g = '1'").count() == 0
+
+
+def test_restore_across_dv_and_table_changes_direction(spark, tmp_path):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources import (
+        matview as mvx,
+    )
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.init(spark.range(20).withColumn("v", F.col("id") * 2))
+    v2 = t.delete_dv("id % 4 = 0")  # 5 rows hidden
+    ch = mvx.table_changes(t, v1, v2)
+    assert ch.groupBy("_change_type").count().collect()[0].asDict() == {
+        "_change_type": "delete",
+        "count": 5,
+    }
+    v3 = t.restore(v1)  # un-hides: the dv SHRANK across v2 -> v3
+    assert t.snapshot().count() == 20
+    ch2 = mvx.table_changes(t, v2, v3)
+    assert ch2.groupBy("_change_type").count().collect()[0].asDict() == {
+        "_change_type": "insert",
+        "count": 5,
+    }
+
+
+def test_vacuum_keeps_referenced_vectors(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.range(12).withColumn("v", F.col("id")))
+    t.delete_dv("id % 3 = 0")
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+    # the vector file must survive (head references it)...
+    assert t.snapshot().count() == 8
+    # ...and only the fully-deleted files' bytes (if any) plus old
+    # manifests were collected; re-vacuum is idempotent
+    assert t.vacuum(keep_versions=1, min_age_seconds=0) == []
+    assert t.snapshot().count() == 8
+
+
+def test_clone_inherits_and_isolates_vectors(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.range(20).withColumn("v", F.col("id")))
+    t.delete_dv("id % 5 = 0")  # 4 hidden
+    c = t.clone_shallow(str(tmp_path / "c"))
+    assert c.snapshot().count() == 16
+    # the clone's dv reference is marked with the source root
+    assert all(
+        e["dv"].get("base") for e in c.manifest()["files"] if e.get("dv")
+    )
+    # clone's own delete_dv stages a CLONE-owned vector over source bytes
+    c.delete_dv("id % 2 = 1")
+    assert c.snapshot().count() == 8
+    assert t.snapshot().count() == 16  # source untouched
+    # source vacuum never touches the clone's ability to read
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert c.snapshot().count() == 8
+
+
+def test_reserved_lineage_columns_rejected(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for bad in ("_tx_key", "_tx_pos"):
+        with pytest.raises(ValueError, match="reserved"):
+            t.init(
+                spark.createDataFrame([(1, 2)], f"k long, {bad} long")
+            )
