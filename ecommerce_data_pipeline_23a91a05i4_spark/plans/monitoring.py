@@ -1416,3 +1416,47 @@ def s10_streaming_cdc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def s17_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join gate — the one Structured Streaming
+    join family the s-suite lacked.  Drains
+    streaming/ingest.attribute_stream: click→purchase attribution per
+    user within a 30-minute horizon, with watermarks on BOTH sides and
+    a time-range join condition, the pair that lets Spark evict join
+    state once an input is older than watermark+horizon (state is
+    O(arrival rate × horizon) at scale, never O(stream)).  The
+    availableNow drain loads the corpus as one micro-batch, so the
+    watermark cannot discard anything as late and the appended matches
+    equal the batch interval join exactly — which the oracle replays
+    as a DuckDB self-join.  The same plan runs continuously against
+    Kafka in production; pytest pins the stream==batch equality
+    independently (test_streaming.test_attribute_stream_matches_batch_
+    interval_join)."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    ev = st.stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    pairs = st.attribute_stream(ev)  # cause=click, effect=purchase, 30 min
+    name = "s17_attrib_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .select(
+            "user_id", "cause_id", "effect_id",
+            "cause_ts", "effect_ts", "value",
+        )
+        .orderBy("user_id", "cause_id", "effect_id")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result

@@ -4574,3 +4574,22 @@ LLMDATA_ORACLES["t85_deletion_vectors"] = """
              WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0)
     ORDER BY version
 """
+
+
+# s17: stream-stream interval join == batch self-join (values are raw
+# parquet doubles, no arithmetic — hash-safe as-is)
+MONITORING_ORACLES["s17_streaming_interval_join"] = """
+    SELECT c.user_id,
+           c.event_id AS cause_id,
+           e.event_id AS effect_id,
+           c.ts AS cause_ts,
+           e.ts AS effect_ts,
+           e.value
+    FROM events c
+    JOIN events e
+      ON e.user_id = c.user_id
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'purchase'
+    ORDER BY c.user_id, cause_id, effect_id
+"""
