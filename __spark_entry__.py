@@ -93,6 +93,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t84_bigram_fluency": llmdata.t84_bigram_fluency,
         "t85_deletion_vectors": llmdata.t85_deletion_vectors,
         "s17_streaming_interval_join": monitoring.s17_streaming_interval_join,
+        "t86_bm25_retrieval": corpus.t86_bm25_retrieval,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)

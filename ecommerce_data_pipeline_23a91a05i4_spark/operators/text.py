@@ -20,7 +20,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import quant
@@ -198,3 +198,111 @@ def strip_html(col: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a FIXED query-term list — the lexical
+    half of a retrieval stack (the ANN operators are the dense half).
+
+    Plan shape: explode(tokens) → per-doc length + per-(doc, term) tf
+    hash aggregations restricted to the query terms → TWO broadcast
+    one-row frames (corpus N/avgdl stats; per-term document
+    frequencies as columns) → a map-side score expression.  No UDFs,
+    no window, no shuffle beyond the two aggregations; top-k happens
+    at the caller as orderBy+limit (TakeOrderedAndProject).
+
+    Numeric discipline (the t20 rule, extended to a multi-term sum):
+
+    - idf uses the *rational* Robertson–Spärck-Jones form without the
+      log — ``(2N - 2·df + 1) / (2·df + 1)``, the exact-halves integer
+      ratio of the classic ``ln((N - df + 0.5)/(df + 0.5))`` argument.
+      log is monotone, so each TERM's contribution ranks documents
+      identically; dropping it leaves a single correctly-rounded IEEE
+      division two engines compute bit-identically (libm logs may
+      differ in the last ulp).
+    - the across-terms total is an explicit fixed-order column chain
+      ``s_0 + s_1 + …``, never a SUM aggregate, so float addition
+      order — and therefore the hash — is pinned.
+    - every intermediate is integer until one parenthesis-mirrored
+      chain of IEEE +,*,/ — an oracle that mirrors the tree replays
+      the score bit-for-bit.
+
+    Returns one row per document: ``dl`` (token length), per-term
+    ``tf_i``, and ``score`` (0.0 for documents matching no term)."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    toks = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfp = tf.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    dfreq = tf.agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    base = (
+        dl.join(tfp, id_col, "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    # norm = k1 * ((1 - b) + b * (dl / avgdl)) — one shared subtree
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = F.lit(0.0)
+    parts = []
+    for i in range(len(query_terms)):
+        tf_i = F.col(f"tf_{i}").cast("double")
+        idf_i = (
+            (
+                F.lit(2.0) * F.col("n_docs").cast("double")
+                - F.lit(2.0) * F.col(f"df_{i}").cast("double")
+                + F.lit(1.0)
+            )
+            / (
+                F.lit(2.0) * F.col(f"df_{i}").cast("double")
+                + F.lit(1.0)
+            )
+        )
+        s_i = F.coalesce(
+            idf_i * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm), F.lit(0.0)
+        )
+        parts.append(s_i.alias(f"s_{i}"))
+        score = score + s_i
+    return base.select(
+        id_col,
+        "dl",
+        *[
+            F.coalesce(F.col(f"tf_{i}"), F.lit(0)).alias(f"tf_{i}")
+            for i in range(len(query_terms))
+        ],
+        score.alias("score"),
+    )

@@ -22,7 +22,7 @@ from ..catalog import table
 from ..functions.exprs import quant
 from ..operators import dedup as dd
 from ..operators.graph import connected_components
-from ..operators.text import norm_text
+from ..operators.text import bm25_scores, norm_text
 from .llmdata import JACCARD_MAX_DOC_FREQ, JACCARD_THRESHOLD
 
 TFIDF_TOP_K = 3
@@ -585,4 +585,24 @@ def t50_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
         .orderBy("source", "split")
+    )
+
+
+def t86_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.bm25_scores): top-20
+    documents for the fixed query ``join window stream`` with k1=1.2,
+    b=0.75 — the lexical retrieval twin of the dense kNN gates (t6/
+    t65/t82).  Logless rational idf and a fixed-order term sum keep
+    every score an exactly-replayable IEEE chain (the operator's
+    docstring has the full numeric argument); the oracle mirrors the
+    expression tree parenthesis-for-parenthesis.  Top-k is
+    orderBy+limit (TakeOrderedAndProject — never a global sort)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(
+        docs, "doc_id", "text", ["join", "window", "stream"]
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", "dl", "tf_0", "tf_1", "tf_2", "score")
     )

@@ -4593,3 +4593,81 @@ MONITORING_ORACLES["s17_streaming_interval_join"] = """
     WHERE c.event_type = 'click' AND e.event_type = 'purchase'
     ORDER BY c.user_id, cause_id, effect_id
 """
+
+
+# t86: BM25 — mirrors bm25_scores' expression tree exactly: rational
+# idf (2N-2df+1)/(2df+1), norm = k1*((1-b)+b*(dl/avgdl)) with avgdl =
+# total/N, per-term s_i = idf*(tf*(k1+1))/(tf+norm), total = s0+s1+s2
+# in that order.  All doubles come from one mirrored chain of IEEE
+# +,*,/ over integers, so the hash matches without quantization.
+CORPUS_ORACLES["t86_bm25_retrieval"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM nz GROUP BY 1
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM nz WHERE term IN ('join', 'window', 'stream')
+        GROUP BY 1, 2
+    ),
+    tfp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN term = 'join' THEN tf END) AS tf_0,
+               SUM(CASE WHEN term = 'window' THEN tf END) AS tf_1,
+               SUM(CASE WHEN term = 'stream' THEN tf END) AS tf_2
+        FROM tf GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT CAST(SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        FROM tf
+    ),
+    base AS (
+        SELECT dl.doc_id, dl.dl, tfp.tf_0, tfp.tf_1, tfp.tf_2,
+               stats.n_docs, stats.total_tokens,
+               dfreq.df_0, dfreq.df_1, dfreq.df_2
+        FROM dl LEFT JOIN tfp USING (doc_id)
+        CROSS JOIN stats CROSS JOIN dfreq
+    ),
+    scored AS (
+        SELECT doc_id, dl,
+               CAST(COALESCE(tf_0, 0) AS BIGINT) AS tf_0,
+               CAST(COALESCE(tf_1, 0) AS BIGINT) AS tf_1,
+               CAST(COALESCE(tf_2, 0) AS BIGINT) AS tf_2,
+               (0.0
+                + COALESCE(((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df_0 AS DOUBLE) + 1.0)
+                            / (2.0 * CAST(df_0 AS DOUBLE) + 1.0))
+                           * (CAST(tf_0 AS DOUBLE) * 2.2)
+                           / (CAST(tf_0 AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                       / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 0.0)
+                + COALESCE(((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df_1 AS DOUBLE) + 1.0)
+                            / (2.0 * CAST(df_1 AS DOUBLE) + 1.0))
+                           * (CAST(tf_1 AS DOUBLE) * 2.2)
+                           / (CAST(tf_1 AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                       / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 0.0)
+                + COALESCE(((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df_2 AS DOUBLE) + 1.0)
+                            / (2.0 * CAST(df_2 AS DOUBLE) + 1.0))
+                           * (CAST(tf_2 AS DOUBLE) * 2.2)
+                           / (CAST(tf_2 AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                       / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 0.0)
+               ) AS score
+        FROM base
+    )
+    SELECT doc_id, dl, tf_0, tf_1, tf_2, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
