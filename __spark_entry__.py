@@ -141,11 +141,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
+        # ---- driver window ends after the 50th entry above ------------
+        # -- (b') displaced below the marker by round 9's new gates ------
         "t3_quality_score": llmdata.t3_quality_score,
         "t4_dedup_exact": llmdata.t4_dedup_exact,
         "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (b') displaced below the marker by round 9's new gates ------
         "t6_knn_cosine": llmdata.t6_knn_cosine,
         "t7_embedding_neardup": llmdata.t7_embedding_neardup,
         "q17_revenue_rollup": extras.q17_revenue_rollup,
