@@ -94,6 +94,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t85_deletion_vectors": llmdata.t85_deletion_vectors,
         "s17_streaming_interval_join": monitoring.s17_streaming_interval_join,
         "t86_bm25_retrieval": corpus.t86_bm25_retrieval,
+        "t87_optimize_small": llmdata.t87_optimize_small,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +140,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t18_simhash_portable": extras.t18_simhash_portable,
         # -- (b) oldest r7-green gates filling the window to 50 ----------
         "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
         # ---- driver window ends after the 50th entry above ------------
         # -- (b') displaced below the marker by round 9's new gates ------
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
         "t3_quality_score": llmdata.t3_quality_score,
         "t4_dedup_exact": llmdata.t4_dedup_exact,
         "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,

@@ -4671,3 +4671,22 @@ CORPUS_ORACLES["t86_bm25_retrieval"] = f"""
     ORDER BY score DESC, doc_id
     LIMIT 20
 """
+
+
+# t87: small-file OPTIMIZE — final stats are the corpus minus the
+# vectored band; the lifecycle booleans and version count are pinned
+# (6 = init + three appends + delete_dv + optimize).
+LLMDATA_ORACLES["t87_optimize_small"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           TRUE AS big_file_carried,
+           TRUE AS files_reduced,
+           TRUE AS vector_materialized,
+           'optimize' AS last_op,
+           CAST(6 AS BIGINT) AS n_versions
+    FROM documents
+    WHERE NOT (doc_id % 5 = 2 AND doc_id % 9 = 0)
+    GROUP BY source
+    ORDER BY source
+"""

@@ -106,6 +106,11 @@ class PosixFS:
         manifest log's vacuum retention guard uses."""
         return Path(path).stat().st_mtime
 
+    def size(self, path: str) -> int:
+        """One file's byte length — the bin-packing signal
+        TxTable.optimize_small selects rewrite candidates by."""
+        return Path(path).stat().st_size
+
 
 class HadoopFS:
     """The same verbs through ``org.apache.hadoop.fs.FileSystem`` so the
@@ -215,6 +220,11 @@ class HadoopFS:
     def mtime(self, path: str) -> float:
         status = self._fs(path).getFileStatus(self._jpath(path))
         return float(status.getModificationTime()) / 1000.0
+
+    def size(self, path: str) -> int:
+        return int(
+            self._fs(path).getFileStatus(self._jpath(path)).getLen()
+        )
 
     def list_data_files(self, path: str) -> list[str]:
         fs = self._fs(path)

@@ -83,7 +83,7 @@ from .txtable import _dv_key
 
 #: manifest ops that restate the same rows in new files (Delta's
 #: dataChange=false): the feed emits nothing for them
-_NON_DATA_OPS = frozenset({"compact", "purge_columns"})
+_NON_DATA_OPS = frozenset({"compact", "optimize", "purge_columns"})
 
 #: feed metadata columns appended after the table's logical columns
 CHANGE_TYPE_COL = "_change_type"

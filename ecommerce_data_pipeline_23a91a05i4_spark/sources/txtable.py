@@ -1371,6 +1371,89 @@ class TxTable:
             m.get("partition_by"),
         )
 
+    def optimize_small(
+        self,
+        target_bytes: int,
+        include_vectored: bool = True,
+        max_retries: int = 5,
+    ) -> int:
+        """Small-file compaction — the OPTIMIZE a lakehouse runs
+        nightly.  compact() is the wrong tool at scale: it rewrites the
+        WHOLE snapshot, while a 100-TB table's real problem is the
+        kilobyte-file debt left by streaming appends and CDC merges.
+        This verb bin-packs only files smaller than ``target_bytes``
+        into ~``target_bytes`` rewrites and carries every
+        adequately-sized file by reference, so cost scales with the
+        debt, not the table.
+
+        Partition-aware: files bin strictly within their partition
+        value.  Entries carrying a deletion vector are rewritten too by
+        default (``include_vectored`` — the rewrite materializes the
+        vector, Delta's REORG/PURGE), whatever their size.  A partition
+        whose only candidate is a single small vector-free file keeps
+        it: rewriting one file into one file is pure churn.  The commit
+        (op ``optimize``) is data-preserving — the streaming change
+        feed skips it, exactly like compact.  Returns the committed
+        version, or the current one when there is no debt."""
+        if target_bytes < 1:
+            raise ValueError(
+                f"optimize_small: target_bytes must be >= 1, got "
+                f"{target_bytes}"
+            )
+        for _ in range(max_retries):
+            m = self.manifest()
+            pcol = m.get("partition_by")
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            mapping = _col_mapping(m)
+            cons = _constraints(m)
+            by_part: dict[str | None, list[tuple[dict, int]]] = {}
+            sizes: dict[str, int] = {}
+            for e in m["files"]:
+                size = self.fs.size(self._abs(e))
+                sizes[e["path"]] = size
+                if size < target_bytes or (
+                    include_vectored and e.get("dv")
+                ):
+                    by_part.setdefault(e.get("part"), []).append((e, size))
+            rewrite: dict[str | None, list[dict]] = {}
+            for part, cand in by_part.items():
+                has_dv = any(e.get("dv") for e, _ in cand)
+                if len(cand) >= 2 or has_dv:
+                    rewrite[part] = [e for e, _ in cand]
+            if not rewrite:
+                return m["version"]
+            rewrite_paths = {
+                e["path"] for ents in rewrite.values() for e in ents
+            }
+            carry = [
+                e for e in m["files"] if e["path"] not in rewrite_paths
+            ]
+            staged: list[dict] = []
+            for part, ents in sorted(
+                rewrite.items(),
+                key=lambda kv: (kv[0] is not None, kv[0] or ""),
+            ):
+                total = sum(sizes[e["path"]] for e in ents)
+                # bin-PACK: merge small files toward the target, never
+                # split — n is capped at the input file count (an
+                # aggressive target on a vectored big file must rewrite
+                # it 1:1, not shatter it into per-byte partitions)
+                n = min(len(ents), max(1, -(-total // target_bytes)))
+                df = self._read_entries(
+                    schema, pcol, ents, mapping=mapping
+                ).repartition(n)
+                staged += self._stage(df, pcol, mapping, cons)
+            try:
+                self._commit(
+                    carry + staged, "optimize", m["version"], schema, pcol
+                )
+                return m["version"] + 1
+            except CommitConflict:
+                continue  # re-derive the debt against the new base
+        raise CommitConflict(
+            f"optimize_small on {self.path} lost {max_retries} commit races"
+        )
+
     def delete(self, predicate, max_retries: int = 5) -> int:
         """Row-level DELETE as one manifest commit (takedown/GDPR — the
         routine LLM-corpus operation VERDICT r4 flagged missing): rows

@@ -1528,3 +1528,51 @@ def test_reserved_lineage_columns_rejected(spark, tmp_path):
             t.init(
                 spark.createDataFrame([(1, 2)], f"k long, {bad} long")
             )
+
+
+def test_optimize_small_binpacks_debt_only(spark, tmp_path):
+    """optimize_small rewrites only the small-file debt: the big file
+    carries by reference, tiny appends bin-pack, a second run no-ops,
+    vectored files are rewritten (vector materialized) whatever their
+    size, and the streaming change feed skips the commit."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(spark.range(50000).withColumn("v", F.col("id") * 2).coalesce(1))
+    big = t.manifest()["files"][0]
+    big_size = t.fs.size(t._abs(big))
+    for i in range(4):
+        t.append(
+            spark.range(60000 + i * 10, 60000 + i * 10 + 10)
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+    v = t.optimize_small(target_bytes=big_size)
+    m = t.manifest()
+    assert m["op"] == "optimize"
+    assert big["path"] in {e["path"] for e in m["files"]}
+    assert len(m["files"]) == 2  # big + one packed rewrite
+    assert t.snapshot().count() == 50040
+    # idempotent: no remaining debt, no commit
+    assert t.optimize_small(target_bytes=big_size) == v
+    with pytest.raises(ValueError, match="target_bytes"):
+        t.optimize_small(target_bytes=0)
+    # vector materialization path: nothing is small, but the vectored
+    # file must be rewritten and its vector dropped
+    t.delete_dv("id = 7")
+    t.optimize_small(target_bytes=1)
+    m2 = t.manifest()
+    assert all(not e.get("dv") for e in m2["files"])
+    assert t.snapshot().count() == 50039
+    # partition isolation: files bin within their partition value
+    tp = TxTable(spark, str(tmp_path / "tp"))
+    tp.init(
+        spark.range(100)
+        .withColumn("g", (F.col("id") % 2).cast("string"))
+        .repartition(8),
+        partition_by="g",
+    )
+    tp.optimize_small(target_bytes=1 << 30)
+    after = tp.manifest()["files"]
+    assert {e["part"] for e in after} == {"0", "1"}
+    assert tp.snapshot().count() == 100
+    got = {(r.id,) for r in tp.snapshot().select("id").collect()}
+    assert got == {(i,) for i in range(100)}
