@@ -95,6 +95,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s17_streaming_interval_join": monitoring.s17_streaming_interval_join,
         "t86_bm25_retrieval": corpus.t86_bm25_retrieval,
         "t87_optimize_small": llmdata.t87_optimize_small,
+        "s18_streaming_enrichment": monitoring.s18_streaming_enrichment,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)

@@ -1460,3 +1460,49 @@ def s17_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return result
+
+
+def s18_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment gate
+    (streaming/ingest.enrich_stream — the streaming twin of the
+    warehouse star join J1/J2): the events stream left-joins the
+    static customer dimension per micro-batch with a broadcast hash
+    join and ZERO streaming state (the static side is re-resolved each
+    batch, so a dimension refresh is picked up mid-stream at scale).
+    The availableNow drain appends every enriched event; the gate
+    rolls them up per market segment with decimal-exact value sums —
+    NULL segment = events whose user has no customer row, kept by the
+    left join — and the oracle replays the whole thing as a DuckDB
+    batch join."""
+    import os
+    import uuid
+
+    from ..streaming import ingest as st
+
+    ev = st.stream_events(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = st.enrich_stream(ev, dim, "user_id")
+    name = "s18_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            r2(dsum(F.col("value"))).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+        .localCheckpoint(eager=True)  # materialize before dropping the sink
+    )
+    spark.catalog.dropTempView(name)
+    return result

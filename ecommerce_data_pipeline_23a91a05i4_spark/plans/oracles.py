@@ -4690,3 +4690,17 @@ LLMDATA_ORACLES["t87_optimize_small"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# s18: stream-static enrichment == batch left join (decimal-exact
+# value sums; NULL segment = users without a customer row)
+MONITORING_ORACLES["s18_streaming_enrichment"] = f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {SQL_R2(SQL_DSUM('e.value'))} AS total_value
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
