@@ -96,6 +96,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t86_bm25_retrieval": corpus.t86_bm25_retrieval,
         "t87_optimize_small": llmdata.t87_optimize_small,
         "s18_streaming_enrichment": monitoring.s18_streaming_enrichment,
+        "t89_bloom_point_lookup": llmdata.t89_bloom_point_lookup,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +140,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
-        # -- (b) oldest r7-green gates filling the window to 50 ----------
-        "t19_winnow_portable": extras.t19_winnow_portable,
         # ---- driver window ends after the 50th entry above ------------
-        # -- (b') displaced below the marker by round 9's new gates ------
+        # -- (b) oldest r7-greens, displaced below the marker one by one
+        #    as round 9's ten new gates landed at the window head -------
+        "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,
         "t3_quality_score": llmdata.t3_quality_score,

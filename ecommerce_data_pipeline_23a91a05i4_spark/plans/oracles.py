@@ -4704,3 +4704,22 @@ MONITORING_ORACLES["s18_streaming_enrichment"] = f"""
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
 """
+
+
+# t89: bloom point lookup — the probed row is the max-doc_id row; the
+# hash-scattered layout makes range skipping scan all 8 files
+# (pinned), and the bloom improvements are pinned as booleans.
+LLMDATA_ORACLES["t89_bloom_point_lookup"] = """
+    SELECT doc_id, source, n_chars,
+           CAST(8 AS BIGINT) AS files_scanned_range,
+           CAST(8 AS BIGINT) AS files_total,
+           TRUE AS bloom_pruned_fewer,
+           TRUE AS absent_pruned
+    FROM documents
+    WHERE doc_id = (
+        SELECT MAX(doc_id) FROM documents
+        WHERE doc_id <= (
+            SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents
+        )
+    )
+"""

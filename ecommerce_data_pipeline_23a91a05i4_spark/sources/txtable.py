@@ -50,6 +50,7 @@ X6.
 
 from __future__ import annotations
 
+import base64
 import functools
 import json
 import posixpath
@@ -196,6 +197,9 @@ class TxTable:
         path: str,
         fs=None,
         stats_col: str | list[str] | None = None,
+        bloom_col: str | list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 5,
     ) -> None:
         """``stats_col`` turns on DATA SKIPPING: every staged file's
         manifest entry records that column's — or, given a list, EVERY
@@ -209,7 +213,21 @@ class TxTable:
         string columns only (the values must round-trip JSON).
         Multi-column skipping pays off most after a Z-order rewrite
         (operators/zorder.py), which gives every recorded column
-        locality at once."""
+        locality at once.
+
+        ``bloom_col`` turns on per-file BLOOM INDEXES (Delta's bloom
+        filter index): every staged file's entry additionally records a
+        ``bloom_bits``-bit, ``bloom_hashes``-hash filter over the named
+        column(s), and ``snapshot(prune_eq=[(col, value)])`` skips
+        files whose filter rules the value out — the point-lookup
+        complement to min/max skipping, which is powerless when a
+        high-cardinality key is scattered so every file's range covers
+        every probe.  Bit positions are Spark's own
+        ``xxhash64(i, col)`` expression, so build and probe share one
+        derivation; filters are inline in the manifest (1 KiB per
+        file-column at the default size), self-describing (m and k
+        travel with each filter), and — like stats — strictly safe:
+        entries without one are always read."""
         self.spark = spark
         self.path = str(path).rstrip("/")
         self.fs = fs if fs is not None else filesystem_for(spark, self.path)
@@ -219,6 +237,22 @@ class TxTable:
             self.stats_cols = [stats_col]
         else:
             self.stats_cols = list(stats_col)
+        if bloom_col is None:
+            self.bloom_cols: list[str] = []
+        elif isinstance(bloom_col, str):
+            self.bloom_cols = [bloom_col]
+        else:
+            self.bloom_cols = list(bloom_col)
+        if bloom_bits < 8:
+            raise ValueError(
+                f"bloom_bits must be >= 8, got {bloom_bits}"
+            )
+        if bloom_hashes < 1:
+            raise ValueError(
+                f"bloom_hashes must be >= 1, got {bloom_hashes}"
+            )
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
 
     # ------------------------------------------------------------- log
     @property
@@ -342,12 +376,66 @@ class TxTable:
         entries = m["files"]
         return len(self._prune_entries(entries, conds)), len(entries)
 
+    def _bloom_prune(
+        self,
+        entries: list[dict],
+        probes: list[tuple[str, object]],
+        mapping: dict[str, str],
+        schema: StructType,
+    ) -> list[dict]:
+        """Drop entries whose bloom filter PROVES the probed value
+        absent from the file's column.  Positions come from the same
+        ``xxhash64(i, lit(value))`` expression the build used (one
+        1-row local job); an entry without a filter for a probed
+        column always survives — pruning is strictly safe."""
+        filts: list[tuple[int, str, dict]] = []  # (probe idx, phys, filter)
+        max_k = 0
+        for j, (c, _v) in enumerate(probes):
+            pc = mapping.get(c, c)
+            for e in entries:
+                f = (e.get("bloom") or {}).get(pc)
+                if f:
+                    max_k = max(max_k, int(f["k"]))
+        if max_k == 0:
+            return entries
+        sel = []
+        for j, (c, v) in enumerate(probes):
+            dt = schema[c].dataType
+            for i in range(max_k):
+                sel.append(
+                    F.xxhash64(F.lit(i), F.lit(v).cast(dt)).alias(
+                        f"h_{j}_{i}"
+                    )
+                )
+        row = self.spark.range(1).select(*sel).collect()[0]
+        keep = []
+        for e in entries:
+            bl = e.get("bloom") or {}
+            ok = True
+            for j, (c, _v) in enumerate(probes):
+                f = bl.get(mapping.get(c, c))
+                if not f:
+                    continue
+                bits = base64.b64decode(f["b64"])
+                for i in range(int(f["k"])):
+                    # python % matches the build's pmod on signed hashes
+                    pos = row[f"h_{j}_{i}"] % int(f["m"])
+                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                keep.append(e)
+        return keep
+
     def snapshot(
         self,
         version: int | None = None,
         _with_file: bool = False,
         prune: tuple | None = None,
         _with_pos: bool = False,
+        prune_eq: list[tuple[str, object]] | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest).  Partitioned
         tables re-inject the partition column from the manifest's
@@ -357,9 +445,14 @@ class TxTable:
         ``prune=(col, lo, hi)`` — or a LIST of such triples, ANDed —
         applies manifest-stats data skipping (see ``stats_col``): only
         files whose recorded ranges can intersect every [lo, hi] are
-        read.  Skipping is a FILE-set reduction, not a row filter —
-        apply the actual predicate on top; rows outside the range may
-        still appear from partially-overlapping files.
+        read.  ``prune_eq=[(col, value), …]`` is the point-lookup
+        form: min/max skipping with lo=hi=value PLUS the per-file
+        bloom filters (see ``bloom_col``) — the combination that makes
+        a needle query on a scattered high-cardinality key touch a
+        handful of files instead of every one.  Skipping is a FILE-set
+        reduction, not a row filter — apply the actual predicate on
+        top; rows outside the range (or bloom false positives) may
+        still appear from surviving files.
 
         ``_with_file`` (internal, used by :meth:`delete`) appends a
         ``_tx_file`` column holding each row's source file URI."""
@@ -373,10 +466,42 @@ class TxTable:
                 self._norm_prune(prune), mapping, self.path
             )
             entries = self._prune_entries(entries, conds)
+        if prune_eq:
+            conds = self._phys_conds(
+                self._norm_prune([(c, v, v) for c, v in prune_eq]),
+                mapping,
+                self.path,
+            )
+            entries = self._prune_entries(entries, conds)
+            entries = self._bloom_prune(
+                entries, list(prune_eq), mapping, schema
+            )
         return self._read_entries(
             schema, pcol, entries, _with_file, mapping=mapping,
             _with_pos=_with_pos,
         )
+
+    def prune_counts_eq(
+        self,
+        probes: list[tuple[str, object]],
+        version: int | None = None,
+        bloom: bool = True,
+    ) -> tuple[int, int]:
+        """(files_scanned, files_total) for a point lookup — with
+        ``bloom=False`` only min/max skipping runs, which is the
+        before/after observability pair the bloom gate pins."""
+        m = self.manifest(version)
+        mapping = _col_mapping(m)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        conds = self._phys_conds(
+            self._norm_prune([(c, v, v) for c, v in probes]),
+            mapping,
+            self.path,
+        )
+        entries = self._prune_entries(m["files"], conds)
+        if bloom:
+            entries = self._bloom_prune(entries, list(probes), mapping, schema)
+        return len(entries), len(m["files"])
 
     def _dv_abs(self, e: dict) -> str:
         """A manifest entry's absolute deletion-vector path.  The
@@ -643,6 +768,61 @@ class TxTable:
                 e["stats"] = st
                 kept.append(e)
             entries = kept
+        bcols = []
+        for c in self.bloom_cols:
+            p_ = phys.get(c, c)
+            if p_ in df.columns and p_ not in bcols:
+                bcols.append(p_)
+        if bcols and entries:
+            # ONE distributed pass builds every file's bloom filter:
+            # per row, k = bloom_hashes bit positions per column via
+            # Spark's own xxhash64(i, col) — the probe side computes
+            # the identical expression, so no second hash impl exists
+            # to drift.  distinct() bounds the collect at
+            # files × cols × m bits, never rows.
+            m_bits, k = self.bloom_bits, self.bloom_hashes
+            probes = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("ci"),
+                            F.pmod(
+                                F.xxhash64(F.lit(i), F.col(c)),
+                                F.lit(m_bits),
+                            ).alias("pos"),
+                        )
+                        for ci, c in enumerate(bcols)
+                        for i in range(k)
+                    ]
+                )
+            ).alias("cp")
+            pos_rows = (
+                self.spark.read.parquet(commit_dir)
+                .select(F.input_file_name().alias("_f"), probes)
+                .select("_f", "cp.ci", "cp.pos")
+                .distinct()
+                .groupBy("_f", "ci")
+                .agg(F.collect_set("pos").alias("ps"))
+                .collect()
+            )
+            cbase = posixpath.basename(commit_dir)
+            by_rel_bloom: dict[str, dict] = {}
+            for r in pos_rows:
+                dec = unquote(r._f.split("://", 1)[-1])
+                rel = dec.split("/" + cbase + "/", 1)[1]
+                bits = bytearray((m_bits + 7) // 8)
+                for pos in r.ps:
+                    bits[pos >> 3] |= 1 << (pos & 7)
+                by_rel_bloom.setdefault(rel, {})[bcols[r.ci]] = {
+                    "m": m_bits,
+                    "k": k,
+                    "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
+            for e in entries:
+                rel = e["path"].split("/" + cbase + "/", 1)[1]
+                bl = by_rel_bloom.get(rel)
+                if bl:
+                    e["bloom"] = bl
         return entries
 
     def _try_commit(self, manifest: dict, version: int) -> None:
@@ -1299,7 +1479,12 @@ class TxTable:
         MERGE / CDC, ADD COLUMN, compact, and restore all work on the
         clone unchanged."""
         dst = TxTable(
-            self.spark, dst_path, stats_col=self.stats_cols or None
+            self.spark,
+            dst_path,
+            stats_col=self.stats_cols or None,
+            bloom_col=self.bloom_cols or None,
+            bloom_bits=self.bloom_bits,
+            bloom_hashes=self.bloom_hashes,
         )
         if dst.latest_version() is not None:
             raise FileExistsError(

@@ -1576,3 +1576,64 @@ def test_optimize_small_binpacks_debt_only(spark, tmp_path):
     assert tp.snapshot().count() == 100
     got = {(r.id,) for r in tp.snapshot().select("id").collect()}
     assert got == {(i,) for i in range(100)}
+
+
+def test_bloom_index_point_lookup(spark, tmp_path):
+    """Per-file bloom filters prune point lookups that min/max cannot
+    (hash-scattered key), survive appends, stay safe across unindexed
+    entries, and never change results (file-set reduction only)."""
+    df = (
+        spark.range(20000)
+        .withColumn("k", F.xxhash64("id"))
+        .withColumn("v", F.col("id") % 100)
+        .repartition(16)
+    )
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k", bloom_col="k")
+    t.init(df)
+    probe = df.filter("id = 123").select("k").first().k
+    s_range, total = t.prune_counts_eq([("k", probe)], bloom=False)
+    s_bloom, _ = t.prune_counts_eq([("k", probe)])
+    assert (s_range, total) == (16, 16)  # scattered: ranges all overlap
+    assert s_bloom < s_range
+    rows = t.snapshot(prune_eq=[("k", probe)]).filter(
+        F.col("k") == probe
+    ).collect()
+    assert [r.id for r in rows] == [123]
+    # absent key: prunes below total (false positives allowed, misses not)
+    s_absent, _ = t.prune_counts_eq([("k", 987654321)])
+    assert s_absent < total
+    assert (
+        t.snapshot(prune_eq=[("k", 987654321)])
+        .filter(F.col("k") == 987654321)
+        .count()
+        == 0
+    )
+    # a writer WITHOUT bloom config appends unindexed files: they are
+    # always scanned, results stay exact
+    plain = TxTable(spark, str(tmp_path / "t"))
+    plain.append(
+        spark.range(20000, 20050)
+        .withColumn("k", F.xxhash64("id"))
+        .withColumn("v", (F.col("id") % 100).cast("long"))
+        .coalesce(1)
+    )
+    s_mixed, tot_mixed = t.prune_counts_eq([("k", probe)])
+    assert tot_mixed == 17 and s_mixed == s_bloom + 1
+    assert t.snapshot(prune_eq=[("k", probe)]).filter(
+        F.col("k") == probe
+    ).count() == 1
+    # string-typed probe hashes through the string path
+    t2 = TxTable(spark, str(tmp_path / "s"), bloom_col="s")
+    t2.init(
+        spark.range(5000)
+        .withColumn("s", F.concat(F.lit("u"), F.col("id").cast("string")))
+        .repartition(8)
+    )
+    sb, tot2 = t2.prune_counts_eq([("s", "u777")])
+    assert sb < tot2
+    assert (
+        t2.snapshot(prune_eq=[("s", "u777")]).filter("s = 'u777'").count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="bloom_bits"):
+        TxTable(spark, str(tmp_path / "x"), bloom_col="k", bloom_bits=4)
