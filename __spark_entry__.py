@@ -97,6 +97,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t87_optimize_small": llmdata.t87_optimize_small,
         "s18_streaming_enrichment": monitoring.s18_streaming_enrichment,
         "t89_bloom_point_lookup": llmdata.t89_bloom_point_lookup,
+        "t90_analyze_stats": llmdata.t90_analyze_stats,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +140,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t13_vocab_difference": extras.t13_vocab_difference,
         "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
-        "t18_simhash_portable": extras.t18_simhash_portable,
         # ---- driver window ends after the 50th entry above ------------
-        # -- (b) oldest r7-greens, displaced below the marker one by one
-        #    as round 9's ten new gates landed at the window head -------
+        # -- (a'/b) displaced below the marker one by one as round 9's
+        #    eleven new gates landed at the window head ----------------
+        "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,
         "t2_lang_id": llmdata.t2_lang_id,

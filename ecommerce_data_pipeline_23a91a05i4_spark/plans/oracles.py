@@ -4723,3 +4723,67 @@ LLMDATA_ORACLES["t89_bloom_point_lookup"] = """
         )
     )
 """
+
+
+# t90: ANALYZE stats — nulls/min/max exact, NDV by replaying the p=4
+# md5 register pipeline per column (the t67 harmonic-branch math; both
+# gate columns are high-cardinality, keeping the ln-free branch).
+def _t90_oracle() -> str:
+    from ..operators.sketch import TWO_61, hll_alpha
+
+    m = 16
+    const = hll_alpha(m) * (m * m) * float(TWO_61)
+
+    def est(col: str) -> str:
+        return f"""(
+        WITH vals AS (
+            SELECT md5(CAST({col} AS VARCHAR)) AS h FROM lineitem
+            WHERE {col} IS NOT NULL
+        ),
+        parts AS (
+            SELECT strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS ridx,
+                   length(regexp_extract(substr(h, 2, 15), '^0*')) AS z,
+                   substr(regexp_replace(substr(h, 2, 15), '^0*', ''), 1, 1) AS c
+            FROM vals
+        ),
+        ranked AS (
+            SELECT ridx,
+                   CASE WHEN z = 15 THEN 61
+                        ELSE 4 * z + CASE WHEN c = '1' THEN 3
+                                          WHEN c IN ('2', '3') THEN 2
+                                          WHEN c IN ('4', '5', '6', '7') THEN 1
+                                          ELSE 0 END + 1 END AS r
+            FROM parts
+        ),
+        regs AS (SELECT ridx, MAX(r) AS rmax FROM ranked GROUP BY ridx),
+        agg AS (
+            SELECT SUM(CAST(1 AS BIGINT) << (61 - rmax)) AS zsum,
+                   COUNT(*) AS npres
+            FROM regs
+        )
+        SELECT {SQL_QUANT(
+            f"{const!r} / CAST(zsum + ({m} - npres)"
+            f" * CAST({TWO_61} AS HUGEINT) AS DOUBLE)", 4
+        )} FROM agg
+    )"""
+
+    def one(col: str) -> str:
+        return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           {est(col)} AS ndv,
+           CAST(MIN({col}) AS VARCHAR) AS min_val,
+           CAST(MAX({col}) AS VARCHAR) AS max_val,
+           CAST(1 AS BIGINT) AS computed_at,
+           CAST(3 AS BIGINT) AS head_version
+    FROM lineitem"""
+
+    return (
+        one("l_partkey") + "\n    UNION ALL" + one("l_shipdate")
+        + "\n    ORDER BY col_name"
+    )
+
+
+LLMDATA_ORACLES["t90_analyze_stats"] = _t90_oracle()

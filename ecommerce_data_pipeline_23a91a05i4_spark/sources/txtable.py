@@ -849,6 +849,7 @@ class TxTable:
         stream_floors: dict[str, int] | None = None,
         column_mapping: dict[str, str] | None | object = _INHERIT,
         constraints: list[dict] | object = _INHERIT,
+        table_stats: dict | object = _INHERIT,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -873,10 +874,17 @@ class TxTable:
             stream_floors is None
             or column_mapping is _INHERIT
             or constraints is _INHERIT
+            or table_stats is _INHERIT
         ):
             parent = self.manifest(base_version)
         if stream_floors is None and parent is not None:
             stream_floors = _stream_floors(parent)
+        if table_stats is _INHERIT:
+            # the freshest completed ANALYZE rides every commit forward
+            # (its computed_at version says how stale it is)
+            table_stats = (
+                parent.get("table_stats") if parent is not None else None
+            )
         if column_mapping is _INHERIT:
             # every commit carries its parent's mapping forward (the
             # stream_floors discipline) — a mapped table stays mapped
@@ -907,6 +915,8 @@ class TxTable:
             manifest["column_mapping"] = dict(column_mapping)
         if constraints:
             manifest["constraints"] = [dict(c) for c in constraints]
+        if table_stats:
+            manifest["table_stats"] = dict(table_stats)
         self._try_commit(manifest, version)
         return version
 
@@ -1399,6 +1409,111 @@ class TxTable:
         raise CommitConflict(
             f"drop_constraint on {self.path} lost {max_retries} "
             "commit races"
+        )
+
+    #: atomic types analyze() can min/max and JSON-round-trip (as strings)
+    _ANALYZABLE = frozenset(
+        {"long", "integer", "short", "byte", "double", "float",
+         "decimal", "string", "date", "timestamp", "timestamp_ntz",
+         "boolean"}
+    )
+
+    def table_stats(self, version: int | None = None) -> dict | None:
+        """The most recent analyze() statistics visible at ``version``
+        (carried forward by every commit), or None if never analyzed.
+        ``computed_at`` says which version the numbers describe —
+        consumers judge staleness by comparing it to the head."""
+        return self.manifest(version).get("table_stats")
+
+    def analyze(
+        self,
+        columns: list[str] | None = None,
+        p: int = 12,
+        hash: str = "xx",
+        max_retries: int = 5,
+    ) -> int:
+        """ANALYZE TABLE — table-level statistics as a manifest commit
+        (Spark's ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``
+        re-expressed on the log): row count plus, per analyzable
+        column, null count, min/max (stringified for JSON transport),
+        and approximate NDV via the engine's portable HyperLogLog
+        (operators/sketch.py — one aggregation per column whose state
+        is 2^p register rows, never a distinct-set shuffle; that bound
+        is what makes ANALYZE affordable on a 100 TB table).  These
+        are the inputs a planner needs for broadcast decisions, shuffle
+        sizing, and bucketing choices.
+
+        The stats land in the child manifest as ``table_stats`` tagged
+        ``computed_at`` = the analyzed version, and EVERY later commit
+        carries them forward unchanged (the stream_floors discipline),
+        so a reader always sees the freshest completed ANALYZE plus
+        exactly how stale it is.  Files are untouched — the commit
+        (op ``analyze``) references the parent's entries verbatim, so
+        the change feed emits nothing for it."""
+        m = self.manifest()
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        by_name = {f.name: f for f in schema.fields}
+        if columns is None:
+            columns = [
+                f.name
+                for f in schema.fields
+                if f.dataType.typeName() in self._ANALYZABLE
+            ]
+        for c in columns:
+            if c not in by_name:
+                raise ValueError(f"analyze: unknown column {c!r}")
+            if by_name[c].dataType.typeName() not in self._ANALYZABLE:
+                raise ValueError(
+                    f"analyze: column {c!r} has non-analyzable type "
+                    f"{by_name[c].dataType.simpleString()}"
+                )
+        if not columns:
+            raise ValueError("analyze: no analyzable columns")
+        from ..operators.sketch import approx_count_distinct_portable
+
+        snap = self.snapshot(m["version"])
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(columns):
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nul_{i}")
+            )
+            aggs.append(F.min(c).cast("string").alias(f"mn_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx_{i}"))
+        row = snap.agg(*aggs).collect()[0]
+        col_stats: dict[str, dict] = {}
+        for i, c in enumerate(columns):
+            est = approx_count_distinct_portable(
+                snap, [c], None, p=p, hash=hash
+            ).collect()
+            ndv = float(est[0]["approx_distinct"]) if est else 0.0
+            col_stats[c] = {
+                "nulls": int(row[f"nul_{i}"] or 0),
+                "ndv": ndv,
+                "min": row[f"mn_{i}"],
+                "max": row[f"mx_{i}"],
+            }
+        stats = {
+            "computed_at": m["version"],
+            "n_rows": int(row._n),
+            "hll_p": int(p),
+            "hll_hash": hash,
+            "columns": col_stats,
+        }
+        for _ in range(max_retries):
+            head = self.manifest()
+            try:
+                return self._commit(
+                    head["files"],
+                    "analyze",
+                    head["version"],
+                    StructType.fromJson(json.loads(head["schema"])),
+                    head.get("partition_by"),
+                    table_stats=stats,
+                )
+            except CommitConflict:
+                continue  # stats describe m['version']; re-propose as-is
+        raise CommitConflict(
+            f"analyze on {self.path} lost {max_retries} commit races"
         )
 
     def restore(self, version: int, max_retries: int = 5) -> int:

@@ -1637,3 +1637,34 @@ def test_bloom_index_point_lookup(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bloom_bits"):
         TxTable(spark, str(tmp_path / "x"), bloom_col="k", bloom_bits=4)
+
+
+def test_analyze_stats_carry_and_validation(spark, tmp_path):
+    """analyze() records n_rows / nulls / min-max / HLL NDV as a
+    metadata-only commit; later commits carry the stats forward with
+    their computed_at version (the staleness contract)."""
+    df = spark.range(5000).withColumn(
+        "s",
+        F.when(F.col("id") % 10 == 0, None).otherwise(
+            F.concat(F.lit("u"), (F.col("id") % 200).cast("string"))
+        ),
+    )
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.init(df)
+    files_before = [e["path"] for e in t.manifest()["files"]]
+    v2 = t.analyze()
+    m = t.manifest()
+    assert m["op"] == "analyze"
+    assert [e["path"] for e in m["files"]] == files_before  # no data motion
+    st = t.table_stats()
+    assert st["computed_at"] == v1 and st["n_rows"] == 5000
+    assert st["columns"]["s"]["nulls"] == 500
+    assert st["columns"]["id"]["min"] == "0"
+    assert st["columns"]["id"]["max"] == "4999"
+    assert abs(st["columns"]["s"]["ndv"] - 200) / 200 < 0.25
+    # carried forward, visibly stale after an append
+    t.append(df.withColumn("id", F.col("id") + 5000))
+    st2 = t.table_stats()
+    assert st2 == st and t.latest_version() == v2 + 1
+    with pytest.raises(ValueError, match="unknown column"):
+        t.analyze(columns=["nope"])
