@@ -98,6 +98,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "s18_streaming_enrichment": monitoring.s18_streaming_enrichment,
         "t89_bloom_point_lookup": llmdata.t89_bloom_point_lookup,
         "t90_analyze_stats": llmdata.t90_analyze_stats,
+        "t91_generated_columns": llmdata.t91_generated_columns,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +140,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t11_keyword_search": extras.t11_keyword_search,
         "t13_vocab_difference": extras.t13_vocab_difference,
         "t16_deterministic_sample": extras.t16_deterministic_sample,
-        "t17_minhash_portable": extras.t17_minhash_portable,
         # ---- driver window ends after the 50th entry above ------------
         # -- (a'/b) displaced below the marker one by one as round 9's
-        #    eleven new gates landed at the window head ----------------
+        #    twelve new gates landed at the window head -----------------
+        "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,
         "t1_text_stats": llmdata.t1_text_stats,

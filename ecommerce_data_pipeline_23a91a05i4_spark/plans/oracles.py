@@ -4787,3 +4787,18 @@ def _t90_oracle() -> str:
 
 
 LLMDATA_ORACLES["t90_analyze_stats"] = _t90_oracle()
+
+
+# t91: generated columns — per-month stats from raw events via the
+# strftime twin of date_format(ts, 'yyyy-MM'); rejection booleans pinned
+LLMDATA_ORACLES["t91_generated_columns"] = f"""
+    SELECT strftime(ts, '%Y-%m') AS event_month,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {SQL_R2(SQL_DSUM('value'))} AS total_value,
+           TRUE AS bad_month_rejected,
+           TRUE AS partitioned_by_month
+    FROM events
+    GROUP BY 1
+    ORDER BY event_month
+"""

@@ -98,6 +98,36 @@ def _col_mapping(manifest: dict) -> dict[str, str]:
     return {f.name: cm.get(f.name, f.name) for f in schema.fields}
 
 
+def _generated(manifest: dict) -> dict[str, str]:
+    """The manifest's generated-column map (name -> SQL expression over
+    the table's other columns), empty when the table declares none."""
+    return dict(manifest.get("generated") or {})
+
+
+def _touches_generated(col: str, gen: dict[str, str]) -> bool:
+    """True when ``col`` IS a generated column or appears (as a word) in
+    any generated expression — the conservative guard rename/drop use:
+    a renamed/dropped dependency would silently break the expression
+    for every future write."""
+    if col in gen:
+        return True
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    return any(pat.search(e) for e in gen.values())
+
+
+def _generated_guards(gen: dict[str, str], provided: list[str]) -> list[dict]:
+    """Synthetic CHECK constraints enforcing that explicitly-provided
+    generated-column values equal their expression (Delta's rule: you
+    may write the column, but only with the value the expression
+    yields).  Null-safe equality, so an expression that evaluates NULL
+    only accepts NULL."""
+    return [
+        {"name": f"generated:{c}", "expr": f"{c} <=> ({gen[c]})"}
+        for c in provided
+        if c in gen
+    ]
+
+
 def _constraints(manifest: dict) -> list[dict]:
     """The manifest's CHECK invariants: [{"name", "expr"}, ...] —
     table metadata every commit carries forward (like stream_floors),
@@ -850,6 +880,7 @@ class TxTable:
         column_mapping: dict[str, str] | None | object = _INHERIT,
         constraints: list[dict] | object = _INHERIT,
         table_stats: dict | object = _INHERIT,
+        generated: dict[str, str] | None | object = _INHERIT,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -875,6 +906,7 @@ class TxTable:
             or column_mapping is _INHERIT
             or constraints is _INHERIT
             or table_stats is _INHERIT
+            or generated is _INHERIT
         ):
             parent = self.manifest(base_version)
         if stream_floors is None and parent is not None:
@@ -884,6 +916,12 @@ class TxTable:
             # (its computed_at version says how stale it is)
             table_stats = (
                 parent.get("table_stats") if parent is not None else None
+            )
+        if generated is _INHERIT:
+            # generated-column declarations are table metadata, carried
+            # like constraints; overwrite() resets them explicitly
+            generated = (
+                _generated(parent) or None if parent is not None else None
             )
         if column_mapping is _INHERIT:
             # every commit carries its parent's mapping forward (the
@@ -917,6 +955,8 @@ class TxTable:
             manifest["constraints"] = [dict(c) for c in constraints]
         if table_stats:
             manifest["table_stats"] = dict(table_stats)
+        if generated:
+            manifest["generated"] = dict(generated)
         self._try_commit(manifest, version)
         return version
 
@@ -933,13 +973,60 @@ class TxTable:
                 f"{got}; schema changes go through overwrite()"
             )
 
-    def init(self, df: DataFrame, partition_by: str | None = None) -> int:
-        """Create the table (version 1); fails if a log already exists."""
+    def init(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> int:
+        """Create the table (version 1); fails if a log already exists.
+
+        ``generated`` declares GENERATED COLUMNS (Delta's
+        ``GENERATED ALWAYS AS``): name -> SQL expression over the
+        frame's columns.  They are computed here and on every append/
+        merge whose frame omits them; a frame that PROVIDES one is
+        accepted only when the value equals the expression (enforced
+        in the write plan, the constraint machinery).  The canonical
+        use is time-partitioning a fact table by a derived key —
+        ``partition_by`` may name a generated column — so writers
+        stream raw events and the engine derives the layout."""
         if self.latest_version() is not None:
             raise FileExistsError(f"table already initialized: {self.path}")
+        generated = dict(generated or {})
+        for c in generated:
+            if c in df.columns:
+                raise ValueError(
+                    f"init: generated column {c!r} also present in the "
+                    "frame; declare it generated OR provide it, not both"
+                )
+        if generated:
+            df = df.select(
+                "*", *[F.expr(e).alias(c) for c, e in generated.items()]
+            )
         return self._commit(
-            self._stage(df, partition_by), "init", None, df.schema, partition_by
+            self._stage(df, partition_by),
+            "init",
+            None,
+            df.schema,
+            partition_by,
+            generated=generated or None,
         )
+
+    def _complete_generated(
+        self, df: DataFrame, gen: dict[str, str]
+    ) -> tuple[DataFrame, list[dict]]:
+        """Compute the generated columns ``df`` omits; return the
+        completed frame plus the equality guards for the ones it
+        provided (enforced at stage time)."""
+        if not gen:
+            return df, []
+        provided = [c for c in gen if c in df.columns]
+        missing = [c for c in gen if c not in df.columns]
+        if missing:
+            df = df.select(
+                "*", *[F.expr(gen[c]).alias(c) for c in missing]
+            )
+        return df, _generated_guards(gen, provided)
 
     def append(self, df: DataFrame, max_retries: int = 5) -> int:
         """Blind append: stage once, then race to commit; on conflict the
@@ -960,8 +1047,11 @@ class TxTable:
         pcol = base.get("partition_by")
         schema_json = base["schema"]
         cmap = base.get("column_mapping")
+        df, gen_guards = self._complete_generated(df, _generated(base))
         self._check_schema(df, StructType.fromJson(json.loads(schema_json)))
-        staged = self._stage(df, pcol, _col_mapping(base), _constraints(base))
+        staged = self._stage(
+            df, pcol, _col_mapping(base), _constraints(base) + gen_guards
+        )
         for _ in range(max_retries):
             base = self.manifest()
             if (
@@ -991,15 +1081,32 @@ class TxTable:
             f"append to {self.path} lost {max_retries} commit races"
         )
 
-    def overwrite(self, df: DataFrame, partition_by: str | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> int:
         """Full truncate-and-replace as ONE commit: readers see the old
         snapshot until the manifest lands, then the new — never empty.
-        The one verb that RESETS column mapping: a full restatement
-        writes fresh files whose physical names ARE the new logical
-        names, so the indirection (and any dropped column's ghost
-        bytes) ends here; older versions keep their own mapping for
-        time travel."""
+        The one verb that RESETS column mapping — and generated-column
+        declarations (pass ``generated`` to restate them): a full
+        restatement writes fresh files whose physical names ARE the new
+        logical names, so the indirection (and any dropped column's
+        ghost bytes) ends here; older versions keep their own mapping
+        for time travel."""
         base = self.manifest()
+        generated = dict(generated or {})
+        if generated:
+            have = [c for c in generated if c in df.columns]
+            if have:
+                raise ValueError(
+                    f"overwrite: generated column(s) {have} also present "
+                    "in the frame; declare generated OR provide, not both"
+                )
+            df = df.select(
+                "*", *[F.expr(e).alias(c) for c, e in generated.items()]
+            )
         return self._commit(
             self._stage(df, partition_by, constraints=_constraints(base)),
             "overwrite",
@@ -1007,6 +1114,7 @@ class TxTable:
             df.schema,
             partition_by,
             column_mapping=None,
+            generated=generated or None,
         )
 
     def add_columns(
@@ -1176,6 +1284,12 @@ class TxTable:
                 raise ValueError(
                     f"rename_column: {new!r} already exists in {self.path}"
                 )
+            if _touches_generated(old, _generated(m)):
+                raise ValueError(
+                    f"rename_column: {old!r} is a generated column or a "
+                    f"dependency of one on {self.path}; restate the "
+                    "declaration via overwrite(generated=...) instead"
+                )
             mapping = _col_mapping(m)
             evolved = StructType(
                 [
@@ -1236,6 +1350,12 @@ class TxTable:
                 raise ValueError(
                     f"drop_column: {name!r} is the partition column of "
                     f"{self.path}; repartition via overwrite() first"
+                )
+            if _touches_generated(name, _generated(m)):
+                raise ValueError(
+                    f"drop_column: {name!r} is a generated column or a "
+                    f"dependency of one on {self.path}; restate the "
+                    "declaration via overwrite(generated=...) instead"
                 )
             mapping = _col_mapping(m)
             mapping.pop(name)
@@ -2042,6 +2162,7 @@ class TxTable:
         pcol0 = m0.get("partition_by")
         schema = StructType.fromJson(json.loads(schema_json0))
         data_cols = [f.name for f in schema.fields]
+        src, gen_guards = self._complete_generated(src, _generated(m0))
         self._check_schema(src.drop(*([delete_col] if delete_col else [])), schema)
         upserts = src.filter(~is_del).select(data_cols)
         ups_empty = upserts.isEmpty()
@@ -2097,7 +2218,7 @@ class TxTable:
                 # the scan's partitioning stages empty part files
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
             mapping = _col_mapping(m)
-            cons = _constraints(m)
+            cons = _constraints(m) + gen_guards
             staged = (
                 self._stage(survivors, pcol, mapping, cons) if hit_uris else []
             )

@@ -1668,3 +1668,50 @@ def test_analyze_stats_carry_and_validation(spark, tmp_path):
     assert st2 == st and t.latest_version() == v2 + 1
     with pytest.raises(ValueError, match="unknown column"):
         t.analyze(columns=["nope"])
+
+
+def test_generated_columns_lifecycle(spark, tmp_path):
+    """Generated columns: computed at init/append/merge when omitted,
+    equality-guarded when provided, declaration carried by commits and
+    reset by overwrite, dependencies protected from rename/drop."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 31)], "k long, v long"
+    )
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(df, generated={"bucket": "CAST(v % 10 AS STRING)"})
+    assert set(t.snapshot().columns) == {"k", "v", "bucket"}
+    assert {r.bucket for r in t.snapshot().collect()} == {"0", "5", "1"}
+    # append without the column: computed
+    t.append(spark.createDataFrame([(4, 47)], "k long, v long"))
+    assert t.snapshot().filter("k = 4").first().bucket == "7"
+    # append WITH a correct value: accepted; wrong value: plan rejects
+    t.append(
+        spark.createDataFrame(
+            [(5, 53, "3")], "k long, v long, bucket string"
+        )
+    )
+    with pytest.raises(Exception, match="generated"):
+        t.append(
+            spark.createDataFrame(
+                [(6, 66, "9")], "k long, v long, bucket string"
+            )
+        )
+    # merge source without the column: computed
+    t.merge(spark.createDataFrame([(1, 99)], "k long, v long"), on="k")
+    assert t.snapshot().filter("k = 1").first().bucket == "9"
+    # declaring AND providing at init is ambiguous
+    with pytest.raises(ValueError, match="not both"):
+        TxTable(spark, str(tmp_path / "x")).init(
+            spark.createDataFrame([(1, "a")], "k long, g string"),
+            generated={"g": "CAST(k AS STRING)"},
+        )
+    # rename/drop of the generated column or its dependency is refused
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("bucket")
+    # overwrite resets the declaration
+    t.overwrite(df)
+    assert "generated" not in t.manifest()
+    t.append(df)  # no recompute, plain append works again
+    assert set(t.snapshot().columns) == {"k", "v"}
