@@ -69,22 +69,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-9 ordering (executing round
-# 8's plan exactly): (a) the 40 round-6-green gates with the least
-# driver evidence — t57b/t62b/t63/t64/t65 (displaced below the marker
-# by round 8's five new gates) then t66...t18 — go first; (b) the ten
-# oldest round-7-green gates (t19, t1-t7, q17, q20) fill the window to
-# 50.  New round-9 gates (zero driver evidence) are inserted at the
-# window head as they land, displacing the newest (b) entries below
-# the marker.  (c) past the window: the remaining r7-greens (q21
-# onward) are next in line for ROUND 10, followed by (d) round 8's
-# own 50.
-# ROUND-10 PLAN: window = any (b) entries displaced this round by new
-# r9 gates, then the remaining r7-greens (q21, q22, q23, q24, q11,
-# q7-q10, q3-q6, t44, t61, s7, ...) to fill 50.  With 140+ gates and a
-# 50-slot window, full-registry freshness cycles every ~2.8 rounds;
-# the all-gate pytest twin (tests/test_oracle_parity.py) runs every
-# session regardless.
+# driver evidence must come first.  Round-9 final ordering: (0) the
+# twelve new round-9 gates (zero driver evidence) at the head; (a) the
+# round-6-green gates that were the round-8 plan's backlog, of which
+# the first 37 (t57b...t13) still fit the window; (a'/b) the entries
+# the thirteen new gates displaced below the marker — t16, t17, t18,
+# t19, t1-t7, q17, q20 — now the FRESHEST backlog for round 10.
+# ROUND-10 PLAN: window = the displaced (a'/b) thirteen first, then
+# the remaining r7-greens ((c): q21, q22, q23, q24, q11, q7-q10,
+# q3-q6, t44, t61, s7, ...) to fill 50.  With 153 gates and a 50-slot
+# window, full-registry freshness cycles every ~3 rounds; the all-gate
+# pytest twin (tests/test_oracle_parity.py) runs every session
+# regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (0) new round-9 gates: zero driver evidence, head of window -
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
@@ -99,6 +95,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t89_bloom_point_lookup": llmdata.t89_bloom_point_lookup,
         "t90_analyze_stats": llmdata.t90_analyze_stats,
         "t91_generated_columns": llmdata.t91_generated_columns,
+        "t92_quarantine_append": llmdata.t92_quarantine_append,
         # -- (a) the 40 r6-green gates with the least driver evidence ----
         #    (t57b..t65 were displaced below the r8 marker by round 8's
         #    five new gates; t66..t18 were last driver-checked in r6)
@@ -139,10 +136,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t10_token_frequencies": extras.t10_token_frequencies,
         "t11_keyword_search": extras.t11_keyword_search,
         "t13_vocab_difference": extras.t13_vocab_difference,
-        "t16_deterministic_sample": extras.t16_deterministic_sample,
         # ---- driver window ends after the 50th entry above ------------
         # -- (a'/b) displaced below the marker one by one as round 9's
-        #    twelve new gates landed at the window head -----------------
+        #    thirteen new gates landed at the window head ----------------
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
         "t17_minhash_portable": extras.t17_minhash_portable,
         "t18_simhash_portable": extras.t18_simhash_portable,
         "t19_winnow_portable": extras.t19_winnow_portable,

@@ -4802,3 +4802,25 @@ LLMDATA_ORACLES["t91_generated_columns"] = f"""
     GROUP BY 1
     ORDER BY event_month
 """
+
+
+# t92: quarantine ingest — both destinations are pure functions of the
+# band predicates; constraint names in _violated are part of the
+# pinned contract (declaration order fixes the tag order)
+LLMDATA_ORACLES["t92_quarantine_append"] = """
+    SELECT 'main' AS dest, '' AS _violated,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'quarantine', 'n_chars_nonneg',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'quarantine', 'source_not_null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 2
+    ORDER BY dest, _violated
+"""

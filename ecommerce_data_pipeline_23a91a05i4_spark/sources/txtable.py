@@ -1081,6 +1081,55 @@ class TxTable:
             f"append to {self.path} lost {max_retries} commit races"
         )
 
+    def append_quarantine(
+        self, df: DataFrame, quarantine: "TxTable", max_retries: int = 5
+    ) -> tuple[int | None, int | None]:
+        """Expectation-GATED append (the 'expect or quarantine' pattern
+        of declarative pipeline frameworks): instead of append()'s
+        all-or-nothing plan_guard rejection, rows satisfying every
+        declared CHECK / NOT NULL / generated-value invariant append to
+        this table, and violating rows append to ``quarantine`` with a
+        ``_violated`` column naming the failed constraint(s) — the
+        operational shape a continuously-fed 100 TB table needs, where
+        one bad upstream row must neither poison the table nor halt
+        the feed.  Returns (clean_version, quarantine_version), either
+        None when that side received no rows.
+
+        The quarantine table is created on first use with the main
+        schema plus ``_violated``; triage is a normal read + re-append
+        after repair.  Generated columns are completed first, so a
+        provided-but-wrong generated value routes to quarantine like
+        any other violation."""
+        m = self.manifest()
+        gen = _generated(m)
+        df, gen_guards = self._complete_generated(df, gen)
+        cons = _constraints(m) + gen_guards
+        checks = []
+        for c in cons:
+            ok = F.coalesce(F.expr(c["expr"]), F.lit(True))
+            checks.append(F.when(~ok, F.lit(c["name"])))
+        violated = (
+            F.concat_ws(",", F.array_compact(F.array(*checks)))
+            if checks
+            else F.lit("")
+        )
+        tagged = df.withColumn("_violated", violated).localCheckpoint(
+            eager=True
+        )
+        clean = tagged.filter(F.col("_violated") == "").drop("_violated")
+        dirty = tagged.filter(F.col("_violated") != "")
+        v_clean = v_quar = None
+        if not clean.isEmpty():
+            v_clean = self.append(clean, max_retries=max_retries)
+        if not dirty.isEmpty():
+            if quarantine.latest_version() is None:
+                v_quar = quarantine.init(dirty)
+            else:
+                v_quar = quarantine.append(
+                    dirty, max_retries=max_retries
+                )
+        return v_clean, v_quar
+
     def overwrite(
         self,
         df: DataFrame,

@@ -1715,3 +1715,28 @@ def test_generated_columns_lifecycle(spark, tmp_path):
     assert "generated" not in t.manifest()
     t.append(df)  # no recompute, plain append works again
     assert set(t.snapshot().columns) == {"k", "v"}
+
+
+def test_append_quarantine_routes_instead_of_raising(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(0, "seed")]))
+    t.add_check_constraint("v_nonempty", "length(v) > 0")
+    q = TxTable(spark, str(tmp_path / "q"))
+    batch = _df(spark, [(1, "ok"), (2, ""), (3, None), (4, "also")])
+    v_clean, v_quar = t.append_quarantine(batch, q)
+    # NULL passes CHECK (SQL semantics) — only the empty string routes
+    assert {r.k for r in t.snapshot().collect()} == {0, 1, 3, 4}
+    quar = q.snapshot().collect()
+    assert [(r.k, r._violated) for r in quar] == [(2, "v_nonempty")]
+    assert v_clean is not None and v_quar is not None
+    # an all-clean batch touches only the main table
+    v2, vq2 = t.append_quarantine(_df(spark, [(5, "x")]), q)
+    assert v2 == v_clean + 1 and vq2 is None
+    # per-constraint tags: NOT NULL needs the existing NULL row gone
+    # first (a constraint must hold over the data it governs)
+    t.delete(F.col("k") == 3)
+    t.add_not_null("v")
+    _, _ = t.append_quarantine(_df(spark, [(6, ""), (7, None)]), q)
+    tags = {r.k: r._violated for r in q.snapshot().collect()}
+    assert tags[6] == "v_nonempty" and tags[7] == "v_not_null"
+    assert {r.k for r in t.snapshot().collect()} == {0, 1, 4, 5}
