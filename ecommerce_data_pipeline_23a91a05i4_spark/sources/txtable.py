@@ -2287,7 +2287,10 @@ class TxTable:
 
     # ------------------------------------------------------ maintenance
     def vacuum(
-        self, keep_versions: int = 1, min_age_seconds: float = 24 * 3600.0
+        self,
+        keep_versions: int = 1,
+        min_age_seconds: float = 24 * 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data FILES unreferenced by the ``keep_versions`` most
         recent manifests, and drop the older manifests.  File-grained on
@@ -2304,6 +2307,11 @@ class TxTable:
         manifest references.  The default tolerates a day-long stage;
         pass 0 only when no writer can be mid-commit (tests, single-
         writer maintenance windows).
+
+        ``dry_run=True`` reports what WOULD be destroyed — candidate
+        files/dirs by the same liveness-and-age rules — without
+        deleting anything (manifest pruning included), the audit step
+        an operator runs before an irreversible retention change.
 
         Streaming-sink coupling: pruning old manifests prunes their
         ``stream_append:<app_id>:<batch_id>`` ops, but the sink's
@@ -2357,7 +2365,8 @@ class TxTable:
                 )
                 if now - newest < min_age_seconds:
                     continue  # possibly a concurrent writer's live stage
-                self.fs.delete(d)
+                if not dry_run:
+                    self.fs.delete(d)
                 removed.append(d)
                 continue
             for rel in files:
@@ -2366,10 +2375,12 @@ class TxTable:
                 p = posixpath.join(d, rel)
                 if now - self.fs.mtime(p) < min_age_seconds:
                     continue
-                self.fs.delete(p)
+                if not dry_run:
+                    self.fs.delete(p)
                 removed.append(p)
-        for v in vs[: -max(1, keep_versions)]:
-            self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
+        if not dry_run:
+            for v in vs[: -max(1, keep_versions)]:
+                self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
         return removed
 
 

@@ -1740,3 +1740,18 @@ def test_append_quarantine_routes_instead_of_raising(spark, tmp_path):
     tags = {r.k: r._violated for r in q.snapshot().collect()}
     assert tags[6] == "v_nonempty" and tags[7] == "v_not_null"
     assert {r.k for r in t.snapshot().collect()} == {0, 1, 4, 5}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.overwrite(_df(spark, [(3, "c")]).coalesce(1))
+    would = t.vacuum(keep_versions=1, min_age_seconds=0, dry_run=True)
+    assert would  # the v1 file is dead under keep_versions=1
+    # nothing was touched: time travel still works, manifests intact
+    assert t.snapshot(1).count() == 2
+    assert t.versions() == [1, 2]
+    # the real pass removes exactly what the dry run reported
+    removed = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert removed == would
+    assert t.versions() == [2]
