@@ -195,9 +195,13 @@ def _read_change_file(part: _ChangeFilePartition) -> Iterator:
     if part.dv_mode == "visible":
         drop = _dv_positions(part.dv_a, part.file_key)
         if drop:
-            tbl = tbl.take(
-                [i for i in range(tbl.num_rows) if i not in drop]
-            )
+            keep = [i for i in range(tbl.num_rows) if i not in drop]
+            # same guard as the diff branch: an empty take-list reaches
+            # pyarrow as a null-typed index array and fails.  delete_dv
+            # drops fully-vectored files from the manifest so keep can't
+            # be empty TODAY, but a future writer may not honor that
+            # invariant (ADVICE r9).
+            tbl = tbl.take(keep) if keep else tbl.slice(0, 0)
     elif part.dv_mode == "diff":
         a = _dv_positions(part.dv_a, part.file_key)
         b = (

@@ -801,6 +801,16 @@ class TxTable:
         bcols = []
         for c in self.bloom_cols:
             p_ = phys.get(c, c)
+            if p_ == partition_by:
+                # the partition column is excluded from bloom indexing
+                # (ADVICE r9): its values come back from the read below
+                # via partition-DIR inference, whose type (e.g. int for
+                # numeric-looking strings) can differ from the logical
+                # type the probe casts to — xxhash64 positions would
+                # diverge and prune_eq could silently skip live files.
+                # Equality probes on the partition column are already
+                # served exactly by partition pruning (snapshot part=).
+                continue
             if p_ in df.columns and p_ not in bcols:
                 bcols.append(p_)
         if bcols and entries:
@@ -1099,36 +1109,60 @@ class TxTable:
         schema plus ``_violated``; triage is a normal read + re-append
         after repair.  Generated columns are completed first, so a
         provided-but-wrong generated value routes to quarantine like
-        any other violation."""
-        m = self.manifest()
-        gen = _generated(m)
-        df, gen_guards = self._complete_generated(df, gen)
-        cons = _constraints(m) + gen_guards
-        checks = []
-        for c in cons:
-            ok = F.coalesce(F.expr(c["expr"]), F.lit(True))
-            checks.append(F.when(~ok, F.lit(c["name"])))
-        violated = (
-            F.concat_ws(",", F.array_compact(F.array(*checks)))
-            if checks
-            else F.lit("")
+        any other violation.
+
+        Concurrency: the split reads one manifest and the delegated
+        append() re-reads it, so a constraint added in between would
+        make the clean-side plan_guard fire on rows this split called
+        clean (ADVICE r9).  That drift is caught — CommitConflict from
+        append's layout check, or the constraint guard's raise_error —
+        and the WHOLE split re-runs against the fresh manifest, keeping
+        the 'nothing raises, rows route' contract."""
+        from pyspark.errors import PySparkException
+
+        for _ in range(max_retries + 1):
+            m = self.manifest()
+            gen = _generated(m)
+            dfx, gen_guards = self._complete_generated(df, gen)
+            cons = _constraints(m) + gen_guards
+            checks = []
+            for c in cons:
+                ok = F.coalesce(F.expr(c["expr"]), F.lit(True))
+                checks.append(F.when(~ok, F.lit(c["name"])))
+            violated = (
+                F.concat_ws(",", F.array_compact(F.array(*checks)))
+                if checks
+                else F.lit("")
+            )
+            tagged = dfx.withColumn(
+                "_violated", violated
+            ).localCheckpoint(eager=True)
+            clean = tagged.filter(F.col("_violated") == "").drop(
+                "_violated"
+            )
+            dirty = tagged.filter(F.col("_violated") != "")
+            v_clean = v_quar = None
+            try:
+                if not clean.isEmpty():
+                    v_clean = self.append(clean, max_retries=max_retries)
+            except CommitConflict:
+                continue  # layout drifted under the split; re-split
+            except PySparkException as exc:
+                if "TxTable constraint" not in str(exc):
+                    raise
+                continue  # a constraint landed mid-split; re-split
+            if not dirty.isEmpty():
+                if quarantine.latest_version() is None:
+                    v_quar = quarantine.init(dirty)
+                else:
+                    v_quar = quarantine.append(
+                        dirty, max_retries=max_retries
+                    )
+            return v_clean, v_quar
+        raise CommitConflict(
+            f"append_quarantine to {self.path} lost {max_retries + 1} "
+            "split-vs-constraint races"
         )
-        tagged = df.withColumn("_violated", violated).localCheckpoint(
-            eager=True
-        )
-        clean = tagged.filter(F.col("_violated") == "").drop("_violated")
-        dirty = tagged.filter(F.col("_violated") != "")
-        v_clean = v_quar = None
-        if not clean.isEmpty():
-            v_clean = self.append(clean, max_retries=max_retries)
-        if not dirty.isEmpty():
-            if quarantine.latest_version() is None:
-                v_quar = quarantine.init(dirty)
-            else:
-                v_quar = quarantine.append(
-                    dirty, max_retries=max_retries
-                )
-        return v_clean, v_quar
 
     def overwrite(
         self,
@@ -1670,6 +1704,43 @@ class TxTable:
         }
         for _ in range(max_retries):
             head = self.manifest()
+            if head["version"] != m["version"]:
+                # a retry must not re-propose stats the intervening
+                # commits invalidated (ADVICE r9): an overwrite/restore
+                # replaced the rows n_rows describes, and a drop/rename
+                # can leave col_stats naming columns absent from the
+                # head schema — either would mislead planner consumers
+                # beyond the documented computed_at staleness.
+                head_cols = {
+                    f.name
+                    for f in StructType.fromJson(
+                        json.loads(head["schema"])
+                    ).fields
+                }
+                gone = [c for c in columns if c not in head_cols]
+                replaced = False
+                for v in range(m["version"] + 1, head["version"] + 1):
+                    try:
+                        if self.manifest(v)["op"] in (
+                            "overwrite",
+                            "restore",
+                        ):
+                            replaced = True
+                            break
+                    except FileNotFoundError:
+                        replaced = True  # gap in the log: assume unsafe
+                        break
+                if gone or replaced:
+                    raise CommitConflict(
+                        f"analyze on {self.path}: concurrent "
+                        + (
+                            f"schema change removed column(s) {gone}"
+                            if gone
+                            else "overwrite/restore replaced the table"
+                        )
+                        + f" since analyzed version {m['version']}; "
+                        "re-run analyze() against the new head"
+                    )
             try:
                 return self._commit(
                     head["files"],
@@ -1680,7 +1751,7 @@ class TxTable:
                     table_stats=stats,
                 )
             except CommitConflict:
-                continue  # stats describe m['version']; re-propose as-is
+                continue  # stats still describe m['version']'s rows
         raise CommitConflict(
             f"analyze on {self.path} lost {max_retries} commit races"
         )
