@@ -81,6 +81,14 @@ class PosixFS:
     def read_text(self, path: str) -> str:
         return Path(path).read_text()
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Binary sibling of write_text — the manifest log's parquet
+        checkpoint/sidecar files are written driver-side as bytes."""
+        Path(path).write_bytes(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        return Path(path).read_bytes()
+
     def commit_file(self, src: str, dst: str) -> None:
         """Atomically move ``src`` to ``dst`` ONLY if ``dst`` does not
         exist — the optimistic-concurrency commit verb of the manifest
@@ -203,6 +211,25 @@ class HadoopFS:
                 self._jvm.org.apache.commons.io.IOUtils.toString(
                     inp, "UTF-8"
                 )
+            )
+        finally:
+            inp.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self._fs(path).create(self._jpath(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        fs = self._fs(path)
+        if not fs.exists(self._jpath(path)):
+            raise FileNotFoundError(path)
+        inp = fs.open(self._jpath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
             )
         finally:
             inp.close()

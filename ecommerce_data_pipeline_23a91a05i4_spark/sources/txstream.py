@@ -66,6 +66,7 @@ production pipeline would consume `orders` CDC at 100 TB.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import posixpath
@@ -116,9 +117,21 @@ def _log_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+@functools.lru_cache(maxsize=64)
+def _table_handle(root: str):
+    """A spark-less TxTable handle for driver-side log resolution (the
+    source is local-path-only, see _local_path): v2 delta manifests
+    need checkpoint+sidecar replay, which the handle owns — and its
+    per-version entry cache (manifests are immutable) keeps the
+    per-microbatch planInputPartitions walk O(new commits)."""
+    from .fs import PosixFS
+    from .txtable import TxTable
+
+    return TxTable(None, root, fs=PosixFS())
+
+
 def _read_manifest(root: str, version: int) -> dict:
-    with open(os.path.join(root, "_txlog", f"{version:020d}.json")) as f:
-        return json.load(f)
+    return _table_handle(root).manifest(version)
 
 
 def _shape(manifest: dict) -> tuple[str, str]:

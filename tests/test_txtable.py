@@ -91,8 +91,10 @@ def test_crash_before_commit_leaves_table_unchanged_and_vacuum_collects(
     t.append(_df(spark, [(2, "b")]))
     removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     # v1's file is still referenced by v2 (append carries it forward),
-    # so vacuum collects exactly the orphaned commit dir
-    assert len(removed) == 1
+    # so vacuum collects exactly the orphaned commit dir among DATA
+    # paths (pruned manifests' log sidecars are separate log garbage)
+    data_removed = [p for p in removed if "/_txlog/" not in p]
+    assert len(data_removed) == 1
     assert {r.k for r in t.snapshot().collect()} == {1, 2}
     # version 1's manifest was pruned by retention
     with pytest.raises(FileNotFoundError):
@@ -104,7 +106,8 @@ def test_vacuum_drops_overwritten_files(spark, tmp_path):
     t.init(_df(spark, [(1, "a")]))
     t.overwrite(_df(spark, [(2, "b")]))
     removed = t.vacuum(keep_versions=1, min_age_seconds=0)
-    assert len(removed) == 1  # version 1's commit dir is unreferenced
+    # version 1's commit dir is unreferenced
+    assert len([p for p in removed if "/_txlog/" not in p]) == 1
     assert {r.k for r in t.snapshot().collect()} == {2}
 
 
@@ -1755,3 +1758,135 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     removed = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert removed == would
     assert t.versions() == [2]
+
+
+# ------------------------------------------------- v2 log: checkpoints
+
+
+def _entries_map(t, version, use_checkpoints=True):
+    return {
+        TxTable._entry_key(e): __import__("json").dumps(e, sort_keys=True)
+        for e in t._resolve_entries(version, use_checkpoints=use_checkpoints)
+    }
+
+
+def test_checkpoint_replay_equals_full_log_replay(spark, tmp_path):
+    """Every version's state resolved THROUGH checkpoints must equal a
+    pure delta replay from version 1, across a verb mix that exercises
+    adds, removes, in-place entry changes (DV attach), metadata-only
+    commits, and a rewrite."""
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(2))
+    t.append(_df(spark, [(4, "d")]).coalesce(1))
+    t.add_check_constraint("k_pos", "k >= 0")         # v3 (checkpoint)
+    t.delete_dv(F.col("k") == 2)                       # v4: entry changed
+    t.rename_column("v", "label")                      # v5: metadata only
+    t.compact(n_files=1)                               # v6 (checkpoint)
+    t.append(
+        spark.createDataFrame([(5, "e")], "k long, label string")
+    )                                                  # v7
+    assert t.checkpoint_versions() == [3, 6]
+    fresh = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    for v in t.versions():
+        via_cp = _entries_map(fresh, v)
+        pure = _entries_map(
+            TxTable(spark, str(tmp_path / "t")), v, use_checkpoints=False
+        )
+        assert via_cp == pure, f"divergence at version {v}"
+    # metadata rides the manifests themselves, not the checkpoint
+    m = fresh.manifest()
+    assert m["constraints"] == [{"name": "k_pos", "expr": "k >= 0"}]
+    assert m.get("column_mapping")
+    assert {r.k for r in fresh.snapshot().collect()} == {1, 3, 4, 5}
+
+
+def test_commit_bytes_stay_flat_as_table_grows(spark, tmp_path):
+    """The v2 design point: an append's JSON commit is O(changed files)
+    — its byte size must not grow with the number of live table files."""
+    import os as _os
+
+    t = TxTable(
+        spark, str(tmp_path / "t"), stats_col="k", bloom_col="k",
+        checkpoint_interval=1000,
+    )
+    t.init(_df(spark, [(0, "x")]).coalesce(1))
+    t.append(_df(spark, [(1, "x")]).coalesce(1))
+    small = _os.path.getsize(
+        str(tmp_path / "t" / "_txlog" / f"{2:020d}.json")
+    )
+    for i in range(2, 30):
+        t.append(_df(spark, [(i, "x")]).coalesce(1))
+    big = _os.path.getsize(
+        str(tmp_path / "t" / "_txlog" / f"{30:020d}.json")
+    )
+    assert big <= small * 2, (small, big)
+    # ... and the bloom/stats metadata is NOT in the JSON: it rides the
+    # sidecar parquet, yet still prunes through a fresh handle
+    fresh = TxTable(spark, str(tmp_path / "t"), bloom_col="k")
+    scanned, total = fresh.prune_counts_eq([("k", 7)])
+    assert total == 30 and scanned < total
+
+
+def test_legacy_full_manifest_interop(spark, tmp_path):
+    """A v1-format manifest (inline ``files``) remains a valid
+    resolution base: new delta commits stack on top and every read,
+    prune, and time travel works across the era boundary."""
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    # rewrite v1 in legacy form: inline files, no delta
+    log = tmp_path / "t" / "_txlog"
+    m1 = t.manifest(1)
+    raw1 = t._manifest_raw(1)
+    legacy = {k: v for k, v in raw1.items() if k != "delta"}
+    legacy["files"] = m1["files"]
+    (log / f"{1:020d}.json").write_text(_json.dumps(legacy))
+    for p in log.glob("sc-*.parquet"):
+        p.unlink()  # the v1 sidecar is gone, as on a pre-v2 table
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert {r.k for r in fresh.snapshot().collect()} == {1, 2}
+    fresh.append(_df(spark, [(3, "c")]).coalesce(1))  # v2 delta on v1 base
+    again = TxTable(spark, str(tmp_path / "t"))
+    assert {r.k for r in again.snapshot().collect()} == {1, 2, 3}
+    assert "files" not in again._manifest_raw(2)
+
+
+def test_vacuum_checkpoints_oldest_retained_version(spark, tmp_path):
+    """Pruning manifests must not dangle the retained delta chain: the
+    oldest retained version gets a checkpoint, and a FRESH handle can
+    resolve every retained version afterwards."""
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=1000)
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    for i in range(2, 7):
+        t.append(_df(spark, [(i, "x")]).coalesce(1))
+    t.vacuum(keep_versions=2, min_age_seconds=0)
+    assert t.versions() == [5, 6]
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.snapshot(5).count() == 5
+    assert fresh.snapshot(6).count() == 6
+    assert 5 in fresh.checkpoint_versions()
+
+
+def test_commit_conflict_cleans_loser_sidecar(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    a = TxTable(spark, str(tmp_path / "t"))
+    b = TxTable(spark, str(tmp_path / "t"))
+    a.init(_df(spark, [(1, "a")]))
+    base = b.manifest()
+    staged = b._stage(_df(spark, [(2, "b")]), None)
+    a.append(_df(spark, [(3, "c")]))
+    before = set((tmp_path / "t" / "_txlog").glob("sc-*.parquet"))
+    with pytest.raises(CommitConflict):
+        b._commit(
+            base["files"] + staged,
+            "append",
+            base["version"],
+            StructType.fromJson(_json.loads(base["schema"])),
+            None,
+        )
+    after = set((tmp_path / "t" / "_txlog").glob("sc-*.parquet"))
+    assert after == before  # the loser's sidecar was collected
