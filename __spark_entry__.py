@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pytest twin (tests/test_oracle_parity.py) runs every session
 # regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- (00) new ROUND-10 gates: zero driver evidence, head of window
+        "t93_log_checkpointing": llmdata.t93_log_checkpointing,
         # -- (0) new round-9 gates: zero driver evidence, head of window -
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
         "t82_filtered_ann": llmdata.t82_filtered_ann,

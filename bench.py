@@ -748,6 +748,77 @@ def run_codec_probe() -> dict:
     }
 
 
+def run_txlog_probe(spark) -> dict:
+    """Manifest-log commit-cost flatness (VERDICT r9 next #1 'done'
+    criterion): with v2 delta commits + sidecars, the JSON bytes and
+    wall time of a one-file append must NOT grow with the number of
+    live table files.  Measures the same operation — append one file
+    with stats+bloom metadata — at ~16 and ~512 live files (32×), plus
+    a COLD handle's driver-side snapshot resolve at the big scale
+    (bounded by checkpoint_interval, not file count)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"bench_txlog_{_uuid.uuid4().hex[:8]}_")
+    try:
+        t = TxTable(
+            spark,
+            base + "/t",
+            stats_col="k",
+            bloom_col="k",
+            checkpoint_interval=8,
+        )
+        one = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+
+        def append_one() -> float:
+            t0 = time.perf_counter()
+            t.append(one.coalesce(1))
+            return time.perf_counter() - t0
+
+        def last_commit_bytes() -> int:
+            v = t.latest_version()
+            return os.path.getsize(
+                os.path.join(base, "t", "_txlog", f"{v:020d}.json")
+            )
+
+        t.init(one.repartition(15))
+        sec_small = append_one()
+        bytes_small = last_commit_bytes()
+        files_small = len(t.manifest()["files"])
+        for _ in range(3):
+            t.append(
+                spark.range(200_000)
+                .selectExpr("id AS k", "id * 2 AS v")
+                .repartition(165)
+            )
+        sec_big = append_one()
+        bytes_big = last_commit_bytes()
+        files_big = len(t.manifest()["files"])
+        t0 = time.perf_counter()
+        cold = TxTable(spark, base + "/t")
+        n_resolved = len(cold.manifest()["files"])
+        resolve_sec = time.perf_counter() - t0
+        return {
+            "files_small": files_small,
+            "files_big": files_big,
+            "commit_bytes_small": bytes_small,
+            "commit_bytes_big": bytes_big,
+            "commit_bytes_ratio": round(bytes_big / bytes_small, 3),
+            "append_sec_small": round(sec_small, 4),
+            "append_sec_big": round(sec_big, 4),
+            "cold_resolve_sec_big": round(resolve_sec, 4),
+            "cold_resolved_files": n_resolved,
+            "note": "one-file append cost at 32x the live-file count",
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 #: replication factor of the cached sf1 evidence dir (sf0.1 × 10)
 SF1_FACTOR = 10
 
@@ -994,8 +1065,12 @@ def main() -> None:
         errors["__matview_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     try:
         probe["codec"] = run_codec_probe()
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+    except Exception as exc:  # noqa: BLE001 — record, continue
         errors["__codec_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["txlog"] = run_txlog_probe(spark)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__txlog_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     # RE-warm the headline right before timing it: seven probes now sit
     # between the first warm pass and the suite, and their heap/
     # checkpoint churn measurably degrades the first timed queries
@@ -1212,6 +1287,11 @@ def main() -> None:
             tail[f"matview_{k}_recompute_slowdown"] = v[
                 "recompute_slowdown_vs_1x"
             ]
+    tx = probe.get("txlog", {})
+    if tx:
+        tail["txlog_commit_bytes_ratio_32x"] = tx.get("commit_bytes_ratio")
+        tail["txlog_append_sec_big"] = tx.get("append_sec_big")
+        tail["txlog_cold_resolve_sec_big"] = tx.get("cold_resolve_sec_big")
     if sf1_block:
         tail["sf1_headline_total_sec"] = sf1_block.get("headline_total_sec")
         tail["sf1_max_vs_scaled"] = sf1_block.get("max_vs_scaled")

@@ -4824,3 +4824,39 @@ LLMDATA_ORACLES["t92_quarantine_append"] = """
     FROM documents WHERE doc_id % 3 = 2
     ORDER BY dest, _violated
 """
+
+
+# t93: manifest-log checkpointing — each version's row stats replay
+# from the band predicates; the checkpoint/delta/replay-equality pins
+# are computed Python-side and asserted as literals
+LLMDATA_ORACLES["t93_log_checkpointing"] = """
+    WITH v AS (
+        SELECT 1 AS version, 'init' AS op, doc_id
+        FROM documents WHERE doc_id % 5 <> 4
+        UNION ALL
+        SELECT 2, 'append', doc_id FROM documents
+        UNION ALL
+        SELECT 3, 'add_constraint:doc_id_pos', doc_id FROM documents
+        UNION ALL
+        SELECT 4, 'delete_dv', doc_id
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 5, 'rename_column:n_chars->len_chars', doc_id
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 6, 'compact', doc_id
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 7, 'append', doc_id
+        FROM documents WHERE doc_id % 7 <> 0 OR doc_id % 2 = 1
+    )
+    SELECT CAST(version AS BIGINT) AS version, op,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           '3,6' AS checkpoints_at,
+           TRUE AS delta_only,
+           TRUE AS replay_equal
+    FROM v
+    GROUP BY version, op
+    ORDER BY version
+"""
