@@ -22,7 +22,7 @@ from ..catalog import table
 from ..functions.exprs import quant
 from ..operators import dedup as dd
 from ..operators.graph import connected_components
-from ..operators.text import bm25_scores, norm_text
+from ..operators.text import bm25_scores, bm25_scores_relational, norm_text
 from .llmdata import JACCARD_MAX_DOC_FREQ, JACCARD_THRESHOLD
 
 TFIDF_TOP_K = 3
@@ -605,4 +605,52 @@ def t86_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("score"), "doc_id")
         .limit(20)
         .select("doc_id", "dl", "tf_0", "tf_1", "tf_2", "score")
+    )
+
+
+def t94_bm25_query_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the query set as a RELATION
+    (operators/text.bm25_scores_relational — VERDICT r9 next #4): 100
+    two-term queries, derived from the corpus itself (the 200 most
+    frequent length>=4 tokens, paired in frequency order), scored in
+    ONE plan — terms joined as broadcast data, never compiled into
+    per-term columns — and cut to the top-3 documents per query with a
+    per-query window (a keyed shuffle, not a global sort).  Scores are
+    integer fixed-point sums (order-independent, hash-exact); the
+    oracle replays the whole derivation, quantization included.  The
+    broadcast of the query-term table and the absence of any cartesian
+    are plan-pinned in tests/test_plan_quality.py."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    ).filter((F.col("term") != "") & (F.length("term") >= 4))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(200)
+    )
+    # the window runs over the already-limited 200 rows (driver-scale),
+    # not the full vocabulary
+    qt = vocab.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+    ).select(
+        F.floor((F.col("rn") - F.lit(1)) / F.lit(2))
+        .cast("long")
+        .alias("query_id"),
+        "term",
+    )
+    scored = bm25_scores_relational(docs, "doc_id", "text", qt)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "rank", "doc_id", "n_terms_matched", "score"
+        )
+        .orderBy("query_id", "rank")
     )

@@ -4860,3 +4860,76 @@ LLMDATA_ORACLES["t93_log_checkpointing"] = """
     GROUP BY version, op
     ORDER BY version
 """
+
+
+# t94: BM25 with the query set as a relation — replays the full
+# derivation: corpus-derived 100 two-term queries, the mirrored IEEE
+# partial-score chain, 2^20 fixed-point floor quantization, integer
+# sums (order-independent), top-3 per query on the integer key.
+CORPUS_ORACLES["t94_bm25_query_relation"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    vocab AS (
+        SELECT term, COUNT(*) AS c FROM nz
+        WHERE length(term) >= 4
+        GROUP BY 1
+        ORDER BY c DESC, term LIMIT 200
+    ),
+    q AS (
+        SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY c DESC, term) - 1)
+                          / 2) AS BIGINT) AS query_id,
+               term
+        FROM vocab
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM nz GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    tfm AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM nz WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfm GROUP BY 1
+    ),
+    part AS (
+        SELECT tfm.doc_id, tfm.term,
+               CAST(FLOOR(
+                   ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+                    / (2.0 * CAST(df AS DOUBLE) + 1.0))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1048576.0
+               ) AS BIGINT) AS s_fp
+        FROM tfm JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        CROSS JOIN stats
+    ),
+    hits AS (
+        SELECT q.query_id, part.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               SUM(s_fp) AS score_fp
+        FROM part JOIN q USING (term)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, n_terms_matched,
+               CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_fp DESC, doc_id) AS rank
+        FROM hits
+    )
+    SELECT query_id, rank, doc_id, n_terms_matched, score
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+"""

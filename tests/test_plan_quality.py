@@ -335,3 +335,17 @@ def test_filtered_ann_filter_lands_below_bucket_join(spark):
     assert join_idx, "no bucket join in the filtered-ANN plan"
     assert filt_idx, "the metadata predicate vanished from the plan"
     assert min(filt_idx) > min(join_idx)
+
+
+def test_bm25_relational_broadcasts_query_terms(spark):
+    """t94's query-term table must reach the scorer as a BROADCAST
+    (terms-as-data means a join, and a shuffled join on 200 rows would
+    be the wrong plan), the per-query top-k must be a keyed window —
+    and no cartesian or Python anywhere."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.plans import corpus
+
+    q = corpus.t94_bm25_query_relation(spark, SF)
+    plan = explain_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
