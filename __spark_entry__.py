@@ -85,6 +85,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- (00) new ROUND-10 gates: zero driver evidence, head of window
         "t93_log_checkpointing": llmdata.t93_log_checkpointing,
         "t94_bm25_query_relation": corpus.t94_bm25_query_relation,
+        "s19_streaming_outer_interval_join": (
+            monitoring.s19_streaming_outer_interval_join
+        ),
         # -- (0) new round-9 gates: zero driver evidence, head of window -
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
         "t82_filtered_ann": llmdata.t82_filtered_ann,

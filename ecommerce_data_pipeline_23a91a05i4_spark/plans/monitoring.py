@@ -1537,3 +1537,89 @@ def s18_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return result
+
+def s19_streaming_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join gate
+    (streaming/ingest.attribute_stream_outer — VERDICT r9 next #5):
+    click→purchase attribution that ALSO emits every unattributed
+    click, null-padded, once the watermark proves no purchase can
+    still arrive.
+
+    Drain protocol: the real corpus replays as micro-batch 1; a
+    far-future click+purchase sentinel pair (user_id < 0, max(ts) +
+    10 days) replays as micro-batch 2, driving the final watermark
+    past every real click's (cause_ts + horizon) so ALL real unmatched
+    state evicts and appends before the availableNow drain terminates
+    — making the emitted set equal the plain batch left join the
+    DuckDB oracle runs (no eviction-cutoff bookkeeping left in the
+    result).  The sentinels themselves stay in state (the watermark
+    never passes them) and are excluded by the user_id >= 0 guard.
+    The unmatched-only-after-watermark emission ORDER is pinned in
+    tests/test_streaming.py."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import ingest as st
+
+    events = table(spark, sf_dir, "events")
+    hi = events.agg(F.max("ts")).collect()[0][0]
+    far = hi + _dt.timedelta(days=10)
+    base = tempfile.mkdtemp(prefix=f"s19_{uuid.uuid4().hex[:8]}_")
+    name = "s19_outer_" + uuid.uuid4().hex[:8]
+    try:
+        src = os.path.join(base, "ev")
+        sent = spark.createDataFrame(
+            [
+                (-1, far, -1, "click", None, None),
+                (-2, far, -2, "purchase", None, None),
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        for fname, part, mtime in (
+            ("f1.parquet", events, 1000),
+            ("f2.parquet", sent, 2000),
+        ):
+            p = os.path.join(src, fname)
+            part.coalesce(1).write.parquet(p)
+            for root, _, fs in os.walk(p):
+                for f in fs:
+                    os.utime(os.path.join(root, f), (mtime, mtime))
+        raw = (
+            spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        pairs = st.attribute_stream_outer(ev)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "cause_id", "cause_ts",
+                "effect_id", "effect_ts", "value",
+            )
+            .orderBy(
+                "user_id", "cause_id",
+                F.coalesce(F.col("effect_id"), F.lit(-1)),
+            )
+            .localCheckpoint(eager=True)  # materialize before dropping
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

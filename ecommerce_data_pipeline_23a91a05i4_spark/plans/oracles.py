@@ -4933,3 +4933,24 @@ CORPUS_ORACLES["t94_bm25_query_relation"] = f"""
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank
 """
+
+
+# s19: outer stream-stream interval join == plain batch LEFT join
+# (the sentinel-flush drain makes every unmatched click emit, so no
+# watermark-cutoff arithmetic remains in the oracle)
+MONITORING_ORACLES["s19_streaming_outer_interval_join"] = """
+    SELECT c.user_id,
+           c.event_id AS cause_id,
+           c.ts AS cause_ts,
+           e.event_id AS effect_id,
+           e.ts AS effect_ts,
+           e.value
+    FROM events c
+    LEFT JOIN events e
+      ON e.user_id = c.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    ORDER BY c.user_id, cause_id, COALESCE(effect_id, -1)
+"""

@@ -789,3 +789,83 @@ def test_streaming_dedup_state_is_watermark_bounded(spark, tmp_path):
     assert len(by_id[2]) == 1 and len(by_id[3]) == 1
     # id 1: original + the post-eviction replay, NOT the in-batch dup
     assert sorted(by_id[1]) == [base, base + dt.timedelta(days=3)]
+
+
+def test_outer_attribute_emits_unmatched_only_after_watermark(
+    spark, tmp_path
+):
+    """attribute_stream_outer's contract: a matched pair appends in the
+    micro-batch where both sides have arrived; an UNMATCHED cause
+    appends only after the watermark passes cause_ts + horizon — i.e.
+    strictly after the batch that advanced the watermark, never
+    speculatively."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, None, None)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    f1 = spark.createDataFrame(
+        [
+            ev(1, t0, 1, "click"),
+            ev(2, t0 + dt.timedelta(minutes=10), 1, "purchase"),
+            ev(3, t0, 2, "click"),  # never purchased: the outer row
+        ],
+        schema,
+    )
+    # sentinels on BOTH types: the global watermark is the MIN across
+    # the two join inputs, so advancing only one side evicts nothing
+    f2 = spark.createDataFrame(
+        [
+            ev(99, t0 + dt.timedelta(days=10), -1, "click"),
+            ev(98, t0 + dt.timedelta(days=10), -2, "purchase"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "ev")
+    for fname, part, mtime in (("f1.parquet", f1, 1000), ("f2.parquet", f2, 2000)):
+        p = os.path.join(src, fname)
+        part.coalesce(1).write.parquet(p)
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+    raw = (
+        spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    pairs = st.attribute_stream_outer(
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    seen: list[tuple[int, list]] = []
+    q = (
+        pairs.writeStream.foreachBatch(
+            lambda df, bid: seen.append((bid, df.collect()))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_cause = {
+        r.cause_id: (bid, r)
+        for bid, rows in seen
+        for r in rows
+        if r.user_id >= 0
+    }
+    assert set(by_cause) == {1, 3}
+    matched_bid, matched = by_cause[1]
+    unmatched_bid, unmatched = by_cause[3]
+    # the match: both sides arrive in batch 0 and append there
+    assert matched_bid == 0 and matched.effect_id == 2
+    # the outer row: null-padded and emitted only AFTER the sentinel
+    # batch (1) advanced the watermark past cause_ts + horizon
+    assert unmatched.effect_id is None and unmatched.value is None
+    assert unmatched_bid >= 2
