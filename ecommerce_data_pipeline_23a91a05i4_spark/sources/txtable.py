@@ -2121,8 +2121,34 @@ class TxTable:
         )
         return dst
 
+    def _scope_entries(
+        self, m: dict, where
+    ) -> tuple[list[dict], list[dict]]:
+        """Split a manifest's entries into (in-scope, out-of-scope) for
+        a maintenance verb's ``where`` scope (VERDICT r9 next #6: a
+        100 TB table must be able to bin-pack one hot partition without
+        touching cold files).  ``where`` is a partition VALUE (string —
+        exact match on the entry's partition), or (col, lo, hi) range
+        triple(s) over recorded file stats, prune semantics: a
+        stat-less entry cannot be proven cold, so it lands IN scope —
+        harmless (maintenance rewrites preserve data) but wasteful;
+        record stats on the scope column to make scoping sharp."""
+        entries = m["files"]
+        if isinstance(where, str):
+            scoped = [e for e in entries if e.get("part") == where]
+        else:
+            conds = self._phys_conds(
+                self._norm_prune(where), _col_mapping(m), self.path
+            )
+            scoped = self._prune_entries(entries, conds)
+        in_paths = {e["path"] for e in scoped}
+        return scoped, [e for e in entries if e["path"] not in in_paths]
+
     def compact(
-        self, n_files: int, zorder_by: list[str] | None = None
+        self,
+        n_files: int,
+        zorder_by: list[str] | None = None,
+        where=None,
     ) -> int:
         """Rewrite the current snapshot into ``n_files`` files (the
         manifest-log replacement for maintenance.compact_parquet: old
@@ -2140,12 +2166,29 @@ class TxTable:
         Z-ordering a partitioned table is refused loudly: the partition
         column already dictates file grouping, and silently range-
         shuffling within it would record stats the caller did not ask
-        for."""
+        for.
+
+        ``where`` scopes the rewrite (see _scope_entries): only
+        in-scope files are read and re-clustered into ``n_files``;
+        every out-of-scope entry carries into the child manifest BY
+        REFERENCE — the shape that lets a 100 TB table re-cluster one
+        hot partition or key range without touching cold data."""
         m = self.manifest()
-        if zorder_by is None:
-            df = self.snapshot().repartition(n_files)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        pcol = m.get("partition_by")
+        mapping = _col_mapping(m)
+        carry: list[dict] = []
+        if where is None:
+            src = self.snapshot()
         else:
-            if m.get("partition_by") is not None:
+            scoped, carry = self._scope_entries(m, where)
+            if not scoped:
+                return m["version"]  # nothing in scope: no-op, no commit
+            src = self._read_entries(schema, pcol, scoped, mapping=mapping)
+        if zorder_by is None:
+            df = src.repartition(n_files)
+        else:
+            if pcol is not None:
                 raise ValueError(
                     f"compact(zorder_by=...) on {self.path}: table is "
                     f"partitioned by {m['partition_by']!r}; Z-order "
@@ -2154,13 +2197,13 @@ class TxTable:
                 )
             from ..operators.zorder import zorder_frame
 
-            df = zorder_frame(self.snapshot(), list(zorder_by), n_files)
+            df = zorder_frame(src, list(zorder_by), n_files)
         return self._commit(
-            self._stage(df, m.get("partition_by"), _col_mapping(m), _constraints(m)),
+            carry + self._stage(df, pcol, mapping, _constraints(m)),
             "compact",
             m["version"],
-            StructType.fromJson(json.loads(m["schema"])),
-            m.get("partition_by"),
+            schema,
+            pcol,
         )
 
     def optimize_small(
@@ -2168,6 +2211,7 @@ class TxTable:
         target_bytes: int,
         include_vectored: bool = True,
         max_retries: int = 5,
+        where=None,
     ) -> int:
         """Small-file compaction — the OPTIMIZE a lakehouse runs
         nightly.  compact() is the wrong tool at scale: it rewrites the
@@ -2186,7 +2230,14 @@ class TxTable:
         it: rewriting one file into one file is pure churn.  The commit
         (op ``optimize``) is data-preserving — the streaming change
         feed skips it, exactly like compact.  Returns the committed
-        version, or the current one when there is no debt."""
+        version, or the current one when there is no debt.
+
+        ``where`` scopes the debt scan (see _scope_entries): only
+        in-scope files are size-probed and bin-packed; every
+        out-of-scope entry carries by reference without even a
+        fs.size() call — the nightly-OPTIMIZE shape for a 100 TB
+        table, where the small-file debt lives in today's hot
+        partition and the cold ones must cost nothing."""
         if target_bytes < 1:
             raise ValueError(
                 f"optimize_small: target_bytes must be >= 1, got "
@@ -2198,9 +2249,14 @@ class TxTable:
             schema = StructType.fromJson(json.loads(m["schema"]))
             mapping = _col_mapping(m)
             cons = _constraints(m)
+            scoped = (
+                m["files"]
+                if where is None
+                else self._scope_entries(m, where)[0]
+            )
             by_part: dict[str | None, list[tuple[dict, int]]] = {}
             sizes: dict[str, int] = {}
-            for e in m["files"]:
+            for e in scoped:
                 size = self.fs.size(self._abs(e))
                 sizes[e["path"]] = size
                 if size < target_bytes or (

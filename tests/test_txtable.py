@@ -1890,3 +1890,50 @@ def test_commit_conflict_cleans_loser_sidecar(spark, tmp_path):
         )
     after = set((tmp_path / "t" / "_txlog").glob("sc-*.parquet"))
     assert after == before  # the loser's sidecar was collected
+
+
+def test_scoped_optimize_and_compact_carry_cold_files(spark, tmp_path):
+    """where= scoping (VERDICT r9 next #6): maintenance must be able to
+    bin-pack ONE hot partition / key range while every cold entry is
+    carried by reference — same file URIs, no reads, no rewrites — and
+    the scoped rewrite must equal the full-table content."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'hot' ELSE 'cold' END AS p"
+    )
+    t.init(df.repartition(6), partition_by="p")
+    before = {e["path"]: e for e in t.manifest()["files"]}
+    cold_before = {p for p, e in before.items() if e["part"] == "cold"}
+    t.optimize_small(
+        target_bytes=1 << 30, where="hot"
+    )  # pack all hot debt into one file
+    after = {e["path"]: e for e in t.manifest()["files"]}
+    assert {p for p, e in after.items() if e["part"] == "cold"} == (
+        cold_before
+    )  # cold partition carried by reference, URI-identical
+    assert len([e for e in after.values() if e["part"] == "hot"]) == 1
+    assert {r.k for r in t.snapshot().collect()} == set(range(100))
+    assert t.manifest()["op"] == "optimize"
+
+    # range-scoped compact on a stats-bearing unpartitioned table
+    t2 = TxTable(spark, str(tmp_path / "t2"), stats_col="k")
+    t2.init(
+        spark.range(100)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(10, "k")
+    )
+    before2 = {e["path"] for e in t2.manifest()["files"]}
+    hot = {
+        e["path"]
+        for e in t2.manifest()["files"]
+        if e["stats"]["k"][1] < 50
+    }
+    assert 1 < len(hot) < len(before2)
+    t2.compact(n_files=1, where=("k", 0, 49))
+    after2 = {e["path"] for e in t2.manifest()["files"]}
+    assert before2 - hot <= after2  # cold half carried by reference
+    assert len(after2) == len(before2) - len(hot) + 1
+    assert {r.k for r in t2.snapshot().collect()} == set(range(100))
+    # empty scope: no-op without a commit
+    v = t2.latest_version()
+    assert t2.compact(n_files=1, where=("k", 10_000, 20_000)) == v
