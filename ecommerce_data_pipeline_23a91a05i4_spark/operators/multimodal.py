@@ -57,17 +57,41 @@ try:  # preferred codec, used only when explicitly requested (fake=False)
 except ImportError:  # Pillow absent: the vendored PNG codec takes over
     _PILImage = None
 
+try:  # fastest JPEG tier: libjpeg-turbo via PyTurboJPEG, when installed
+    from turbojpeg import TJPF_RGB as _TJPF_RGB
+    from turbojpeg import TurboJPEG as _TurboJPEG
+
+    _turbo = _TurboJPEG()  # raises if the native library is absent
+except Exception:  # noqa: BLE001 — any init failure = tier unavailable
+    _turbo = None
+    _TJPF_RGB = None  # unused without _turbo; tests may inject a fake
+
 from . import jpeg as _jpeg
 from . import png as _png
 
 
 def _decode_rgb(content: bytes) -> tuple[int, int, bytes]:
-    """THE codec seam: (width, height, rgb_bytes) via Pillow when
-    importable (any format), else the vendored pure-Python codecs
-    (operators/png.py for PNG, operators/jpeg.py for baseline JPEG).
-    decode_image and resize_images both dispatch through here so the
-    two operators can never disagree on which inputs are decodable or
-    on the RGB conversion convention."""
+    """THE codec seam: (width, height, rgb_bytes) through the fastest
+    available tier — libjpeg-turbo for JPEG when PyTurboJPEG is
+    installed, then Pillow when importable (any format), else the
+    vendored pure-Python codecs (operators/png.py for PNG,
+    operators/jpeg.py for baseline JPEG; VERDICT r9 next #2: the
+    vendored JPEG path is deterministic but interpreter-bound at
+    ~3 Mpx/s/core, so a 100 TB media corpus needs this gated swap —
+    the bench codec probe publishes ``fast_jpeg_mpx_per_s`` whenever a
+    fast tier is present).  decode_image and resize_images both
+    dispatch through here so the two operators can never disagree on
+    which inputs are decodable or on the RGB conversion convention;
+    every tier returns the identical (width, height, w*h*3 RGB bytes)
+    shape, pinned by tests/test_multimodal.py's seam contract tests.
+    JPEG pixel VALUES are decoder-specific by spec (T.81 leaves IDCT
+    precision implementation-defined), so pixel_checksum constancy
+    across tiers is promised for PNG only; the t24 gate pins the
+    fake=True stub and is tier-independent."""
+    if _turbo is not None and _jpeg.is_jpeg(content or b""):
+        arr = _turbo.decode(content, pixel_format=_TJPF_RGB)
+        h, w = arr.shape[:2]
+        return w, h, arr.tobytes()
     if _PILImage is not None:
         import io
 

@@ -249,3 +249,58 @@ def test_resize_real_kernel_resamples_png(spark):
     assert (w, h) == (4, 6) == (rows[0].width, rows[0].height)
     assert rgb == bytes([0, 128, 255]) * (4 * 6)
     assert rows[0].n_bytes == len(rows[0].content)
+
+
+def _gradient_jpeg(w=32, h=24):
+    import numpy as np
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        jpeg as jpegmod,
+    )
+
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    img = np.stack([x, y, (x + y) / 2], axis=2).astype(np.uint8)
+    return jpegmod.encode_jpeg(w, h, img.tobytes(), quality=90)
+
+
+def test_seam_fast_tier_shape_parity_when_installed():
+    """When a fast codec tier (turbojpeg/Pillow) is installed, the seam
+    must return the same (width, height, len(rgb)) SHAPE as the
+    vendored decoder for the same JPEG (pixel VALUES are
+    decoder-specific by T.81; shape is the cross-tier contract)."""
+    if mm._turbo is None and mm._PILImage is None:
+        pytest.skip("no fast codec tier installed in this environment")
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        jpeg as jpegmod,
+    )
+
+    jpg = _gradient_jpeg()
+    w_f, h_f, rgb_f = mm._decode_rgb(jpg)
+    w_v, h_v, rgb_v = jpegmod.decode_jpeg(jpg)
+    assert (w_f, h_f) == (w_v, h_v) == (32, 24)
+    assert len(rgb_f) == len(rgb_v) == 32 * 24 * 3
+
+
+def test_seam_prefers_fast_tier_wiring(monkeypatch):
+    """The dispatch contract, testable without the libraries: with a
+    fast tier present the seam must route JPEG through it (and return
+    its (w, h, bytes) shape verbatim), never the vendored decoder."""
+    import numpy as np
+
+    jpg = _gradient_jpeg()
+    calls = []
+
+    class _FakeTurbo:
+        def decode(self, content, pixel_format=None):
+            calls.append(len(content))
+            return np.zeros((24, 32, 3), dtype=np.uint8)
+
+    monkeypatch.setattr(mm, "_turbo", _FakeTurbo())
+    w, h, rgb = mm._decode_rgb(jpg)
+    assert calls == [len(jpg)]
+    assert (w, h, len(rgb)) == (32, 24, 32 * 24 * 3)
+    # non-JPEG bytes must NOT hit the turbo tier
+    png, _ = _solid_png(4, 4, (1, 2, 3))
+    w2, h2, rgb2 = mm._decode_rgb(png)
+    assert calls == [len(jpg)] and (w2, h2) == (4, 4)
