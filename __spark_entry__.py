@@ -69,26 +69,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-9 final ordering: (0) the
-# twelve new round-9 gates (zero driver evidence) at the head; (a) the
-# round-6-green gates that were the round-8 plan's backlog, of which
-# the first 37 (t57b...t13) still fit the window; (a'/b) the entries
-# the thirteen new gates displaced below the marker — t16, t17, t18,
-# t19, t1-t7, q17, q20 — now the FRESHEST backlog for round 10.
-# ROUND-10 PLAN: window = the displaced (a'/b) thirteen first, then
-# the remaining r7-greens ((c): q21, q22, q23, q24, q11, q7-q10,
-# q3-q6, t44, t61, s7, ...) to fill 50.  With 153 gates and a 50-slot
-# window, full-registry freshness cycles every ~3 rounds; the all-gate
-# pytest twin (tests/test_oracle_parity.py) runs every session
-# regardless.
+# driver evidence must come first.  Round-10 ordering executes the r9
+# plan exactly: (00) the three new round-10 gates (zero driver
+# evidence); (a') the thirteen gates round 9's additions displaced
+# below its marker (t16-t19, t1-t7, q17, q20 — last checked r6/r7);
+# (c) thirty-four r7-greens filling the window to 50.  After round 10
+# no gate's driver evidence is older than r8.  With 156 gates and a
+# 50-slot window, full-registry freshness cycles every ~3 rounds; the
+# all-gate pytest twin (tests/test_oracle_parity.py) runs every
+# session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- (00) new ROUND-10 gates: zero driver evidence, head of window
+        # -- WINDOW (first 50 = this round's driver check) ---------------
+        # (00) new ROUND-10 gates: zero driver evidence, head of window
         "t93_log_checkpointing": llmdata.t93_log_checkpointing,
         "t94_bm25_query_relation": corpus.t94_bm25_query_relation,
         "s19_streaming_outer_interval_join": (
             monitoring.s19_streaming_outer_interval_join
         ),
-        # -- (0) new round-9 gates: zero driver evidence, head of window -
+        # (a') the 13 gates round 9's additions displaced below its
+        # marker — oldest cumulative driver evidence (r6/r7), first up
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
+        "t17_minhash_portable": extras.t17_minhash_portable,
+        "t18_simhash_portable": extras.t18_simhash_portable,
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        # (c) remaining r7-greens, filling the window to 50
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        "t44_semdedup": llmdata.t44_semdedup,
+        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
+        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
+        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
+        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
+        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
+        "s12_streaming_hist_quantiles": (
+            monitoring.s12_streaming_hist_quantiles
+        ),
+        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
+        "t75_event_transitions": behavioral.t75_event_transitions,
+        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
+        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
+        "t44b_semdedup_sampled_training": (
+            llmdata.t44b_semdedup_sampled_training
+        ),
+        "q35_market_basket": relational.q35_market_basket,
+        "t77_shallow_clone": llmdata.t77_shallow_clone,
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
+        "t36_temperature_mix": corpus.t36_temperature_mix,
+        "t37_incremental_embedding_neardup": (
+            llmdata.t37_incremental_embedding_neardup
+        ),
+        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
+        # ---- driver window ends after the 50th entry above ------------
+        # ROUND-11 PLAN: the six leftover r7-greens below come first,
+        # then the (d) r8-greens; the round-9/-10-checked groups at the
+        # bottom are the freshest and rotate up last.  The all-gate
+        # pytest twin (tests/test_oracle_parity.py) covers every entry
+        # every session regardless.
+        # (c-rest) r7-green leftovers — next round's head
+        "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
+        # (d) last driver-checked in round 8
+        "t78_column_mapping": llmdata.t78_column_mapping,
+        "s15_streaming_sink_autocompact": (
+            monitoring.s15_streaming_sink_autocompact
+        ),
+        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
+        "t80_product_quantization": llmdata.t80_product_quantization,
+        "t81_type_widening": llmdata.t81_type_widening,
+        "q33_returnflag_grouping_sets": (
+            behavioral.q33_returnflag_grouping_sets
+        ),
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
+        "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "q22b_price_percentiles_windowed": (
+            extras.q22b_price_percentiles_windowed
+        ),
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
+        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
+        "q1_top_products": analytics.q1_top_products,
+        "q2_monthly_trend": analytics.q2_monthly_trend,
+        "t55_txtable_delete": llmdata.t55_txtable_delete,
+        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
+        "t57_bpe_batched": llmdata.t57_bpe_batched,
+        "t54b_duplicate_spans_prescreened": (
+            llmdata.t54b_duplicate_spans_prescreened
+        ),
+        "s2c_session_window_append": monitoring.s2c_session_window_append,
+        "t58_html_extract": llmdata.t58_html_extract,
+        "t59_card_pii": llmdata.t59_card_pii,
+        "t60_classifier_training": llmdata.t60_classifier_training,
+        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
+        # (r9) round-9 additions, driver-checked r9
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
         "t82_filtered_ann": llmdata.t82_filtered_ann,
         "t83_commit_invariants": llmdata.t83_commit_invariants,
@@ -102,11 +228,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t90_analyze_stats": llmdata.t90_analyze_stats,
         "t91_generated_columns": llmdata.t91_generated_columns,
         "t92_quarantine_append": llmdata.t92_quarantine_append,
-        # -- (a) the 40 r6-green gates with the least driver evidence ----
-        #    (t57b..t65 were displaced below the r8 marker by round 8's
-        #    five new gates; t66..t18 were last driver-checked in r6)
+        # (a) driver-checked r9 (the round-9 window body)
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
-        "t62b_txtable_multicol_skipping": llmdata.t62b_txtable_multicol_skipping,
+        "t62b_txtable_multicol_skipping": (
+            llmdata.t62b_txtable_multicol_skipping
+        ),
         "t63_takedown_lifecycle": llmdata.t63_takedown_lifecycle,
         "t64_jdbc_roundtrip": extras.t64_jdbc_roundtrip,
         "t65_quantized_knn": llmdata.t65_quantized_knn,
@@ -114,7 +240,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t67_hll_distinct": extras.t67_hll_distinct,
         "t68_incremental_matview": llmdata.t68_incremental_matview,
         "t69_quantized_ann": llmdata.t69_quantized_ann,
-        "s8_streaming_distinct_sketch": monitoring.s8_streaming_distinct_sketch,
+        "s8_streaming_distinct_sketch": (
+            monitoring.s8_streaming_distinct_sketch
+        ),
         "t70_cms_heavy_hitters": llmdata.t70_cms_heavy_hitters,
         "t71_hist_quantiles": extras.t71_hist_quantiles,
         "t72_schema_evolution": llmdata.t72_schema_evolution,
@@ -142,114 +270,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t10_token_frequencies": extras.t10_token_frequencies,
         "t11_keyword_search": extras.t11_keyword_search,
         "t13_vocab_difference": extras.t13_vocab_difference,
-        # ---- driver window ends after the 50th entry above ------------
-        # -- (a'/b) displaced below the marker one by one as round 9's
-        #    thirteen new gates landed at the window head ----------------
-        "t16_deterministic_sample": extras.t16_deterministic_sample,
-        "t17_minhash_portable": extras.t17_minhash_portable,
-        "t18_simhash_portable": extras.t18_simhash_portable,
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        # -- (c) remaining r7-greens: next in line for ROUND 10 ----------
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
-        "t44_semdedup": llmdata.t44_semdedup,
-        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
-        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
-        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
-        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
-        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
-        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
-        "s12_streaming_hist_quantiles": monitoring.s12_streaming_hist_quantiles,
-        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
-        "t75_event_transitions": behavioral.t75_event_transitions,
-        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
-        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
-        "t44b_semdedup_sampled_training": llmdata.t44b_semdedup_sampled_training,
-        "q35_market_basket": relational.q35_market_basket,
-        "t77_shallow_clone": llmdata.t77_shallow_clone,
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
-        "t34_decontamination": llmdata.t34_decontamination,
-        "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        "t36_temperature_mix": corpus.t36_temperature_mix,
-        "t37_incremental_embedding_neardup": llmdata.t37_incremental_embedding_neardup,
-        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
-        # -- (d) driver-green in round 8 ---------------------------------
-        "t78_column_mapping": llmdata.t78_column_mapping,
-        "s15_streaming_sink_autocompact": monitoring.s15_streaming_sink_autocompact,
-        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
-        "t80_product_quantization": llmdata.t80_product_quantization,
-        "t81_type_widening": llmdata.t81_type_widening,
-        "q33_returnflag_grouping_sets": behavioral.q33_returnflag_grouping_sets,
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
-        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
-        "t21_neardup_clusters": corpus.t21_neardup_clusters,
-        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
-        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
-        "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
-        "q27_order_date_spine": relational.q27_order_date_spine,
-        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
-        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
-        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
-        "q13_freshness": monitoring.q13_freshness,
-        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
-        "q15_hourly_events": monitoring.q15_hourly_events,
-        "q16_user_sessions": monitoring.q16_user_sessions,
-        "q18_salted_event_stats": extras.q18_salted_event_stats,
-        "q19_props_json_stats": extras.q19_props_json_stats,
-        "q22b_price_percentiles_windowed": extras.q22b_price_percentiles_windowed,
-        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
-        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
-        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
-        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
-        "t9_simhash": llmdata.t9_simhash,
-        "t12_event_asof_order": extras.t12_event_asof_order,
-        "t14_event_session_ranges": extras.t14_event_session_ranges,
-        "t15_winnow_dedup": extras.t15_winnow_dedup,
-        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
-        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
-        "t30_corpus_integrity": monitoring.t30_corpus_integrity,
-        "q1_top_products": analytics.q1_top_products,
-        "q2_monthly_trend": analytics.q2_monthly_trend,
-        "t55_txtable_delete": llmdata.t55_txtable_delete,
-        "t56_dedup_index_cascade": llmdata.t56_dedup_index_cascade,
-        "t57_bpe_batched": llmdata.t57_bpe_batched,
-        "t54b_duplicate_spans_prescreened": llmdata.t54b_duplicate_spans_prescreened,
-        "s2c_session_window_append": monitoring.s2c_session_window_append,
-        "t58_html_extract": llmdata.t58_html_extract,
-        "t59_card_pii": llmdata.t59_card_pii,
-        "t60_classifier_training": llmdata.t60_classifier_training,
-        "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
 }
 
 
