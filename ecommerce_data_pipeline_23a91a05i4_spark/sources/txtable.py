@@ -510,9 +510,35 @@ class TxTable:
                 "version": v,
                 "op": (m := self.manifest(v))["op"],
                 "n_files": len(m["files"]),
+                "committed_at": m.get("committed_at"),
+                "metrics": m.get("metrics"),
             }
             for v in self.versions()
         ]
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP time travel (Delta's ``TIMESTAMP AS OF``): the
+        latest version whose commit wall time is <= ``ts`` (epoch
+        seconds) — i.e. the state a reader at that moment saw.  Pass
+        the result to snapshot()/manifest().  Raises for a timestamp
+        before the first RETAINED commit (pre-v2 manifests without a
+        recorded time fall back to the log file's mtime, so vacuumed-
+        then-restored logs stay addressable)."""
+        best = None
+        for v in self.versions():
+            at = self._manifest_raw(v).get("committed_at")
+            if at is None:
+                at = self.fs.mtime(
+                    posixpath.join(self._log, _manifest_name(v))
+                )
+            if at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.path} existed at epoch {ts} "
+                "(before the first retained commit)"
+            )
+        return best
 
     # ----------------------------------------------------------- reads
     @staticmethod
@@ -1189,6 +1215,17 @@ class TxTable:
             "remove": removes,
             "sidecar": sidecar,
             "add_n": len(adds),
+        }
+        import time as _time
+
+        # commit wall time (timestamp time travel, history auditing)
+        # and operation metrics (files added/removed — Delta's
+        # operationMetrics): observability only, never load-bearing
+        # for correctness, so wall-clock nondeterminism is contained
+        manifest["committed_at"] = _time.time()
+        manifest["metrics"] = {
+            "files_added": len(adds),
+            "files_removed": len(removes),
         }
         try:
             self._try_commit(manifest, version)

@@ -1937,3 +1937,27 @@ def test_scoped_optimize_and_compact_carry_cold_files(spark, tmp_path):
     # empty scope: no-op without a commit
     v = t2.latest_version()
     assert t2.compact(n_files=1, where=("k", 10_000, 20_000)) == v
+
+
+def test_timestamp_time_travel_and_commit_metrics(spark, tmp_path):
+    """Commit wall time + operation metrics ride every manifest
+    (observability, Delta's TIMESTAMP AS OF / operationMetrics):
+    version_at_timestamp resolves the state a reader at that moment
+    saw, and history() exposes files added/removed per commit."""
+    import time as _t
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a")]).coalesce(1))
+    between_1_2 = _t.time()
+    _t.sleep(0.05)
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.overwrite(_df(spark, [(3, "c")]).coalesce(1))
+    assert t.version_at_timestamp(between_1_2) == 1
+    assert t.version_at_timestamp(_t.time()) == 3
+    with pytest.raises(ValueError, match="before the first"):
+        t.version_at_timestamp(between_1_2 - 3600)
+    h = {x["version"]: x for x in t.history()}
+    assert h[2]["metrics"] == {"files_added": 1, "files_removed": 0}
+    assert h[3]["metrics"] == {"files_added": 1, "files_removed": 2}
+    assert h[1]["committed_at"] <= h[2]["committed_at"] <= h[3]["committed_at"]
+    assert {r.k for r in t.snapshot(t.version_at_timestamp(between_1_2)).collect()} == {1}
