@@ -1064,3 +1064,69 @@ def duplicate_spans_prescreened(
         span_tokens,
         max_docs,
     )
+
+def _deletion_neighborhood(key: Column) -> Column:
+    """``{key} ∪ {key with one char deleted}`` — the SymSpell candidate
+    set for edit distance 1.  The defining property: lev(a, b) <= 1
+    implies the two sets intersect (equal -> a itself; substitution ->
+    the shared both-sides deletion; insert/delete -> the shorter
+    string is a deletion of the longer and a member of its own set).
+    The converse does NOT hold (e.g. a transposition 'ab'/'ba' shares
+    the deletion 'a' at distance 2), so candidates must verify with a
+    real levenshtein — the banded-candidates-then-verify discipline of
+    the MinHash/SRP operators.  Empty keys are guarded: Spark's
+    sequence(1, 0) would count DOWN and fabricate variants."""
+    one_del = F.when(
+        F.length(key) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(key)),
+            lambda i: F.concat(
+                F.substring(key, F.lit(1), i - 1),
+                key.substr(i + 1, F.length(key)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_union(F.array(key), one_del)
+
+
+def fuzzy_join_k1(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Edit-distance-<=1 fuzzy JOIN at corpus scale: every (left,
+    right) row pair whose ``key_col`` values are within one
+    insertion/deletion/substitution — near-identical titles, URLs,
+    product keys — WITHOUT the all-pairs levenshtein a naive fuzzy
+    match needs.
+
+    Plan shape: each side explodes into its deletion neighborhood
+    (fan-out = key length + 1, the SymSpell trade: tiny bounded blow-up
+    for an equi-JOINable candidate key), the sides hash-join on the
+    variant string, candidate pairs dedup, and one map-side
+    levenshtein(key_a, key_b) <= 1 verifies away the false positives
+    (transpositions).  Shuffles are keyed (variant, then the pair
+    dedup); no cartesian anywhere — at 100 TB the variant join is the
+    same shape as the MinHash band join.
+
+    Returns (left_id, right_id, key_a, key_b, dist), one row per
+    verified pair."""
+    va = left.select(
+        F.col(left_id),
+        F.col(key_col).alias("key_a"),
+        F.explode(_deletion_neighborhood(F.col(key_col))).alias("_v"),
+    )
+    vb = right.select(
+        F.col(right_id),
+        F.col(key_col).alias("key_b"),
+        F.explode(_deletion_neighborhood(F.col(key_col))).alias("_v"),
+    )
+    return (
+        va.join(vb, "_v")
+        .select(left_id, right_id, "key_a", "key_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -4954,3 +4954,23 @@ MONITORING_ORACLES["s19_streaming_outer_interval_join"] = """
     WHERE c.event_type = 'click'
     ORDER BY c.user_id, cause_id, COALESCE(effect_id, -1)
 """
+
+
+# t95: fuzzy join — brute-force levenshtein cross join over the
+# (original key, perturbed %7-band key) relations proves the banded
+# operator complete; derivation (norm prefix, 3rd-char deletion)
+# mirrored exactly
+LLMDATA_ORACLES["t95_fuzzy_join"] = f"""
+    WITH k AS (
+        SELECT doc_id, substr({NORM}, 1, 24) AS key FROM documents
+    ),
+    p AS (
+        SELECT doc_id, substr(key, 1, 2) || substr(key, 4) AS key
+        FROM k WHERE doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(levenshtein(a.key, b.key) AS INT) AS dist
+    FROM k a JOIN p b ON levenshtein(a.key, b.key) <= 1
+    ORDER BY id_a, id_b
+"""
