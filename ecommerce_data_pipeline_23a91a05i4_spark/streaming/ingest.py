@@ -301,6 +301,7 @@ def attribute_stream_outer(
     cause: str = "click",
     effect: str = "purchase",
     horizon: str = "30 minutes",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """LEFT OUTER stream-stream interval join (VERDICT r9 missing #4):
     ``attribute_stream`` plus the rows attribution pipelines also need
@@ -318,10 +319,16 @@ def attribute_stream_outer(
     Spark rejects an outer stream-stream join without them, because
     'no match can still arrive' would otherwise be undecidable.
 
+    ``how`` extends the same machinery to ``"fullOuter"`` (orphaned
+    effects — purchases with no qualifying click — also emit once,
+    null-padded on the cause side, under the same eviction rule) or
+    ``"rightOuter"``; Spark enforces the identical watermark +
+    time-range requirements for every outer flavor.
+
     Returns (user_id, cause_id, cause_ts, effect_id, effect_ts, value)
-    with the effect columns NULL for unattributed causes; user_id is
-    the CAUSE side's user (present on every row, unlike the inner
-    form, where either side works)."""
+    with the unmatched side's columns NULL; ``user_id`` is COALESCEd
+    across the two sides so it is present on every row whichever side
+    is unmatched."""
     c = (
         events.filter(F.col("event_type") == cause)
         .select(
@@ -349,8 +356,13 @@ def attribute_stream_outer(
             <= F.col("cause_ts") + F.expr(f"INTERVAL {horizon}")
         )
     )
-    return c.join(e, cond, "leftOuter").select(
-        "user_id", "cause_id", "cause_ts", "effect_id", "effect_ts", "value"
+    return c.join(e, cond, how).select(
+        F.coalesce(F.col("user_id"), F.col("e_user")).alias("user_id"),
+        "cause_id",
+        "cause_ts",
+        "effect_id",
+        "effect_ts",
+        "value",
     )
 
 

@@ -869,3 +869,65 @@ def test_outer_attribute_emits_unmatched_only_after_watermark(
     # batch (1) advanced the watermark past cause_ts + horizon
     assert unmatched.effect_id is None and unmatched.value is None
     assert unmatched_bid >= 2
+
+
+def test_full_outer_attribute_emits_both_orphan_sides(spark, tmp_path):
+    """how='fullOuter': orphaned effects (a purchase no click precedes
+    within the horizon) also emit once, null-padded on the cause side,
+    with user_id still populated via the cross-side coalesce."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, None, None)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    f1 = spark.createDataFrame(
+        [
+            ev(1, t0, 1, "click"),
+            ev(2, t0 + dt.timedelta(minutes=10), 1, "purchase"),
+            ev(3, t0, 2, "click"),  # unmatched cause
+            ev(4, t0, 3, "purchase"),  # unmatched effect (no prior click)
+        ],
+        schema,
+    )
+    f2 = spark.createDataFrame(
+        [
+            ev(99, t0 + dt.timedelta(days=10), -1, "click"),
+            ev(98, t0 + dt.timedelta(days=10), -2, "purchase"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "ev")
+    for fname, part, mtime in (("f1.parquet", f1, 1000), ("f2.parquet", f2, 2000)):
+        p = os.path.join(src, fname)
+        part.coalesce(1).write.parquet(p)
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+    raw = (
+        spark.readStream.schema(st.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    pairs = st.attribute_stream_outer(
+        raw.withColumn("ts", F.col("ts").cast("timestamp")),
+        how="fullOuter",
+    )
+    got = [
+        r
+        for r in st.run_available_now(
+            pairs, "full_outer_t", output_mode="append", materialize=True
+        ).collect()
+        if r.user_id >= 0
+    ]
+    by_user = {r.user_id: r for r in got}
+    assert set(by_user) == {1, 2, 3}
+    assert by_user[1].cause_id == 1 and by_user[1].effect_id == 2
+    assert by_user[2].cause_id == 3 and by_user[2].effect_id is None
+    assert by_user[3].cause_id is None and by_user[3].effect_id == 4
