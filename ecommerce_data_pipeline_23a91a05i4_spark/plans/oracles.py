@@ -4974,3 +4974,28 @@ LLMDATA_ORACLES["t95_fuzzy_join"] = f"""
     FROM k a JOIN p b ON levenshtein(a.key, b.key) <= 1
     ORDER BY id_a, id_b
 """
+
+
+# t96: merge schema evolution — final state rebuilt relationally: the
+# %5 feed band updates n_chars/+tag (minus the %10 delete-flag band),
+# everything else keeps a NULL tag; ops pins init/add_columns/merge
+LLMDATA_ORACLES["t96_merge_schema_evolution"] = """
+    WITH final AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 't' || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE NULL END AS tag
+        FROM documents
+        WHERE NOT (doc_id % 5 = 0 AND doc_id % 10 = 0)
+    )
+    SELECT tag,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           'init,add_columns,merge' AS ops
+    FROM final
+    GROUP BY tag
+    ORDER BY tag
+"""

@@ -2557,6 +2557,7 @@ class TxTable:
         delete_col: str | None = None,
         insert_unmatched: bool = True,
         max_retries: int = 5,
+        evolve_schema: bool = False,
     ) -> int:
         """Keyed MERGE (the Delta ``MERGE INTO`` / CDC-apply shape —
         the one DML verb the table lacked after delete()): for each
@@ -2589,7 +2590,17 @@ class TxTable:
 
         Concurrent commits are absorbed by recompute-and-retry (the
         delete() discipline: the hit-file set must be re-derived
-        against the new base)."""
+        against the new base).
+
+        ``evolve_schema=True`` (Delta's MERGE ``withSchemaEvolution``):
+        source columns absent from the table — other than
+        ``delete_col`` — are first ADDED via the metadata-only
+        add_columns commit (nullable, typed from the source frame), so
+        a CDC feed that grew a field merges without an operator
+        stopping the pipeline to run DDL.  Untouched files NULL-
+        backfill the new columns by parquet schema-on-read; with the
+        default False, a wider source still fails loudly on the exact-
+        schema rule."""
         keys = [on] if isinstance(on, str) else list(on)
         if not keys:
             raise ValueError("merge: 'on' must name at least one key column")
@@ -2598,6 +2609,20 @@ class TxTable:
                 raise ValueError(f"merge: key column {k!r} not in source")
         if delete_col is not None and delete_col not in source.columns:
             raise ValueError(f"merge: delete_col {delete_col!r} not in source")
+        if evolve_schema:
+            tbl_cols = {
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(self.manifest()["schema"])
+                ).fields
+            }
+            extra = {
+                f.name: f.dataType.simpleString()
+                for f in source.schema.fields
+                if f.name not in tbl_cols and f.name != delete_col
+            }
+            if extra:
+                self.add_columns(extra, max_retries=max_retries)
         is_del = (
             F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
             if delete_col is not None

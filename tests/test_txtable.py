@@ -1961,3 +1961,33 @@ def test_timestamp_time_travel_and_commit_metrics(spark, tmp_path):
     assert h[3]["metrics"] == {"files_added": 1, "files_removed": 2}
     assert h[1]["committed_at"] <= h[2]["committed_at"] <= h[3]["committed_at"]
     assert {r.k for r in t.snapshot(t.version_at_timestamp(between_1_2)).collect()} == {1}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve_schema=True auto-adds source-only columns (metadata-only
+    add_columns commit) before merging; the default still fails loudly
+    on the exact-schema rule; untouched files NULL-backfill."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(2))
+    src = spark.createDataFrame(
+        [(2, "B", 7.5, False), (9, "i", 0.5, False)],
+        "k long, v string, score double, dead boolean",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(src, "k", delete_col="dead")
+    t.merge(src, "k", delete_col="dead", evolve_schema=True)
+    assert [h["op"] for h in t.history()] == ["init", "add_columns", "merge"]
+    got = {(r.k, r.v, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, "a", None), (2, "B", 7.5), (3, "c", None), (9, "i", 0.5)}
+    # evolution is idempotent: a second evolved merge adds nothing new
+    t.merge(
+        spark.createDataFrame(
+            [(1, "A", 0.1, False)],
+            "k long, v string, score double, dead boolean",
+        ),
+        "k",
+        delete_col="dead",
+        evolve_schema=True,
+    )
+    assert [h["op"] for h in t.history()][-1] == "merge"
+    assert len(t.versions()) == 4  # no extra add_columns commit
