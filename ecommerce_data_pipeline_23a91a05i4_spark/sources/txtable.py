@@ -677,6 +677,7 @@ class TxTable:
         prune: tuple | None = None,
         _with_pos: bool = False,
         prune_eq: list[tuple[str, object]] | None = None,
+        part: str | list[str] | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest).  Partitioned
         tables re-inject the partition column from the manifest's
@@ -695,6 +696,12 @@ class TxTable:
         top; rows outside the range (or bloom false positives) may
         still appear from surviving files.
 
+        ``part=`` is MANIFEST-level partition pruning: only files whose
+        recorded partition VALUE (string, exactly as the manifest
+        stores it) is in the given value(s) are read — the hot-
+        partition read path that touches O(partition) files on a
+        100 TB table without relying on per-file stats at all.
+
         ``_with_file`` (internal, used by :meth:`delete`) appends a
         ``_tx_file`` column holding each row's source file URI."""
         m = self.manifest(version)
@@ -702,6 +709,14 @@ class TxTable:
         pcol = m.get("partition_by")
         mapping = _col_mapping(m)
         entries = m["files"]
+        if part is not None:
+            if pcol is None:
+                raise ValueError(
+                    f"snapshot(part=...) on {self.path}: table is not "
+                    "partitioned"
+                )
+            wanted = {part} if isinstance(part, str) else set(part)
+            entries = [e for e in entries if e.get("part") in wanted]
         if prune is not None:
             conds = self._phys_conds(
                 self._norm_prune(prune), mapping, self.path

@@ -349,3 +349,14 @@ def test_bm25_relational_broadcasts_query_terms(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_join_is_banded_not_allpairs(spark):
+    """t95's fuzzy join must candidate via the deletion-neighborhood
+    variant equi-join — no cartesian product, no nested-loop join, no
+    Python in the plan."""
+    q = llmdata.t95_fuzzy_join(spark, SF)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1991,3 +1991,34 @@ def test_merge_schema_evolution(spark, tmp_path):
     )
     assert [h["op"] for h in t.history()][-1] == "merge"
     assert len(t.versions()) == 4  # no extra add_columns commit
+
+
+def test_snapshot_partition_pruning(spark, tmp_path):
+    """snapshot(part=) prunes at the MANIFEST level: only files of the
+    named partition value(s) are read — pinned via the scan's
+    _metadata.file_path against the manifest's own entry grouping."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.range(90).selectExpr(
+        "id AS k", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' "
+        "ELSE 'c' END AS p"
+    )
+    t.init(df.repartition(6), partition_by="p")
+    by_part: dict[str, int] = {}
+    for e in t.manifest()["files"]:
+        by_part[e["part"]] = by_part.get(e["part"], 0) + 1
+    snap = t.snapshot(part="a")
+    assert {r.p for r in snap.select("p").distinct().collect()} == {"a"}
+    assert snap.count() == 30
+    n_read = (
+        t.snapshot(part="a")
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .count()
+    )
+    assert n_read == by_part["a"] < sum(by_part.values())
+    both = t.snapshot(part=["a", "c"])
+    assert both.count() == 60
+    u = TxTable(spark, str(tmp_path / "u"))
+    u.init(_df(spark, [(1, "x")]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        u.snapshot(part="a")
