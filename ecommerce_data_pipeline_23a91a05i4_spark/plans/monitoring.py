@@ -1230,14 +1230,26 @@ def s12_streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact ranked values via a TWO-PHASE rank (VERDICT r9: a
     # Window.orderBy with no partitionBy funnels every row through one
     # reducer — fine at gate scale, a single-task sort at corpus
-    # scale).  Phase 1: range-repartition on the sort key (partition i
-    # wholly precedes i+1) and rank locally per partition; phase 2:
-    # per-partition counts (<= 32 rows) become driver-side cumulative
-    # offsets, and global rank = offset + local rank.
-    parted = (
-        vals.select(vx.alias("v"), "event_id")
-        .repartitionByRange(32, "v", "event_id")
-        .withColumn("_p", F.spark_partition_id())
+    # scale).  Phase 1: DETERMINISTIC fixed-width value buckets over
+    # the [lo, hi] span already probed above (bucket i wholly precedes
+    # i+1) and rank locally per bucket; phase 2: per-bucket counts
+    # (<= 32 rows) become driver-side cumulative offsets, and global
+    # rank = offset + local rank.  NOT repartitionByRange: its
+    # reservoir sample is seeded by the RDD id, so two actions over
+    # the same lineage (the counts pass and the rank pass) can see
+    # DIFFERENT boundaries — offsets that disagree with the ranks.
+    nb = 32
+    width = (hi - lo) / nb or 1.0
+    bucket = (
+        F.least(
+            F.lit(nb - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+        )
+        .cast("int")
+        .alias("_p")
+    )
+    parted = vals.select(vx.alias("v"), "event_id").withColumn(
+        "_p", bucket
     )
     counts = {
         r._p: r.c
