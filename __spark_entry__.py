@@ -70,11 +70,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
 # driver evidence must come first.  Round-10 ordering executes the r9
-# plan exactly: (00) the five new round-10 gates (zero driver
+# plan exactly: (00) the six new round-10 gates (zero driver
 # evidence); (a') the thirteen gates round 9's additions displaced
 # below its marker (t16-t19, t1-t7, q17, q20 — last checked r6/r7);
-# (c) thirty-two r7-greens filling the window to 50.  After round 10
-# no gate's driver evidence is older than r8.  With 158 gates and a
+# (c) thirty-one r7-greens filling the window to 50.  After round 10
+# no gate's driver evidence is older than r8.  With 159 gates and a
 # 50-slot window, full-registry freshness cycles every ~3 rounds; the
 # all-gate pytest twin (tests/test_oracle_parity.py) runs every
 # session regardless.
@@ -88,6 +88,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ),
         "t95_fuzzy_join": llmdata.t95_fuzzy_join,
         "t96_merge_schema_evolution": llmdata.t96_merge_schema_evolution,
+        "t97_copy_into": llmdata.t97_copy_into,
         # (a') the 13 gates round 9's additions displaced below its
         # marker — oldest cumulative driver evidence (r6/r7), first up
         "t16_deterministic_sample": extras.t16_deterministic_sample,
@@ -139,14 +140,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t33_repetition_filters": llmdata.t33_repetition_filters,
         "t34_decontamination": llmdata.t34_decontamination,
         "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        "t36_temperature_mix": corpus.t36_temperature_mix,
         # ---- driver window ends after the 50th entry above ------------
-        # ROUND-11 PLAN: the eight leftover r7-greens below come first,
+        # ROUND-11 PLAN: the nine leftover r7-greens below come first,
         # then the (d) r8-greens; the round-9/-10-checked groups at the
         # bottom are the freshest and rotate up last.  The all-gate
         # pytest twin (tests/test_oracle_parity.py) covers every entry
         # every session regardless.
         # (c-rest) r7-green leftovers — next round's head
+        "t36_temperature_mix": corpus.t36_temperature_mix,
         "t37_incremental_embedding_neardup": (
             llmdata.t37_incremental_embedding_neardup
         ),

@@ -4999,3 +4999,19 @@ LLMDATA_ORACLES["t96_merge_schema_evolution"] = """
     GROUP BY tag
     ORDER BY tag
 """
+
+
+# t97: COPY INTO — final state is the whole corpus; ingest arithmetic
+# (3 then 2 then none) and the op sequence are pinned literals
+LLMDATA_ORACLES["t97_copy_into"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(3 AS BIGINT) AS first_ingested,
+           CAST(2 AS BIGINT) AS second_ingested,
+           TRUE AS third_noop,
+           'init,copy_into,copy_into' AS ops
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""

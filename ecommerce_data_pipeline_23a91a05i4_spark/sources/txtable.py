@@ -678,6 +678,7 @@ class TxTable:
         _with_pos: bool = False,
         prune_eq: list[tuple[str, object]] | None = None,
         part: str | list[str] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default: latest).  Partitioned
         tables re-inject the partition column from the manifest's
@@ -702,8 +703,18 @@ class TxTable:
         partition read path that touches O(partition) files on a
         100 TB table without relying on per-file stats at all.
 
+        ``timestamp=`` (epoch seconds, exclusive with ``version``) is
+        ``TIMESTAMP AS OF``: the state a reader at that moment saw —
+        resolved via :meth:`version_at_timestamp`.
+
         ``_with_file`` (internal, used by :meth:`delete`) appends a
         ``_tx_file`` column holding each row's source file URI."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "snapshot: pass version OR timestamp, not both"
+                )
+            version = self.version_at_timestamp(timestamp)
         m = self.manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         pcol = m.get("partition_by")
@@ -1117,6 +1128,7 @@ class TxTable:
         constraints: list[dict] | object = _INHERIT,
         table_stats: dict | object = _INHERIT,
         generated: dict[str, str] | None | object = _INHERIT,
+        extra: dict | None = None,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -1192,6 +1204,23 @@ class TxTable:
             manifest["table_stats"] = dict(table_stats)
         if generated:
             manifest["generated"] = dict(generated)
+        if extra:
+            # commit-scoped metadata a VERB records about itself (e.g.
+            # copy_into's ingested source-file names) — not carried
+            # forward, readable from the raw manifest
+            reserved_keys = set(manifest) | {
+                "files",
+                "delta",
+                "committed_at",
+                "metrics",
+            }
+            clash = sorted(set(extra) & reserved_keys)
+            if clash:
+                raise ValueError(
+                    f"_commit: extra keys {clash} collide with manifest "
+                    "structure"
+                )
+            manifest.update(extra)
         # v2 commit payload = the DIFF against the parent state, not the
         # full file list (VERDICT r9 next #1: a full list made every
         # commit O(n_files) JSON — multi-hundred-MB per commit at 100 TB
@@ -1393,6 +1422,92 @@ class TxTable:
                 continue
         raise CommitConflict(
             f"append to {self.path} lost {max_retries} commit races"
+        )
+
+    def _ingested_files(self) -> set[str]:
+        """Source paths previous copy_into commits recorded, unioned
+        over every RETAINED manifest."""
+        out: set[str] = set()
+        for v in self.versions():
+            out.update(self._manifest_raw(v).get("copy_into") or [])
+        return out
+
+    def copy_into(
+        self,
+        src_dir: str,
+        pattern: str = "*.parquet",
+        max_retries: int = 5,
+    ) -> tuple[int | None, list[str]]:
+        """Idempotent directory ingest (the COPY INTO verb): load every
+        parquet source under ``src_dir`` matching ``pattern`` that no
+        previous copy_into on this table has loaded — the resumable-
+        backfill / append-only-landing-zone shape, where re-running
+        after a partial failure must load only what is missing.
+        Returns (committed version, newly ingested source paths), or
+        (None, []) when everything already landed.
+
+        File-level memory: each copy_into commit records its source
+        paths in its own manifest (``copy_into`` key, O(this batch)
+        bytes); the already-loaded set is the union over RETAINED
+        manifests — the same retention caveat Delta documents for its
+        COPY INTO: vacuuming manifests past a copy_into commit forgets
+        its files, so keep retention longer than the landing horizon.
+        Schema, constraints, and generated columns are enforced
+        exactly as in append().  A concurrent copy_into that ingested
+        an overlapping file surfaces as a loud CommitConflict — the
+        re-run then skips what landed."""
+        src_dir = str(src_dir).rstrip("/")
+        found = sorted(self.fs.glob(src_dir, pattern))
+        new = [p for p in found if p not in self._ingested_files()]
+        if not new:
+            return None, []
+        df = self.spark.read.parquet(*new)
+        base = self.manifest()
+        pcol = base.get("partition_by")
+        schema_json = base["schema"]
+        cmap = base.get("column_mapping")
+        df, gen_guards = self._complete_generated(df, _generated(base))
+        self._check_schema(
+            df, StructType.fromJson(json.loads(schema_json))
+        )
+        staged = self._stage(
+            df, pcol, _col_mapping(base), _constraints(base) + gen_guards
+        )
+        for _ in range(max_retries):
+            base = self.manifest()
+            if (
+                base.get("partition_by") != pcol
+                or base["schema"] != schema_json
+                or base.get("column_mapping") != cmap
+            ):
+                raise CommitConflict(
+                    f"copy_into {self.path}: table layout changed "
+                    "concurrently; re-run against the new layout"
+                )
+            overlap = set(new) & self._ingested_files()
+            if overlap:
+                raise CommitConflict(
+                    f"copy_into {self.path}: {len(overlap)} source "
+                    "file(s) were ingested concurrently (e.g. "
+                    f"{sorted(overlap)[0]!r}); re-run to load only "
+                    "the remainder"
+                )
+            try:
+                return (
+                    self._commit(
+                        base["files"] + staged,
+                        "copy_into",
+                        base["version"],
+                        StructType.fromJson(json.loads(base["schema"])),
+                        base.get("partition_by"),
+                        extra={"copy_into": new},
+                    ),
+                    new,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"copy_into {self.path} lost {max_retries} commit races"
         )
 
     def append_quarantine(

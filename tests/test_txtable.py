@@ -1961,6 +1961,9 @@ def test_timestamp_time_travel_and_commit_metrics(spark, tmp_path):
     assert h[3]["metrics"] == {"files_added": 1, "files_removed": 2}
     assert h[1]["committed_at"] <= h[2]["committed_at"] <= h[3]["committed_at"]
     assert {r.k for r in t.snapshot(t.version_at_timestamp(between_1_2)).collect()} == {1}
+    assert {r.k for r in t.snapshot(timestamp=between_1_2).collect()} == {1}
+    with pytest.raises(ValueError, match="not both"):
+        t.snapshot(1, timestamp=between_1_2)
 
 
 def test_merge_schema_evolution(spark, tmp_path):
@@ -2022,3 +2025,32 @@ def test_snapshot_partition_pruning(spark, tmp_path):
     u.init(_df(spark, [(1, "x")]))
     with pytest.raises(ValueError, match="not partitioned"):
         u.snapshot(part="a")
+
+
+def test_copy_into_is_idempotent_and_loud_on_overlap(spark, tmp_path):
+    import os
+
+    land = str(tmp_path / "land")
+    for i in (1, 2):
+        _df(spark, [(i, "x")]).coalesce(1).write.parquet(
+            os.path.join(land, f"f{i}.parquet")
+        )
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, []).limit(0))
+    v, new = t.copy_into(land)
+    assert v == 2 and len(new) == 2
+    assert {r.k for r in t.snapshot().collect()} == {1, 2}
+    # nothing new: commit-free no-op
+    assert t.copy_into(land) == (None, [])
+    assert t.latest_version() == 2
+    # a third file lands; only it loads
+    _df(spark, [(3, "y")]).coalesce(1).write.parquet(
+        os.path.join(land, "f3.parquet")
+    )
+    v3, new3 = t.copy_into(land)
+    assert v3 == 3 and [os.path.basename(p) for p in new3] == ["f3.parquet"]
+    assert {r.k for r in t.snapshot().collect()} == {1, 2, 3}
+    # memory is per-manifest metadata, loud schema rule still applies
+    spark.range(1).write.parquet(os.path.join(land, "bad.parquet"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.copy_into(land)
