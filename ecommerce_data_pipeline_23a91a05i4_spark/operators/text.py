@@ -371,6 +371,73 @@ def bm25_scores_relational(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score_components(
+        tf, dl, stats, qt, id_col, query_id_col, k1, b, fp_bits
+    )
+
+
+def bm25_scores_from_index(
+    postings: DataFrame,
+    doc_lengths: DataFrame,
+    corpus_stats: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    fp_bits: int = 20,
+) -> DataFrame:
+    """BM25 scoring over a MAINTAINED inverted index instead of the
+    corpus text (VERDICT r10 next #6): a standing retrieval service
+    over a growing TxTable corpus keeps ``postings`` (term, id, tf),
+    ``doc_lengths`` (id, dl), and the one-row ``corpus_stats``
+    (n_docs, total_tokens) incrementally up to date off the change
+    feed (sources/matview.mv_refresh with a tokenize transform — see
+    plans/corpus.t99), so each query batch costs O(matched postings),
+    never a corpus re-tokenization.  The scoring tail is THE SAME
+    code path as :func:`bm25_scores_relational` (one shared helper),
+    so maintained-stats scores are bit-identical to a full recompute
+    — including the fixed-point integer summation that makes the
+    result hash-exact.  Per-term document frequencies are derived
+    from the postings restricted to the queries' vocabulary
+    (O(matched postings), |vocab| result rows, broadcast onward)."""
+    qt = queries.select(
+        F.col(query_id_col), F.col(term_col).alias("term")
+    ).distinct()
+    vocab = qt.select("term").distinct()
+    tf = postings.select(
+        F.col("term"), F.col(id_col), F.col("tf").cast("long").alias("tf")
+    ).join(F.broadcast(vocab), "term")
+    dl = doc_lengths.select(
+        F.col(id_col), F.col("dl").cast("long").alias("dl")
+    )
+    stats = corpus_stats.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+    return _bm25_score_components(
+        tf, dl, stats, qt, id_col, query_id_col, k1, b, fp_bits
+    )
+
+
+def _bm25_score_components(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    k1: float,
+    b: float,
+    fp_bits: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: per-(doc, term) partials from the
+    (tf, dl, corpus-stats) components, floor-quantized to fixed point
+    and integer-summed per (query, doc) — the order-independent exact
+    chain both the recompute and the maintained-index entry points
+    share, so they cannot drift.  ``tf`` must already be restricted
+    to the query vocabulary."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = F.col("n_docs").cast("double")
     avgdl = F.col("total_tokens").cast("double") / nd

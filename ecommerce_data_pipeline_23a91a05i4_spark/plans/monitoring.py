@@ -1635,3 +1635,175 @@ def s19_streaming_outer_interval_join(
         return result
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def s20_streaming_multihop_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS MULTI-HOP LAKEHOUSE PIPELINE (VERDICT r10 next #7):
+    bronze -> silver -> gold chained end-to-end through the TxTable
+    change-feed streaming source, with keyed idempotent application
+    and auto-compaction at each hop — the composition all the pieces
+    exist for (s16 one hop, s9/s10 CDC apply + MV refresh) but no
+    single gate proved.
+
+    - BRONZE: raw documents TxTable fed in four commits
+      (init %3==0 / append %3==1 / delete %7==0 / append %3==2).
+    - SILVER (hop 1): stream_table_changes(bronze) -> foreachBatch
+      derives CDC events (insert beats delete within a version;
+      later versions win via the sequence key) and applies them with
+      apply_cdc — a curation hop: only even-n_chars rows pass, plus a
+      derived column.  After every batch the hop runs optimize_small:
+      auto-compaction whose 'optimize' commits the downstream feed
+      must NOT see (data-preserving ops are skipped).
+    - GOLD (hop 2): stream_table_changes(silver) -> foreachBatch
+      maintains a per-source aggregate MV via mv_apply_changes (the
+      streaming twin of mv_refresh) — merge rewrites' delete+reinsert
+      pairs cancel in the signed aggregation.
+
+    The chain is drained after each bronze stage (three drains), then
+    once more to pin ``restart_noop``.  Pins: gold equals a
+    from-scratch aggregate of silver (``chain_exact``), silver equals
+    the batch transform of final bronze (``silver_matches_batch``),
+    silver auto-compaction actually fired and stayed invisible
+    downstream (``silver_autocompacted`` + the equality pins), and the
+    per-source measures themselves, which the oracle recomputes from
+    raw documents."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.matview import mv_apply_changes, mv_aggregate, mv_init
+    from ..sources.txstream import stream_table_changes
+    from ..sources.txtable import TxTable, apply_cdc
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix=f"s20_{_uuid.uuid4().hex[:8]}_")
+    g = ["source"]
+    measures = {
+        "n_docs": "1",
+        "sum_chars": "n_chars",
+        "sum_twice": "twice_chars",
+    }
+    try:
+        bronze = TxTable(spark, base + "/bronze")
+        silver = TxTable(spark, base + "/silver")
+        gold = TxTable(spark, base + "/gold")
+        silver.init(
+            spark.createDataFrame(
+                [],
+                "doc_id long, source string, n_chars long, "
+                "twice_chars long",
+            )
+        )
+        mv_init(gold, silver.snapshot(), g, measures)
+
+        def hop1(batch: DataFrame, _bid: int) -> None:
+            ch = batch.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                (F.col("n_chars") * 2).alias("twice_chars"),
+                F.when(F.col("_change_type") == "delete", "D")
+                .otherwise("U")
+                .alias("op"),
+                (
+                    F.col("_commit_version") * 2
+                    + (F.col("_change_type") == "insert").cast("long")
+                ).alias("seq"),
+            ).filter(
+                # curation predicate: an insert failing it was never
+                # silver's row (bronze rows are immutable), so drop it;
+                # deletes pass through (an unmatched delete is a no-op)
+                (F.col("op") == "D") | (F.col("n_chars") % 2 == 0)
+            )
+            if ch.isEmpty():
+                return
+            apply_cdc(silver, ch, "doc_id")
+            # hop-local auto-compaction: 'optimize' commits are
+            # data-preserving, so hop 2's feed skips them
+            silver.optimize_small(1 << 20)
+
+        def hop2(batch: DataFrame, _bid: int) -> None:
+            if batch.isEmpty():
+                return
+            mv_apply_changes(gold, batch, g, measures)
+
+        def drain() -> None:
+            for path, fn, ck in (
+                (base + "/bronze", hop1, base + "/ckpt1"),
+                (base + "/silver", hop2, base + "/ckpt2"),
+            ):
+                q = (
+                    stream_table_changes(spark, path)
+                    .writeStream.foreachBatch(fn)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        did = F.col("doc_id")
+        bronze.init(docs.filter(did % 3 == 0).coalesce(2))
+        bronze.append(docs.filter(did % 3 == 1).coalesce(1))
+        drain()
+        bronze.delete(did % 7 == 0)
+        drain()
+        bronze.append(docs.filter(did % 3 == 2).coalesce(1))
+        drain()
+        v_s, v_g = silver.latest_version(), gold.latest_version()
+        drain()  # restart on the same checkpoints: nothing new
+        restart_noop = (
+            silver.latest_version() == v_s and gold.latest_version() == v_g
+        )
+        silver_autocompacted = any(
+            h["op"] == "optimize" for h in silver.history()
+        )
+        # silver == the batch transform of FINAL bronze
+        want_silver = (
+            bronze.snapshot()
+            .filter(F.col("n_chars") % 2 == 0)
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                (F.col("n_chars") * 2).alias("twice_chars"),
+            )
+        )
+        got_silver = silver.snapshot().select(
+            "doc_id", "source", "n_chars", "twice_chars"
+        )
+        silver_matches_batch = (
+            got_silver.exceptAll(want_silver).isEmpty()
+            and want_silver.exceptAll(got_silver).isEmpty()
+        )
+        # gold == from-scratch aggregate of silver (decimal state,
+        # n_rows included)
+        rc = mv_aggregate(got_silver, g, measures)
+        gold_state = gold.snapshot().select(rc.columns)
+        chain_exact = (
+            gold_state.exceptAll(rc).isEmpty()
+            and rc.exceptAll(gold_state).isEmpty()
+        )
+        return (
+            gold.snapshot()
+            .select(
+                "source",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("sum_chars").cast("long").alias("sum_chars"),
+                F.col("sum_twice").cast("long").alias("sum_twice"),
+            )
+            .withColumn("bronze_versions", F.lit(4).cast("long"))
+            .withColumn("silver_matches_batch", F.lit(silver_matches_batch))
+            .withColumn("chain_exact", F.lit(chain_exact))
+            .withColumn("restart_noop", F.lit(restart_noop))
+            .withColumn(
+                "silver_autocompacted", F.lit(silver_autocompacted)
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -4935,6 +4935,113 @@ CORPUS_ORACLES["t94_bm25_query_relation"] = f"""
 """
 
 
+# t99: incremental BM25 index — the t94 chain replayed over the FINAL
+# corpus state (init %3!=2 ∪ append %3==2 ∖ delete_dv %5==4 = all
+# documents minus the %5==4 band); the maintained-index-vs-recompute
+# equality is pinned as a literal TRUE column.
+CORPUS_ORACLES["t99_incremental_bm25_index"] = f"""
+    WITH fdocs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+        FROM fdocs
+    ),
+    nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    vocab AS (
+        SELECT term, COUNT(*) AS c FROM nz
+        WHERE length(term) >= 4
+        GROUP BY 1
+        ORDER BY c DESC, term LIMIT 200
+    ),
+    q AS (
+        SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY c DESC, term) - 1)
+                          / 2) AS BIGINT) AS query_id,
+               term
+        FROM vocab
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM nz GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    tfm AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM nz WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfm GROUP BY 1
+    ),
+    part AS (
+        SELECT tfm.doc_id, tfm.term,
+               CAST(FLOOR(
+                   ((2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0)
+                    / (2.0 * CAST(df AS DOUBLE) + 1.0))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1048576.0
+               ) AS BIGINT) AS s_fp
+        FROM tfm JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        CROSS JOIN stats
+    ),
+    hits AS (
+        SELECT q.query_id, part.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               SUM(s_fp) AS score_fp
+        FROM part JOIN q USING (term)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, n_terms_matched,
+               CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_fp DESC, doc_id) AS rank
+        FROM hits
+    )
+    SELECT query_id, rank, doc_id, n_terms_matched, score,
+           TRUE AS index_matches_recompute
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+"""
+
+
+# s20: 3-hop bronze->silver->gold chain — the batch composition of the
+# whole pipeline: final bronze = (%3 in (0,1) minus the %7==0 delete)
+# plus the %3==2 band appended AFTER the delete; silver keeps the
+# even-n_chars rows with the doubled derived column; gold aggregates
+# per source.  Every lifecycle pin is a literal TRUE.
+MONITORING_ORACLES["s20_streaming_multihop_pipeline"] = """
+    WITH bron AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE (doc_id % 3 IN (0, 1) AND doc_id % 7 <> 0)
+           OR doc_id % 3 = 2
+    ),
+    silv AS (
+        SELECT doc_id, source, n_chars, n_chars * 2 AS twice_chars
+        FROM bron WHERE n_chars % 2 = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(twice_chars) AS BIGINT) AS sum_twice,
+           CAST(4 AS BIGINT) AS bronze_versions,
+           TRUE AS silver_matches_batch,
+           TRUE AS chain_exact,
+           TRUE AS restart_noop,
+           TRUE AS silver_autocompacted
+    FROM silv
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 # s19: outer stream-stream interval join == plain batch LEFT join
 # (the sentinel-flush drain makes every unmatched click emit, so no
 # watermark-cutoff arithmetic remains in the oracle)
@@ -4994,7 +5101,7 @@ LLMDATA_ORACLES["t96_merge_schema_evolution"] = """
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
-           'init,add_columns,merge' AS ops
+           'init,merge' AS ops
     FROM final
     GROUP BY tag
     ORDER BY tag
@@ -5012,6 +5119,34 @@ LLMDATA_ORACLES["t97_copy_into"] = """
            TRUE AS third_noop,
            'init,copy_into,copy_into' AS ops
     FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# t98: op-aware commit conflict resolution — the serialized equivalent
+# of the three injected races: all four %4 bands land (two racing
+# append pairs + the compact race's append), the delete_dv hides the
+# %7==0 band of the rows visible at its read snapshot, and the
+# WriteSerializable rebase lets the concurrently appended
+# (%4==0 AND %7==0) rows survive the vector.
+LLMDATA_ORACLES["t98_concurrent_writers"] = """
+    WITH final AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 4 = 0 AND doc_id % 7 = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           'init,append,append,append,compact,append,delete_dv' AS ops,
+           TRUE AS append_rebased,
+           TRUE AS compact_rebased,
+           TRUE AS dv_rebased
+    FROM final
     GROUP BY source
     ORDER BY source
 """

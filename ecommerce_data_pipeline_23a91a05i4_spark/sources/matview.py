@@ -223,6 +223,7 @@ def mv_init(
     measures: dict[str, str],
     dec: str = DEC,
     partition_by: str | None = None,
+    transform=None,
 ) -> int:
     """Create the aggregate table from a full base snapshot:
     (group_cols..., <measure> decimal..., n_rows long).  ``measures``
@@ -232,7 +233,19 @@ def mv_init(
     exactly equal to this full aggregation, not approximately.  NULL
     group values are rejected up front (see
     :func:`_reject_null_groups`) — previously they initialized fine
-    and then bricked every refresh at merge time."""
+    and then bricked every refresh at merge time.
+
+    ``transform`` (optional) is a ROW-LOCAL frame function applied to
+    the base rows before aggregation — each output row must derive
+    from exactly one input row (select / withColumn / explode /
+    filter; never a join, window, or aggregate), because refresh
+    applies it to inserted and deleted rows separately and relies on
+    the same input row always producing the same output rows.  This
+    extends the self-maintainable class to MVs over a flatMap of the
+    base — e.g. an inverted text index: doc -> exploded (term, tf)
+    rows, grouped by term (VERDICT r10 next #6)."""
+    if transform is not None:
+        base_rows = transform(base_rows)
     agg = _reject_null_groups(
         _signed_agg(base_rows, group_cols, measures, dec, F.lit(1)),
         group_cols,
@@ -249,6 +262,7 @@ def mv_refresh(
     from_version: int,
     to_version: int | None = None,
     dec: str = DEC,
+    transform=None,
 ) -> int:
     """Advance the MV by the base diff ``(from_version, to_version]``:
     aggregate the change feed with ±1 signs, add it to the affected
@@ -258,10 +272,64 @@ def mv_refresh(
     diffs (a pure compact, an empty gap) commit nothing.  Returns the
     committed MV version — the CALLER tracks which base version the MV
     now reflects (explicit state, like the incremental dedup
-    operators)."""
-    ch = table_changes(base, from_version, to_version)
-    sign = F.when(F.col("_change_type") == CHANGE_INSERT, 1).otherwise(-1)
-    delta = _signed_agg(ch, group_cols, measures, dec, sign)
+    operators).
+
+    ``transform`` must be the SAME row-local frame function the MV was
+    initialized with (see mv_init): it is applied to the inserted and
+    deleted change rows separately — a deleted base row re-derives
+    exactly the rows it contributed at insert time, so subtracting
+    them is exact."""
+    return mv_apply_changes(
+        mv,
+        table_changes(base, from_version, to_version),
+        group_cols,
+        measures,
+        dec=dec,
+        transform=transform,
+    )
+
+
+def mv_apply_changes(
+    mv: TxTable,
+    change_rows: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+    dec: str = DEC,
+    transform=None,
+) -> int:
+    """Advance the MV by an ARBITRARY change-row set — base columns
+    plus ``_change_type`` ('insert'/'delete') — instead of a version
+    range: the streaming entry point (a micro-batch of
+    sources/txstream.stream_table_changes IS such a row set, so a
+    foreachBatch can maintain the MV one micro-batch at a time —
+    gate s20's gold hop), and the shared engine under mv_refresh.
+    Same algebra: signed aggregation of the change rows, added to the
+    affected groups' stored values via one keyed merge; groups
+    reaching zero rows are deleted; untouched groups are never read.
+    Returns the committed MV version (the current one on a net-no-op
+    change set)."""
+    ch = change_rows
+    if transform is None:
+        sign = F.when(
+            F.col("_change_type") == CHANGE_INSERT, 1
+        ).otherwise(-1)
+        delta = _signed_agg(ch, group_cols, measures, dec, sign)
+    else:
+        feed_cols = ["_change_type", "_commit_version"]
+        drop = [c for c in feed_cols if c in ch.columns]
+        ins = transform(
+            ch.filter(F.col("_change_type") == CHANGE_INSERT).drop(*drop)
+        ).withColumn("_mv_sign", F.lit(1))
+        rem = transform(
+            ch.filter(F.col("_change_type") == CHANGE_DELETE).drop(*drop)
+        ).withColumn("_mv_sign", F.lit(-1))
+        delta = _signed_agg(
+            ins.unionByName(rem),
+            group_cols,
+            measures,
+            dec,
+            F.col("_mv_sign"),
+        )
     # rewritten-but-unchanged groups (compact, carried survivors)
     # net to zero — dropping them keeps the merge from rewriting
     # untouched MV files

@@ -117,13 +117,34 @@ def _log_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def _log_identity(root: str) -> tuple:
+    """A cheap fingerprint of the log's IDENTITY: the lowest retained
+    manifest's (version, inode, mtime_ns, size).  A table dropped and
+    recreated at the same path — or a log restored out-of-band — gets
+    a new lowest manifest file, so the fingerprint changes even when
+    version NUMBERS are reused.  One os.stat per call; no JSON parse."""
+    vs = _log_versions(root)
+    if not vs:
+        return ("empty",)
+    st = os.stat(os.path.join(root, "_txlog", f"{vs[0]:020d}.json"))
+    return (vs[0], st.st_ino, st.st_mtime_ns, st.st_size)
+
+
 @functools.lru_cache(maxsize=64)
-def _table_handle(root: str):
+def _table_handle(root: str, identity: tuple = ("empty",)):
     """A spark-less TxTable handle for driver-side log resolution (the
     source is local-path-only, see _local_path): v2 delta manifests
     need checkpoint+sidecar replay, which the handle owns — and its
     per-version entry cache (manifests are immutable) keeps the
-    per-microbatch planInputPartitions walk O(new commits)."""
+    per-microbatch planInputPartitions walk O(new commits).
+
+    ``identity`` (_log_identity) is part of the cache key (ADVICE r10,
+    medium): the handle's per-version entry cache is keyed only by
+    version NUMBER, so a long-lived source holding a handle for a
+    dropped-and-recreated table would silently serve the OLD table's
+    resolved entries for reused version numbers.  Keying the lru_cache
+    by the log's identity fingerprint drops the stale handle the
+    moment the log is replaced."""
     from .fs import PosixFS
     from .txtable import TxTable
 
@@ -131,7 +152,7 @@ def _table_handle(root: str):
 
 
 def _read_manifest(root: str, version: int) -> dict:
-    return _table_handle(root).manifest(version)
+    return _table_handle(root, _log_identity(root)).manifest(version)
 
 
 def _shape(manifest: dict) -> tuple[str, str]:

@@ -100,6 +100,35 @@ _INHERIT = object()
 #: which by this invariant never contains a reserved name).
 _RESERVED_COLS = frozenset({"_tx_file", "_tx_key", "_tx_pos"})
 
+#: table-metadata manifest fields that must be byte-identical between a
+#: transaction's base manifest and the winning head for a REBASE to be
+#: legal (see _commit_or_rebase) — Delta's metadata-conflict class: a
+#: concurrent schema / partition-layout / mapping / constraint /
+#: generated-column change invalidates files staged (and validated)
+#: against the old metadata, so the transaction must re-derive.
+_REBASE_META = (
+    "schema",
+    "partition_by",
+    "column_mapping",
+    "constraints",
+    "generated",
+)
+
+#: manifest feature gates (Delta's reader/writer protocol features,
+#: VERDICT r10 next #8): a manifest may carry
+#: ``features: {"reader": [...], "writer": [...]}``; a reader that does
+#: not recognize every listed reader feature must refuse to resolve the
+#: snapshot, and a writer that does not recognize every writer feature
+#: must refuse to commit — loudly and specifically, instead of
+#: misreading an era it predates.  The lists are carried forward by
+#: every commit (the stream_floors discipline).
+_SUPPORTED_READER_FEATURES = frozenset({"v2-log"})
+_SUPPORTED_WRITER_FEATURES = frozenset({"v2-log", "copy-registry"})
+
+
+def _same_json(a, b) -> bool:
+    return json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True)
+
 
 def _col_mapping(manifest: dict) -> dict[str, str]:
     """logical -> PHYSICAL column names for one manifest.  Tables start
@@ -352,6 +381,17 @@ class TxTable:
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         raw = self._manifest_raw(version)
+        unknown_r = sorted(
+            set((raw.get("features") or {}).get("reader") or [])
+            - _SUPPORTED_READER_FEATURES
+        )
+        if unknown_r:
+            raise RuntimeError(
+                f"cannot read {self.path} at version {version}: the "
+                f"table log requires reader feature(s) {unknown_r} this "
+                "engine version does not implement; upgrade the reader "
+                "(protocol feature gate, see _SUPPORTED_READER_FEATURES)"
+            )
         if "files" not in raw:
             out = {k: v for k, v in raw.items() if k != "delta"}
             out["files"] = self._resolve_entries(version)
@@ -523,14 +563,25 @@ class TxTable:
         the result to snapshot()/manifest().  Raises for a timestamp
         before the first RETAINED commit (pre-v2 manifests without a
         recorded time fall back to the log file's mtime, so vacuumed-
-        then-restored logs stay addressable)."""
+        then-restored logs stay addressable).
+
+        Commit times are CLAMPED monotone in version order while
+        scanning (ADVICE r10, Delta's commit-timestamp monotonicity
+        rule): multi-writer clock skew — or an mtime fallback
+        interleaved with recorded times — can stamp a later version
+        with an earlier wall time, and without the clamp 'latest
+        version with time <= ts' could return a version NEWER than one
+        a reader at ts actually saw."""
         best = None
+        prev = float("-inf")
         for v in self.versions():
             at = self._manifest_raw(v).get("committed_at")
             if at is None:
                 at = self.fs.mtime(
                     posixpath.join(self._log, _manifest_name(v))
                 )
+            at = max(at, prev)
+            prev = at
             if at <= ts:
                 best = v
         if best is None:
@@ -1129,6 +1180,8 @@ class TxTable:
         table_stats: dict | object = _INHERIT,
         generated: dict[str, str] | None | object = _INHERIT,
         extra: dict | None = None,
+        copy_registry: dict | None | object = _INHERIT,
+        features: dict | None | object = _INHERIT,
     ) -> int:
         """``stream_floors`` — per-logical-stream highest committed
         batch id (TxTableStreamSink's durable exactly-once floor, keyed
@@ -1155,8 +1208,36 @@ class TxTable:
             or constraints is _INHERIT
             or table_stats is _INHERIT
             or generated is _INHERIT
+            or copy_registry is _INHERIT
+            or features is _INHERIT
         ):
             parent = self.manifest(base_version)
+        if features is _INHERIT:
+            # protocol feature lists ride every commit forward, like
+            # stream_floors — a feature-gated table stays gated
+            features = (
+                parent.get("features") if parent is not None else None
+            )
+        if features:
+            unknown_w = sorted(
+                set(features.get("writer") or [])
+                - _SUPPORTED_WRITER_FEATURES
+            )
+            if unknown_w:
+                raise RuntimeError(
+                    f"cannot write {self.path}: the table log requires "
+                    f"writer feature(s) {unknown_w} this engine version "
+                    "does not implement; upgrade the writer (protocol "
+                    "feature gate, see _SUPPORTED_WRITER_FEATURES)"
+                )
+        if copy_registry is _INHERIT:
+            # the COPY INTO idempotence registry (see copy_into) is
+            # carried forward by every commit so vacuum can never erase
+            # ingest memory (ADVICE r10: the per-manifest copy_into keys
+            # alone forgot files once their manifests were pruned)
+            copy_registry = (
+                parent.get("copy_registry") if parent is not None else None
+            )
         if stream_floors is None and parent is not None:
             stream_floors = _stream_floors(parent)
         if table_stats is _INHERIT:
@@ -1204,6 +1285,12 @@ class TxTable:
             manifest["table_stats"] = dict(table_stats)
         if generated:
             manifest["generated"] = dict(generated)
+        if copy_registry:
+            manifest["copy_registry"] = dict(copy_registry)
+        if features:
+            manifest["features"] = {
+                k: sorted(v) for k, v in features.items() if v
+            }
         if extra:
             # commit-scoped metadata a VERB records about itself (e.g.
             # copy_into's ingested source-file names) — not carried
@@ -1303,6 +1390,118 @@ class TxTable:
                 )
         return version
 
+    # ----------------------------- op-aware commit conflict resolution
+    def _rebase_entries(
+        self,
+        op: str,
+        base_m: dict,
+        head_m: dict,
+        base_state: dict,
+        removed_keys: set,
+        adds: list[dict],
+    ) -> list[dict]:
+        """Delta-style LOGICAL conflict check (VERDICT r10 next #1):
+        given a transaction that read ``base_m`` and wants to remove
+        ``removed_keys`` / add ``adds``, decide whether the interleaved
+        commits up to ``head_m`` COMMUTE with it.  They do when (a) no
+        table metadata changed (_REBASE_META — schema, layout, mapping,
+        constraints, generated columns: staged files were validated
+        against the old metadata) and (b) every file this transaction
+        read-and-removes is still present UNCHANGED at head (an
+        interleaved rewrite/vector/remove of an input file means the
+        transaction computed from stale bytes).  Commuting interleaves
+        — append vs append, compact vs disjoint append, delete_dv vs
+        append, scoped compacts of disjoint partitions — REBASE: the
+        transaction's delta replays onto head's file state and lands
+        without re-running its plan.  Anything else raises a specific
+        CommitConflict and the verb falls back to re-derivation (or
+        surfaces it, per verb).  Isolation level for rebasing verbs is
+        WriteSerializable (Delta's default): a delete_dv that rebases
+        over a concurrent blind append serializes logically BEFORE the
+        append, so appended rows matching the predicate survive."""
+        changed = [
+            f
+            for f in _REBASE_META
+            if not _same_json(base_m.get(f), head_m.get(f))
+        ]
+        if changed:
+            raise CommitConflict(
+                f"{op} on {self.path}: concurrent commit "
+                f"{head_m['version']} (op {head_m.get('op')!r}) changed "
+                f"table metadata/layout ({', '.join(changed)}); "
+                "re-derive against the new snapshot"
+            )
+        head_state = {self._entry_key(e): e for e in head_m["files"]}
+        for k in removed_keys:
+            if not _same_json(base_state.get(k), head_state.get(k)):
+                raise CommitConflict(
+                    f"{op} on {self.path}: concurrent commit(s) up to "
+                    f"{head_m['version']} (head op {head_m.get('op')!r}) "
+                    f"rewrote, vectored, or removed input file {k[1]!r}; "
+                    "re-derive against the new snapshot"
+                )
+        out = {
+            k: e for k, e in head_state.items() if k not in removed_keys
+        }
+        for e in adds:
+            out[self._entry_key(e)] = e
+        return self._canon_order(out.values())
+
+    def _commit_or_rebase(
+        self,
+        entries: list[dict],
+        op: str,
+        base_m: dict,
+        max_retries: int = 5,
+        extra: dict | None = None,
+        copy_registry: dict | None | object = _INHERIT,
+        features: dict | None | object = _INHERIT,
+    ) -> int:
+        """Commit ``entries`` against ``base_m``; on a lost commit race,
+        classify the interleaved commits (_rebase_entries) instead of
+        blanket re-stage-and-retry — disjoint data commits rebase and
+        land without re-running the plan, so concurrent writers whose
+        file sets don't overlap no longer serialize behind each other
+        (the multi-writer property a 100 TB deployment needs).  Raises
+        CommitConflict when the interleave logically conflicts; the
+        caller decides whether to re-derive or surface it."""
+        base_state = {self._entry_key(e): e for e in base_m["files"]}
+        desired = {self._entry_key(e): e for e in entries}
+        removed_keys = {
+            k
+            for k, e in base_state.items()
+            if k not in desired or not _same_json(e, desired[k])
+        }
+        adds = [
+            e
+            for k, e in desired.items()
+            if k not in base_state or not _same_json(base_state[k], e)
+        ]
+        schema = StructType.fromJson(json.loads(base_m["schema"]))
+        pcol = base_m.get("partition_by")
+        cur_version, cur_entries = base_m["version"], entries
+        for _ in range(max_retries):
+            try:
+                return self._commit(
+                    cur_entries,
+                    op,
+                    cur_version,
+                    schema,
+                    pcol,
+                    extra=extra,
+                    copy_registry=copy_registry,
+                    features=features,
+                )
+            except CommitConflict:
+                head = self.manifest()
+                cur_entries = self._rebase_entries(
+                    op, base_m, head, base_state, removed_keys, adds
+                )
+                cur_version = head["version"]
+        raise CommitConflict(
+            f"{op} on {self.path} lost {max_retries} commit races"
+        )
+
     @staticmethod
     def _check_schema(df: DataFrame, table_schema: StructType) -> None:
         """Raise unless ``df`` carries exactly the table's columns (by
@@ -1373,13 +1572,16 @@ class TxTable:
 
     def append(self, df: DataFrame, max_retries: int = 5) -> int:
         """Blind append: stage once, then race to commit; on conflict the
-        new base's file list is re-read and the SAME staged files are
-        re-proposed — CONCURRENT APPENDS never invalidate each other.
-        A concurrent overwrite that changed the table LAYOUT (partition
-        column or schema) does invalidate the staged files, so the retry
-        re-validates both and surfaces a CommitConflict instead of
-        committing a manifest whose entries mix layouts (which would
-        make the latest version unreadable).
+        staged files REBASE onto the new head (_commit_or_rebase) —
+        CONCURRENT APPENDS never invalidate each other, and an append
+        racing a compact / delete / copy_into lands without restaging
+        too (its read set is empty, so any pure data interleave
+        commutes).  A concurrent change to the table's metadata/layout
+        (partition column, schema, column mapping, constraints, or
+        generated columns) DOES invalidate the staged files — they were
+        written and validated against the old metadata — so the rebase
+        check surfaces a CommitConflict instead of committing a
+        manifest whose entries mix layouts or dodge a new invariant.
 
         The incoming frame must MATCH the table schema (names + types;
         nullability free): parquet reads match columns by name, so a
@@ -1387,50 +1589,54 @@ class TxTable:
         would read back as NULLs and its extra columns would vanish,
         silent corruption.  Schema changes go through overwrite()."""
         base = self.manifest()
-        pcol = base.get("partition_by")
-        schema_json = base["schema"]
-        cmap = base.get("column_mapping")
         df, gen_guards = self._complete_generated(df, _generated(base))
-        self._check_schema(df, StructType.fromJson(json.loads(schema_json)))
-        staged = self._stage(
-            df, pcol, _col_mapping(base), _constraints(base) + gen_guards
+        self._check_schema(
+            df, StructType.fromJson(json.loads(base["schema"]))
         )
-        for _ in range(max_retries):
-            base = self.manifest()
-            if (
-                base.get("partition_by") != pcol
-                or base["schema"] != schema_json
-                # mapping can drift under an unchanged schema JSON via
-                # drop + re-add of the same trailing column — the staged
-                # files' physical names would no longer match
-                or base.get("column_mapping") != cmap
-            ):
-                raise CommitConflict(
-                    f"append to {self.path}: table layout changed "
-                    "concurrently (partition column or schema); restage "
-                    "the append against the new layout"
-                )
-            try:
-                return self._commit(
-                    base["files"] + staged,
-                    "append",
-                    base["version"],
-                    StructType.fromJson(json.loads(base["schema"])),
-                    base.get("partition_by"),
-                )
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            f"append to {self.path} lost {max_retries} commit races"
+        staged = self._stage(
+            df,
+            base.get("partition_by"),
+            _col_mapping(base),
+            _constraints(base) + gen_guards,
+        )
+        return self._commit_or_rebase(
+            base["files"] + staged, "append", base, max_retries
         )
 
-    def _ingested_files(self) -> set[str]:
+    def _ingested_files_legacy(self) -> set[str]:
         """Source paths previous copy_into commits recorded, unioned
         over every RETAINED manifest."""
         out: set[str] = set()
         for v in self.versions():
             out.update(self._manifest_raw(v).get("copy_into") or [])
         return out
+
+    def _ingested_files(self, base: dict | None = None) -> set[str]:
+        """Source paths previous copy_into commits ingested — COPY
+        INTO's idempotence memory.  With a ``copy_registry`` (the
+        cumulative ingest set in one columnar sidecar, referenced by a
+        manifest key EVERY commit carries forward like stream_floors)
+        this is one O(ingested files) sidecar read, independent of log
+        length, and vacuum() can never erase it: whatever manifest
+        survives retention still references the registry (ADVICE r10 —
+        the per-manifest union both forgot files once their manifests
+        were pruned AND cost O(versions) parses per call).  Legacy
+        tables without a registry fall back to the retained-manifest
+        union once; their next copy_into writes the registry and flips
+        the ``copy-registry`` WRITER feature so a pre-registry writer
+        (whose commits would not carry the reference forward) fails
+        loudly instead of silently dropping the memory."""
+        if base is None:
+            base = self.manifest()
+        reg = base.get("copy_registry")
+        if reg is not None:
+            return {
+                e["src"]
+                for e in self._read_entries_parquet(
+                    self._sidecar_abs(reg["sidecar"])
+                )
+            }
+        return self._ingested_files_legacy()
 
     def copy_into(
         self,
@@ -1446,23 +1652,29 @@ class TxTable:
         Returns (committed version, newly ingested source paths), or
         (None, []) when everything already landed.
 
-        File-level memory: each copy_into commit records its source
-        paths in its own manifest (``copy_into`` key, O(this batch)
-        bytes); the already-loaded set is the union over RETAINED
-        manifests — the same retention caveat Delta documents for its
-        COPY INTO: vacuuming manifests past a copy_into commit forgets
-        its files, so keep retention longer than the landing horizon.
-        Schema, constraints, and generated columns are enforced
-        exactly as in append().  A concurrent copy_into that ingested
-        an overlapping file surfaces as a loud CommitConflict — the
-        re-run then skips what landed."""
+        File-level memory: the CUMULATIVE ingested set lives in one
+        columnar ``copy_registry`` sidecar referenced by a manifest key
+        every later commit carries forward (the stream_floors
+        discipline), so — unlike the retention caveat Delta documents
+        for its COPY INTO — vacuuming past a copy_into commit can NOT
+        re-ingest its files: whatever manifest survives still knows the
+        registry (ADVICE r10).  The manifest JSON stays O(1); only
+        copy_into itself rewrites the registry (O(total ingested),
+        columnar + zstd), and each commit also records its OWN batch
+        under the ``copy_into`` key for auditability.  The first
+        registry write flips the ``copy-registry`` writer feature, so a
+        pre-registry engine fails loudly instead of committing manifests
+        that silently drop the memory.  Schema, constraints, and
+        generated columns are enforced exactly as in append().  A
+        concurrent copy_into that ingested an overlapping file surfaces
+        as a loud CommitConflict — the re-run then skips what landed."""
         src_dir = str(src_dir).rstrip("/")
         found = sorted(self.fs.glob(src_dir, pattern))
-        new = [p for p in found if p not in self._ingested_files()]
+        base = self.manifest()
+        new = [p for p in found if p not in self._ingested_files(base)]
         if not new:
             return None, []
         df = self.spark.read.parquet(*new)
-        base = self.manifest()
         pcol = base.get("partition_by")
         schema_json = base["schema"]
         cmap = base.get("column_mapping")
@@ -1484,7 +1696,11 @@ class TxTable:
                     f"copy_into {self.path}: table layout changed "
                     "concurrently; re-run against the new layout"
                 )
-            overlap = set(new) & self._ingested_files()
+            # O(1) with a registry: one manifest key + one sidecar read
+            # per retry, never a log walk (ADVICE r10 was O(versions^2)
+            # across a many-batch backfill)
+            ingested = self._ingested_files(base)
+            overlap = set(new) & ingested
             if overlap:
                 raise CommitConflict(
                     f"copy_into {self.path}: {len(overlap)} source "
@@ -1492,6 +1708,18 @@ class TxTable:
                     f"{sorted(overlap)[0]!r}); re-run to load only "
                     "the remainder"
                 )
+            registry = sorted(ingested | set(new))
+            sidecar = f"cr-{uuid.uuid4().hex}.parquet"
+            self.fs.mkdirs(self._log)
+            self._write_entries_parquet(
+                self._sidecar_abs(sidecar), [{"src": p} for p in registry]
+            )
+            feats = {
+                k: list(v) for k, v in (base.get("features") or {}).items()
+            }
+            feats["writer"] = sorted(
+                set(feats.get("writer") or []) | {"copy-registry"}
+            )
             try:
                 return (
                     self._commit(
@@ -1501,10 +1729,17 @@ class TxTable:
                         StructType.fromJson(json.loads(base["schema"])),
                         base.get("partition_by"),
                         extra={"copy_into": new},
+                        copy_registry={
+                            "sidecar": sidecar,
+                            "n": len(registry),
+                        },
+                        features=feats,
                     ),
                     new,
                 )
             except CommitConflict:
+                # the loser's registry sidecar is unreferenced garbage
+                self.fs.delete(self._sidecar_abs(sidecar))
                 continue
         raise CommitConflict(
             f"copy_into {self.path} lost {max_retries} commit races"
@@ -2365,12 +2600,17 @@ class TxTable:
             from ..operators.zorder import zorder_frame
 
             df = zorder_frame(src, list(zorder_by), n_files)
-        return self._commit(
+        # _commit_or_rebase: a compact racing disjoint data commits
+        # (appends, a scoped compact of another partition) rebases and
+        # lands without re-reading or re-staging a byte — only an
+        # interleave that rewrote one of the IN-SCOPE files, or a
+        # metadata change, surfaces as CommitConflict (the caller
+        # re-runs the maintenance job then)
+        return self._commit_or_rebase(
             carry + self._stage(df, pcol, mapping, _constraints(m)),
             "compact",
-            m["version"],
-            schema,
-            pcol,
+            m,
+            max_retries=5,
         )
 
     def optimize_small(
@@ -2459,17 +2699,26 @@ class TxTable:
                 ).repartition(n)
                 staged += self._stage(df, pcol, mapping, cons)
             try:
-                self._commit(
-                    carry + staged, "optimize", m["version"], schema, pcol
+                # rebase first: a nightly OPTIMIZE racing a steady
+                # append stream lands without re-probing sizes or
+                # re-staging a byte (VERDICT r10 next #1's starvation
+                # case); only an interleave that touched an in-scope
+                # small file falls through to re-deriving the debt
+                return self._commit_or_rebase(
+                    carry + staged, "optimize", m, max_retries
                 )
-                return m["version"] + 1
             except CommitConflict:
                 continue  # re-derive the debt against the new base
         raise CommitConflict(
             f"optimize_small on {self.path} lost {max_retries} commit races"
         )
 
-    def delete(self, predicate, max_retries: int = 5) -> int:
+    def delete(
+        self,
+        predicate,
+        max_retries: int = 5,
+        isolation: str = "write_serializable",
+    ) -> int:
         """Row-level DELETE as one manifest commit (takedown/GDPR — the
         routine LLM-corpus operation VERDICT r4 flagged missing): rows
         where ``predicate`` is TRUE are removed; rows where it is FALSE
@@ -2485,11 +2734,22 @@ class TxTable:
         vacuum() is what actually destroys the bytes, so a takedown is
         delete() + vacuum() once the retention window allows.
 
-        Concurrent commits are absorbed by recompute-and-retry (the
-        merge discipline, not append's blind re-propose: the file set
-        must be re-derived against the new base).  Returns the committed
-        version — or the CURRENT version unchanged when nothing matches
-        (a no-op writes no manifest).
+        Concurrency (op-aware, VERDICT r10 next #1): under the default
+        ``isolation="write_serializable"`` (Delta's default level) a
+        lost commit race first attempts a REBASE — if the interleaved
+        commits neither touched this delete's hit files nor changed
+        table metadata (e.g. a blind append, a compact of other files),
+        the already-staged rewrite lands on the new head without
+        re-running the plan; the delete then serializes logically
+        BEFORE the interleave, so concurrently-appended rows matching
+        the predicate survive (exactly Delta's WriteSerializable
+        contract).  ``isolation="serializable"`` skips the rebase and
+        always re-derives against the new snapshot, so the delete also
+        sees concurrently-appended rows.  A genuinely conflicting
+        interleave (rewrote a hit file, changed metadata) re-derives
+        under either level.  Returns the committed version — or the
+        CURRENT version unchanged when nothing matches (a no-op writes
+        no manifest).
 
         Cascading into derived dedup stores is the caller's job:
         operators/dedup.index_delete_ids (band/shingle/fingerprint
@@ -2497,6 +2757,11 @@ class TxTable:
         stores) take the deleted rows — readable from the pre-delete
         snapshot via time travel — and produce the post-delete store
         without a corpus recompute (gate t56)."""
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(
+                f"delete: unknown isolation {isolation!r} (use "
+                "'write_serializable' or 'serializable')"
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         for _ in range(max_retries):
             m = self.manifest()
@@ -2543,6 +2808,13 @@ class TxTable:
                 # that also read as unprunable under data skipping
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
             staged = self._stage(survivors, pcol, _col_mapping(m), _constraints(m))
+            if isolation == "write_serializable":
+                try:
+                    return self._commit_or_rebase(
+                        carry + staged, "delete", m, max_retries
+                    )
+                except CommitConflict:
+                    continue  # logical conflict: re-derive
             try:
                 self._commit(
                     carry + staged, "delete", m["version"], schema, pcol
@@ -2575,7 +2847,12 @@ class TxTable:
             posixpath.relpath(commit_dir, self.path), rels[0]
         )
 
-    def delete_dv(self, predicate, max_retries: int = 5) -> int:
+    def delete_dv(
+        self,
+        predicate,
+        max_retries: int = 5,
+        isolation: str = "write_serializable",
+    ) -> int:
         """Row-level DELETE via DELETION VECTORS — the merge-on-read
         twin of :meth:`delete` (Delta's deletion-vector DML
         re-expressed on the manifest log).  Matching rows' (file,
@@ -2604,9 +2881,19 @@ class TxTable:
         compact) + vacuum before the bytes are truly gone: the vector
         hides rows, the rewrite removes them.
 
-        Concurrent commits are absorbed by recompute-and-retry (the
-        delete() discipline).  Returns the committed version, or the
-        current version unchanged on no match."""
+        Concurrency follows delete()'s op-aware discipline: under the
+        default ``isolation="write_serializable"`` a lost race rebases
+        the vectored entries onto the new head when the interleave is
+        disjoint (the VERDICT r10 "delete_dv vs append" case — the
+        delete serializes logically before the append, whose rows
+        survive); ``"serializable"`` always re-derives.  Returns the
+        committed version, or the current version unchanged on no
+        match."""
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(
+                f"delete_dv: unknown isolation {isolation!r} (use "
+                "'write_serializable' or 'serializable')"
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         for _ in range(max_retries):
             m = self.manifest()
@@ -2669,6 +2956,13 @@ class TxTable:
                 ne = {k: v for k, v in e.items() if k != "dv"}
                 ne["dv"] = {"path": dv_rel, "count": old_n + int(hits_n)}
                 new_entries.append(ne)
+            if isolation == "write_serializable":
+                try:
+                    return self._commit_or_rebase(
+                        new_entries, "delete_dv", m, max_retries
+                    )
+                except CommitConflict:
+                    continue  # logical conflict: re-derive
             try:
                 self._commit(
                     new_entries, "delete_dv", m["version"], schema, pcol
@@ -2718,19 +3012,29 @@ class TxTable:
         every batch touches a tiny key range.  Old versions still
         time-travel to the pre-merge data until vacuum().
 
-        Concurrent commits are absorbed by recompute-and-retry (the
-        delete() discipline: the hit-file set must be re-derived
-        against the new base).
+        Concurrent commits are absorbed by recompute-and-retry — merge
+        deliberately does NOT take the _commit_or_rebase fast path the
+        disjoint verbs use: its read set is the WHOLE table (the
+        matched/unmatched split joins against every visible row, and
+        insert_unmatched's semantics depend on which keys exist), so a
+        rebase over any interleaved data commit could silently
+        duplicate or drop an upsert.  Only full re-derivation is sound
+        here, under either isolation level.
 
         ``evolve_schema=True`` (Delta's MERGE ``withSchemaEvolution``):
         source columns absent from the table — other than
-        ``delete_col`` — are first ADDED via the metadata-only
-        add_columns commit (nullable, typed from the source frame), so
-        a CDC feed that grew a field merges without an operator
-        stopping the pipeline to run DDL.  Untouched files NULL-
-        backfill the new columns by parquet schema-on-read; with the
-        default False, a wider source still fails loudly on the exact-
-        schema rule."""
+        ``delete_col`` — are ADDED (nullable, typed from the source
+        frame) WITHIN the merge commit itself, so a CDC feed that grew
+        a field merges without an operator stopping the pipeline to run
+        DDL, and — exactly like Delta's atomic withSchemaEvolution — a
+        merge that fails (constraint violation, exhausted races) leaves
+        NO trace: the schema does not evolve without the data change
+        (ADVICE r10; the previous standalone add_columns commit could
+        outlive a failed merge, and could race a concurrent identical
+        evolution).  Untouched files NULL-backfill the new columns by
+        parquet schema-on-read; rewritten survivors carry explicit
+        NULLs.  With the default False, a wider source still fails
+        loudly on the exact-schema rule."""
         keys = [on] if isinstance(on, str) else list(on)
         if not keys:
             raise ValueError("merge: 'on' must name at least one key column")
@@ -2739,20 +3043,6 @@ class TxTable:
                 raise ValueError(f"merge: key column {k!r} not in source")
         if delete_col is not None and delete_col not in source.columns:
             raise ValueError(f"merge: delete_col {delete_col!r} not in source")
-        if evolve_schema:
-            tbl_cols = {
-                f.name
-                for f in StructType.fromJson(
-                    json.loads(self.manifest()["schema"])
-                ).fields
-            }
-            extra = {
-                f.name: f.dataType.simpleString()
-                for f in source.schema.fields
-                if f.name not in tbl_cols and f.name != delete_col
-            }
-            if extra:
-                self.add_columns(extra, max_retries=max_retries)
         is_del = (
             F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
             if delete_col is not None
@@ -2780,7 +3070,29 @@ class TxTable:
         m0 = self.manifest()
         schema_json0 = m0["schema"]
         pcol0 = m0.get("partition_by")
-        schema = StructType.fromJson(json.loads(schema_json0))
+        base_schema = StructType.fromJson(json.loads(schema_json0))
+        # in-commit schema evolution: compute the widened schema (and,
+        # on a mapping-active table, fresh never-used physical names —
+        # add_columns' anti-resurrection rule) but commit NOTHING yet;
+        # the evolution rides the merge's own manifest
+        schema = base_schema
+        evolved_cmap: dict[str, str] | None | object = _INHERIT
+        new_fields = []
+        if evolve_schema:
+            tbl_cols = {f.name for f in base_schema.fields}
+            new_fields = [
+                f
+                for f in source.schema.fields
+                if f.name not in tbl_cols and f.name != delete_col
+            ]
+            if new_fields:
+                schema = StructType(list(base_schema.fields))
+                for f in new_fields:
+                    schema = schema.add(f.name, f.dataType, True)
+                if m0.get("column_mapping") is not None:
+                    evolved_cmap = dict(m0["column_mapping"])
+                    for f in new_fields:
+                        evolved_cmap[f.name] = _fresh_physical(f.name)
         data_cols = [f.name for f in schema.fields]
         src, gen_guards = self._complete_generated(src, _generated(m0))
         self._check_schema(src.drop(*([delete_col] if delete_col else [])), schema)
@@ -2804,7 +3116,6 @@ class TxTable:
                     "mapping); restage the merge against the new layout"
                 )
             pcol = m.get("partition_by")
-            schema = StructType.fromJson(json.loads(m["schema"]))
             snap = self.snapshot(m["version"], _with_file=True)
             hit_uris = [
                 r._tx_file
@@ -2827,17 +3138,24 @@ class TxTable:
                     "match the manifest (concurrent vacuum?)"
                 )
             # survivors: unmatched rows of the hit files only (matched
-            # rows are replaced by their source version or dropped)
-            survivors = (
-                snap.filter(F.col("_tx_file").isin(hit_uris))
-                .join(src_keys, on=keys, how="left_anti")
-                .select(data_cols)
+            # rows are replaced by their source version or dropped);
+            # under in-commit evolution the rewritten survivors carry
+            # the new columns as explicit NULLs
+            survivors = snap.filter(F.col("_tx_file").isin(hit_uris)).join(
+                src_keys, on=keys, how="left_anti"
             )
+            for f in new_fields:
+                survivors = survivors.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+            survivors = survivors.select(data_cols)
             if pcol is None and hit_uris:
                 # narrow coalesce, same reason as delete(): without it
                 # the scan's partitioning stages empty part files
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
             mapping = _col_mapping(m)
+            if new_fields and evolved_cmap is not _INHERIT:
+                mapping = dict(evolved_cmap)
             cons = _constraints(m) + gen_guards
             staged = (
                 self._stage(survivors, pcol, mapping, cons) if hit_uris else []
@@ -2848,7 +3166,14 @@ class TxTable:
                     ins = ins.join(snap.select(keys), on=keys, how="leftsemi")
                 staged += self._stage(ins, pcol, mapping, cons)
             try:
-                self._commit(carry + staged, "merge", m["version"], schema, pcol)
+                self._commit(
+                    carry + staged,
+                    "merge",
+                    m["version"],
+                    schema,
+                    pcol,
+                    column_mapping=evolved_cmap,
+                )
                 return m["version"] + 1
             except CommitConflict:
                 continue  # re-derive against the new snapshot
@@ -2972,16 +3297,27 @@ class TxTable:
                     self.write_checkpoint(oldest)
             for v in pruned:
                 self.fs.delete(posixpath.join(self._log, _manifest_name(v)))
+        # copy_into registry sidecars referenced by RETAINED manifests
+        # are the ingest-idempotence memory — they must survive however
+        # deep the vacuum (the whole point of the carried registry);
+        # superseded/loser registries are log garbage like any sidecar
+        live_registries = set()
+        for v in keep:
+            reg = self._manifest_raw(v).get("copy_registry")
+            if reg:
+                live_registries.add(reg["sidecar"])
         # the same min-age guard applies to unreferenced sidecars — a
         # fresh one may belong to a commit in flight
-        for p in self.fs.glob(self._log, "sc-*.parquet"):
-            if posixpath.basename(p) in referenced:
-                continue
-            if now - self.fs.mtime(p) < min_age_seconds:
-                continue
-            if not dry_run:
-                self.fs.delete(p)
-            removed.append(p)
+        for pat in ("sc-*.parquet", "cr-*.parquet"):
+            for p in self.fs.glob(self._log, pat):
+                name = posixpath.basename(p)
+                if name in referenced or name in live_registries:
+                    continue
+                if now - self.fs.mtime(p) < min_age_seconds:
+                    continue
+                if not dry_run:
+                    self.fs.delete(p)
+                removed.append(p)
         floor = (keep[0] if keep else 0)
         for cv in self.checkpoint_versions():
             if cv >= floor:

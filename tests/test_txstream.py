@@ -336,3 +336,31 @@ def test_feed_streams_deletion_vector_commits(spark, tmp_path):
     })
     assert t.snapshot().count() == 20
     spark.catalog.dropTempView("dvf")
+
+
+def test_handle_cache_invalidated_on_drop_and_recreate(spark, tmp_path):
+    """ADVICE r10 (medium): the driver-side TxTable handle is cached
+    per root path, and its per-version entry cache is keyed only by
+    version NUMBER — a table dropped and recreated at the same path
+    must NOT serve the OLD table's resolved entries for reused version
+    numbers.  _log_identity (lowest retained manifest's stat
+    fingerprint) keys the lru_cache, so the stale handle is dropped
+    the moment the log is replaced."""
+    import shutil
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txstream import (
+        _read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    t = TxTable(spark, root)
+    t.init(_df(spark, [(1, "old")]))
+    old_files = _read_manifest(root, 1)["files"]
+    assert old_files  # handle + entry cache now warm for version 1
+
+    shutil.rmtree(root)  # DROP TABLE
+    t2 = TxTable(spark, root)  # recreate at the same path
+    t2.init(_df(spark, [(2, "new")]))
+    new_files = _read_manifest(root, 1)["files"]
+    assert new_files != old_files  # fresh handle, not the cached one
+    assert new_files == t2.manifest(1)["files"]

@@ -1967,9 +1967,11 @@ def test_timestamp_time_travel_and_commit_metrics(spark, tmp_path):
 
 
 def test_merge_schema_evolution(spark, tmp_path):
-    """evolve_schema=True auto-adds source-only columns (metadata-only
-    add_columns commit) before merging; the default still fails loudly
-    on the exact-schema rule; untouched files NULL-backfill."""
+    """evolve_schema=True auto-adds source-only columns WITHIN the
+    merge commit itself (ADVICE r10: Delta's withSchemaEvolution is
+    atomic — no standalone add_columns that could outlive a failed
+    merge); the default still fails loudly on the exact-schema rule;
+    untouched files NULL-backfill."""
     t = TxTable(spark, str(tmp_path / "t"))
     t.init(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(2))
     src = spark.createDataFrame(
@@ -1979,7 +1981,8 @@ def test_merge_schema_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         t.merge(src, "k", delete_col="dead")
     t.merge(src, "k", delete_col="dead", evolve_schema=True)
-    assert [h["op"] for h in t.history()] == ["init", "add_columns", "merge"]
+    # ONE commit: evolution and data change land atomically
+    assert [h["op"] for h in t.history()] == ["init", "merge"]
     got = {(r.k, r.v, r.score) for r in t.snapshot().collect()}
     assert got == {(1, "a", None), (2, "B", 7.5), (3, "c", None), (9, "i", 0.5)}
     # evolution is idempotent: a second evolved merge adds nothing new
@@ -1993,7 +1996,51 @@ def test_merge_schema_evolution(spark, tmp_path):
         evolve_schema=True,
     )
     assert [h["op"] for h in t.history()][-1] == "merge"
-    assert len(t.versions()) == 4  # no extra add_columns commit
+    assert len(t.versions()) == 3  # no extra add_columns commit
+
+
+def test_merge_schema_evolution_is_atomic_on_failure(spark, tmp_path):
+    """A merge that FAILS (constraint violation in the staged rewrite)
+    must leave the schema unevolved — the ADVICE r10 atomicity hole:
+    the old standalone add_columns commit persisted even when the merge
+    it served never landed."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.add_check_constraint("v_not_bad", "v <> 'bad'")
+    src = spark.createDataFrame(
+        [(2, "bad", 7.5)], "k long, v string, score double"
+    )
+    with pytest.raises(Exception, match="v_not_bad"):
+        t.merge(src, "k", evolve_schema=True)
+    # no trace: schema, history, and rows are exactly pre-merge
+    assert [f.name for f in t.snapshot().schema.fields] == ["k", "v"]
+    assert [h["op"] for h in t.history()] == [
+        "init", "add_constraint:v_not_bad",
+    ]
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_merge_schema_evolution_on_mapped_table(spark, tmp_path):
+    """In-commit evolution on a mapping-active table must give new
+    columns NEVER-USED physical names (add_columns' anti-resurrection
+    rule): a column added after a drop cannot read the dropped
+    column's bytes out of pre-drop files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 200.0)], "k long, v string, score double"
+    ).coalesce(1).createOrReplaceTempView("_seed")
+    t.init(spark.table("_seed"))
+    t.drop_column("score")  # mapping now active; old bytes remain
+    src = spark.createDataFrame(
+        [(2, "B", 9.5)], "k long, v string, score double"
+    )
+    t.merge(src, "k", evolve_schema=True)
+    m = t.manifest()
+    # the re-added 'score' maps to a fresh physical name, not 'score'
+    assert m["column_mapping"]["score"] != "score"
+    got = {(r.k, r.v, r.score) for r in t.snapshot().collect()}
+    # row 1 must NOT resurrect its dropped 100.0
+    assert got == {(1, "a", None), (2, "B", 9.5)}
 
 
 def test_snapshot_partition_pruning(spark, tmp_path):
