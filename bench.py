@@ -796,6 +796,85 @@ def run_codec_probe(spark=None) -> dict:
     }
 
 
+def run_bm25_index_probe(spark, sf_dir: str) -> dict:
+    """Incremental BM25 inverted-index maintenance (VERDICT r10 next
+    #6 'done' point): after appending a ~1/32 delta to a TxTable
+    corpus, refreshing the postings matview off the change feed
+    (tokenize transform, sources/matview.mv_refresh) must cost
+    O(delta × its tokens) — published against the from-scratch twin
+    (re-tokenize the whole corpus and materialize a fresh index, what
+    a non-incremental pipeline would run).  Both sides include their
+    index WRITE, so the ratio is end-to-end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        tokens,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.matview import (
+        mv_init,
+        mv_refresh,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    fac = 32
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    # corpus = 32 replicas with remapped ids and replica-salted text
+    # (the shared probe replication discipline) — the base holds
+    # replicas 0..30, the appended delta is replica 31: a 1/32 delta
+    # against a corpus big enough that re-tokenization dominates
+    big = _with_replicas(docs, fac).select(
+        (F.col("doc_id") * fac + F.col("_r")).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" r"), F.col("_r").cast("string")
+        ).alias("text"),
+        F.col("_r"),
+    )
+
+    def tok_rows(df):
+        return df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        ).filter(F.col("term") != "")
+
+    g = ["term", "doc_id"]
+    m = {"tf": "1"}
+    base = tempfile.mkdtemp(prefix="bench_bm25idx_")
+    try:
+        corpus = TxTable(spark, base + "/corpus")
+        corpus.init(
+            big.filter(F.col("_r") != fac - 1).drop("_r").repartition(8)
+        )
+        postings = TxTable(spark, base + "/postings")
+        mv_init(postings, corpus.snapshot(), g, m, transform=tok_rows)
+        v0 = corpus.latest_version()
+        corpus.append(
+            big.filter(F.col("_r") == fac - 1).drop("_r").coalesce(2)
+        )
+        t0 = time.perf_counter()
+        mv_refresh(postings, corpus, g, m, from_version=v0,
+                   transform=tok_rows)
+        refresh_sec = time.perf_counter() - t0
+        fresh = TxTable(spark, base + "/fresh_index")
+        t0 = time.perf_counter()
+        mv_init(fresh, corpus.snapshot(), g, m, transform=tok_rows)
+        recompute_sec = time.perf_counter() - t0
+        return {
+            "n_docs": int(corpus.snapshot().count()),
+            "delta_fraction": round(1.0 / fac, 4),
+            "incremental_refresh_sec": round(refresh_sec, 4),
+            "full_recompute_sec": round(recompute_sec, 4),
+            "speedup_vs_recompute": round(recompute_sec / refresh_sec, 2),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 #: Calibration-anchor nominals (VERDICT r10 next #4): the r10 driver
 #: and builder measured the SAME HEAD at sf0.1 2.6x apart (1.23 s vs
 #: 0.48 s) — pure machine contention, indistinguishable from a real
@@ -1166,6 +1245,10 @@ def main() -> None:
         probe["matview"] = run_matview_scale_probe(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
         errors["__matview_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        probe["bm25_index"] = run_bm25_index_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
+        errors["__bm25_index_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
     try:
         probe["codec"] = run_codec_probe(spark)
     except Exception as exc:  # noqa: BLE001 — record, continue

@@ -346,7 +346,18 @@ def mv_apply_changes(
     renames = {name: f"_old_{name}" for name in [*measures, "n_rows"]}
     for src, dst in renames.items():
         old = old.withColumnRenamed(src, dst)
-    joined = delta.join(old, on=group_cols, how="left")
+    # prune the stored state to the AFFECTED groups before joining: the
+    # delta names every group it touches, so the untouched majority of
+    # a large MV (a 100 TB postings index refreshing a 1/1000 delta)
+    # must never enter the join shuffle — the delta is localCheckpointed
+    # (sized), so AQE plans the semi join as a broadcast whenever the
+    # delta is small, turning the refresh's join cost into
+    # O(delta + affected groups) with one columnar scan of the MV
+    joined = delta.join(
+        old.join(delta.select(*group_cols), on=group_cols, how="leftsemi"),
+        on=group_cols,
+        how="left",
+    )
     zero = F.lit(0).cast(dec)
     new_cols = [
         (
@@ -363,5 +374,33 @@ def mv_apply_changes(
         *new_cols,
         new_n.alias("n_rows"),
         (new_n == 0).alias("_mv_dead"),
+        F.col("_old_n_rows").isNotNull().alias("_mv_matched"),
     )
-    return mv.merge(source, on=group_cols, delete_col="_mv_dead")
+    # one delta-sized materialization: the MV scan in the semi join
+    # above runs exactly once, and the fast-path probe below costs a
+    # memory read, not a re-scan
+    source = source.localCheckpoint(eager=True)
+    if source.isEmpty():
+        return mv.latest_version()
+    if source.filter(F.col("_mv_matched")).isEmpty():
+        # PURE-INSERT delta — every affected group is NEW (the
+        # streaming shape: an append-only base never revisits a
+        # group like a postings index fed fresh doc_ids).  merge()'s
+        # hit-file detection would scan the whole MV to find zero
+        # hits; append the new group rows directly instead — the
+        # refresh then costs ONE MV scan (the semi prune) + O(delta).
+        # A _mv_dead row cannot exist here: zero n_rows with no old
+        # state means the delta's inserts and deletes cancelled
+        # row-for-row, which the nonzero filter already dropped
+        # (transform is row-local and deterministic, so cancellation
+        # is exact) — guarded loudly all the same.
+        dead = source.filter(F.col("_mv_dead"))
+        if not dead.isEmpty():
+            raise RuntimeError(
+                "mv_apply_changes: unmatched group with net-zero rows "
+                "but nonzero measures — the transform is not row-local"
+            )
+        return mv.append(source.drop("_mv_dead", "_mv_matched"))
+    return mv.merge(
+        source.drop("_mv_matched"), on=group_cols, delete_col="_mv_dead"
+    )

@@ -123,11 +123,21 @@ def _log_identity(root: str) -> tuple:
     recreated at the same path — or a log restored out-of-band — gets
     a new lowest manifest file, so the fingerprint changes even when
     version NUMBERS are reused.  One os.stat per call; no JSON parse."""
-    vs = _log_versions(root)
-    if not vs:
-        return ("empty",)
-    st = os.stat(os.path.join(root, "_txlog", f"{vs[0]:020d}.json"))
-    return (vs[0], st.st_ino, st.st_mtime_ns, st.st_size)
+    for _ in range(3):
+        vs = _log_versions(root)
+        if not vs:
+            return ("empty",)
+        try:
+            st = os.stat(
+                os.path.join(root, "_txlog", f"{vs[0]:020d}.json")
+            )
+        except FileNotFoundError:
+            continue  # a concurrent vacuum pruned it: re-list
+        return (vs[0], st.st_ino, st.st_mtime_ns, st.st_size)
+    raise FileNotFoundError(
+        f"{root}: the lowest retained manifest kept vanishing while "
+        "fingerprinting the log (concurrent vacuum storm?)"
+    )
 
 
 @functools.lru_cache(maxsize=64)

@@ -402,3 +402,26 @@ def test_legacy_copy_into_keys_upgrade_to_registry(spark, tmp_path):
     assert [os.path.basename(p) for p in loaded] == ["b.parquet"]
     reg = t.manifest()["copy_registry"]
     assert reg["n"] == 2  # the registry absorbed the legacy keys
+
+
+def test_threaded_concurrent_appends_all_land(spark, tmp_path):
+    """TRUE concurrency (not injection): four driver threads race
+    three appends each against one table path.  Rebase means nobody
+    restages and nobody starves — all 12 rows land, one commit per
+    append."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    TxTable(spark, path).init(_df(spark, []))
+
+    def worker(i: int) -> None:
+        t = TxTable(spark, path)
+        for j in range(3):
+            t.append(_df(spark, [(i * 10 + j, f"w{i}")]), max_retries=25)
+
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(worker, range(4)))
+    t = TxTable(spark, path)
+    got = {r.k for r in t.snapshot().collect()}
+    assert got == {i * 10 + j for i in range(4) for j in range(3)}
+    assert t.latest_version() == 13  # init + 12 appends, no lost commits

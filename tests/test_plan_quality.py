@@ -360,3 +360,31 @@ def test_fuzzy_join_is_banded_not_allpairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_index_scoring_broadcasts_and_stays_jvm(spark):
+    """t99's maintained-index scorer (bm25_scores_from_index) shares
+    t94's plan discipline: query terms and per-term document
+    frequencies broadcast, no cartesian beyond the one-row corpus-stat
+    broadcast, no Python — the postings relation is the ONLY large
+    input and is never shuffled against anything bigger than |vocab|."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        bm25_scores_from_index,
+    )
+
+    postings = spark.createDataFrame(
+        [("alpha", 1, 2), ("beta", 1, 1), ("alpha", 2, 1)],
+        "term string, doc_id long, tf long",
+    )
+    dl = spark.createDataFrame([(1, 3), (2, 1)], "doc_id long, dl long")
+    stats = spark.createDataFrame([(2, 4)], "n_docs long, total_tokens long")
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    out = bm25_scores_from_index(postings, dl, stats, qt)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
