@@ -3657,27 +3657,58 @@ class TxTableStreamSink:
         staged = self.table._stage(
             df, pcol, _col_mapping(base), _constraints(base)
         )
-        floors = _stream_floors(base)
-        floors[self.app_id] = max(floor, batch_id)
-        # single writer per (table, app_id) by construction; a lost race
-        # here means another sink instance for the SAME stream committed
-        # this batch — re-check and drop out instead of double-appending
-        try:
-            self.table._commit(
-                base["files"] + staged,
-                _batch_op(self.app_id, batch_id),
-                base["version"],
-                StructType.fromJson(json.loads(base["schema"])),
-                pcol,
-                stream_floors=floors,
-            )
-        except CommitConflict:
-            if (
-                batch_id not in self.committed_batch_ids()
-                and batch_id > self._floor(self.table.manifest())
+        # Lost-race handling is op-aware (the _commit_or_rebase
+        # discipline, specialized for the sink's exactly-once guard): a
+        # DISJOINT interleaved commit — a maintenance optimize, another
+        # app's stream batch, a batch append — must not fail this
+        # micro-batch; the staged files re-propose onto the new head
+        # (floors max-merged from it) and the batch lands.  Per retry
+        # the exactly-once check re-runs FIRST: if another instance of
+        # the SAME app committed this batch_id in the interleave, drop
+        # out instead of double-appending.  A metadata/layout change
+        # stays loud — the staged files were validated against the old
+        # metadata, and a schema-changed table needs a restarted stream.
+        orig = base
+        committed = False
+        for _ in range(5):
+            if batch_id <= self._floor(base) or (
+                batch_id in self.committed_batch_ids()
             ):
-                raise
-            return
+                return  # another instance landed it while we raced
+            changed = [
+                f
+                for f in _REBASE_META
+                if not _same_json(orig.get(f), base.get(f))
+            ]
+            if changed:
+                raise CommitConflict(
+                    f"stream sink on {self.table.path}: concurrent "
+                    f"commit changed table metadata/layout "
+                    f"({', '.join(changed)}); restart the stream "
+                    "against the new layout"
+                )
+            floors = _stream_floors(base)
+            floors[self.app_id] = max(
+                floors.get(self.app_id, -1), batch_id
+            )
+            try:
+                self.table._commit(
+                    base["files"] + staged,
+                    _batch_op(self.app_id, batch_id),
+                    base["version"],
+                    StructType.fromJson(json.loads(base["schema"])),
+                    pcol,
+                    stream_floors=floors,
+                )
+                committed = True
+                break
+            except CommitConflict:
+                base = self.table.manifest()
+        if not committed:
+            raise CommitConflict(
+                f"stream sink on {self.table.path} lost 5 commit races "
+                f"for batch {batch_id}"
+            )
         # the count the commit just produced — no second manifest read
         # on the per-batch hot path
         self._maybe_compact(len(base["files"]) + len(staged))

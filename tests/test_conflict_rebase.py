@@ -425,3 +425,74 @@ def test_threaded_concurrent_appends_all_land(spark, tmp_path):
     got = {r.k for r in t.snapshot().collect()}
     assert got == {i * 10 + j for i in range(4) for j in range(3)}
     assert t.latest_version() == 13  # init + 12 appends, no lost commits
+
+
+def test_stream_sink_rebases_over_disjoint_commit(spark, tmp_path):
+    """A micro-batch racing a DISJOINT concurrent commit (a batch
+    append from another writer) must land, not fail the stream: the
+    staged batch re-proposes onto the new head with floors max-merged
+    from it."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    path = str(tmp_path / "t")
+    a = TxTable(spark, path)
+    a.init(_df(spark, []))
+    sink = TxTableStreamSink(a, app_id="s")
+    state = _inject_after_stage(
+        a, lambda: TxTable(spark, path).append(_df(spark, [(99, "z")]))
+    )
+    sink(_df(spark, [(1, "a")]), 0)
+    # one staging on this handle (the injected append staged via its
+    # own fresh handle): the batch landed by REBASE, not a restage
+    assert state["stages"] == 1
+    assert {r.k for r in a.snapshot().collect()} == {1, 99}
+    # the interleaved append carried no floor regression: batch 0 is
+    # recorded, a replay no-ops
+    sink(_df(spark, [(1, "a")]), 0)
+    assert {r.k for r in a.snapshot().collect()} == {1, 99}
+
+
+def test_stream_sink_duplicate_batch_race_stays_exactly_once(
+    spark, tmp_path
+):
+    """Two sink instances of the SAME app racing the SAME batch id:
+    the loser must detect the winner's commit on retry and drop out —
+    rebase must never double-append a batch."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    path = str(tmp_path / "t")
+    a = TxTable(spark, path)
+    a.init(_df(spark, []))
+    loser = TxTableStreamSink(a, app_id="s")
+    winner = TxTableStreamSink(TxTable(spark, path), app_id="s")
+    state = _inject_after_stage(
+        a, lambda: winner(_df(spark, [(1, "a")]), 0)
+    )
+    loser(_df(spark, [(1, "a")]), 0)  # stages, loses the race, drops out
+    assert state["stages"] == 1  # the winner staged on its own handle
+    rows = [r.k for r in a.snapshot().collect()]
+    assert rows == [1]  # exactly once
+    assert a.latest_version() == 2  # init + ONE stream commit
+
+
+def test_stream_sink_refuses_concurrent_layout_change(spark, tmp_path):
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTableStreamSink,
+    )
+
+    path = str(tmp_path / "t")
+    a = TxTable(spark, path)
+    a.init(_df(spark, [(1, "a")]))
+    sink = TxTableStreamSink(a, app_id="s")
+    _inject_after_stage(
+        a,
+        lambda: TxTable(spark, path).add_check_constraint(
+            "k_pos", "k >= 0"
+        ),
+    )
+    with pytest.raises(CommitConflict, match="metadata/layout"):
+        sink(_df(spark, [(2, "b")]), 0)
