@@ -349,12 +349,16 @@ def mv_apply_changes(
     # prune the stored state to the AFFECTED groups before joining: the
     # delta names every group it touches, so the untouched majority of
     # a large MV (a 100 TB postings index refreshing a 1/1000 delta)
-    # must never enter the join shuffle — the delta is localCheckpointed
-    # (sized), so AQE plans the semi join as a broadcast whenever the
-    # delta is small, turning the refresh's join cost into
-    # O(delta + affected groups) with one columnar scan of the MV
+    # must never enter a shuffle — when the delta's group-key set is
+    # small (it is checkpointed, so counting is a memory read) the semi
+    # join is FORCED to broadcast it, making the refresh's join cost
+    # one columnar MV scan + O(delta); a genuinely huge delta (a
+    # backfill) falls back to the planner's shuffled join
+    keys = delta.select(*group_cols)
+    if delta.count() <= 4_000_000:
+        keys = F.broadcast(keys)
     joined = delta.join(
-        old.join(delta.select(*group_cols), on=group_cols, how="leftsemi"),
+        old.join(keys, on=group_cols, how="leftsemi"),
         on=group_cols,
         how="left",
     )

@@ -180,3 +180,65 @@ def test_bpe_sampled_training_bounds_corpus_with_full_fidelity(spark):
         docs, "text", n_merges=6, sample_docs=n // 2
     )
     assert again == sampled
+
+
+def test_bm25_index_lifecycle_matches_recompute(spark, tmp_path):
+    """Bm25Index (the standing-service wrapper over the t99 machinery):
+    build from a corpus snapshot, absorb an append AND a delete_dv with
+    one refresh(), and score a query relation — row-identical to the
+    full-text recompute (shared scoring tail).  The absorbed-version
+    stamp is durable: a FRESH index object over the same roots resumes
+    (refresh is a no-op) and scores identically."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        Bm25Index,
+        bm25_scores_relational,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta beta delta"),
+            (3, "alpha delta epsilon zeta"),
+            (4, "gamma gamma gamma beta"),
+            (5, "epsilon alpha beta"),
+            (6, "zeta zeta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(docs.filter(F.col("doc_id") <= 4).coalesce(1))
+    idx = Bm25Index(corpus, str(tmp_path / "idx"))
+    idx.build()
+    corpus.append(docs.filter(F.col("doc_id") > 4).coalesce(1))
+    corpus.delete_dv("doc_id = 2")
+    assert idx.refresh() == corpus.latest_version()
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta"), (1, "zeta")],
+        "query_id long, term string",
+    )
+    got = {
+        (r.query_id, r.doc_id, r.n_terms_matched, r.score)
+        for r in idx.score(qt).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.n_terms_matched, r.score)
+        for r in bm25_scores_relational(
+            corpus.snapshot(), "doc_id", "text", qt
+        ).collect()
+    }
+    assert got == want and got  # identical, and non-empty
+    # durable resume: a fresh object no-ops and scores the same
+    idx2 = Bm25Index(corpus, str(tmp_path / "idx"))
+    v = idx2.postings.latest_version()
+    assert idx2.refresh() == corpus.latest_version()
+    assert idx2.postings.latest_version() == v  # commit-free no-op
+    got2 = {
+        (r.query_id, r.doc_id, r.n_terms_matched, r.score)
+        for r in idx2.score(qt).collect()
+    }
+    assert got2 == want
