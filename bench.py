@@ -647,6 +647,24 @@ def run_matview_scale_probe(
     ).localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="bench_matview_probe_")
     try:
+        # Whole-path warm-up BEFORE the measured loop (VERDICT r11
+        # wrong #2: the 1x point — which runs first — absorbed the
+        # init/refresh/recompute plans' first-touch codegen and read
+        # back HIGHER than the 32x point, flattering the slowdown
+        # ratio).  A miniature table exercises every plan shape the
+        # measured points use: init, mv_init, refresh-with-delta,
+        # recompute.
+        w_t = TxTable(spark, os.path.join(tmp, "warm_base"))
+        w_mv = TxTable(spark, os.path.join(tmp, "warm_mv"))
+        small = orders.limit(2000).localCheckpoint(eager=True)
+        wv = w_t.init(small)
+        mvx.mv_init(w_mv, w_t.snapshot(), g, measures)
+        wv2 = w_t.append(small.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(3000 * span)
+        ))
+        mvx.mv_refresh(w_mv, w_t, g, measures, wv, wv2)
+        mvx.mv_aggregate(w_t.snapshot(), g, measures).collect()
+
         points: dict[str, dict] = {}
         base_refresh = base_recompute = None
         for fac in (1, *factors):
@@ -668,6 +686,20 @@ def run_matview_scale_probe(
             t0 = time.perf_counter()
             mvx.mv_refresh(mv, t, g, measures, v1b, v2)
             refresh_sec = time.perf_counter() - t0
+            # fixed-vs-marginal split (VERDICT r11 next #7): a 1-row
+            # delta pays the refresh's full fixed path — change-feed
+            # plan, checkpoint, merge commit — with ~zero per-row
+            # work; refresh_sec minus it is the O(delta) part the
+            # flatness claim is actually about.
+            v3 = t.append(
+                delta.limit(1).withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.lit(4000 * span),
+                ).coalesce(1)
+            )
+            t0 = time.perf_counter()
+            mvx.mv_refresh(mv, t, g, measures, v2, v3)
+            fixed_sec = time.perf_counter() - t0
             t0 = time.perf_counter()
             mvx.mv_aggregate(t.snapshot(), g, measures).collect()
             recompute_sec = time.perf_counter() - t0
@@ -675,6 +707,10 @@ def run_matview_scale_probe(
                 base_refresh, base_recompute = refresh_sec, recompute_sec
             points[f"{fac}x"] = {
                 "refresh_sec": round(refresh_sec, 4),
+                "refresh_fixed_sec": round(fixed_sec, 4),
+                "refresh_marginal_sec": round(
+                    max(refresh_sec - fixed_sec, 0.0), 4
+                ),
                 "recompute_sec": round(recompute_sec, 4),
                 "base_rows": base_rows * fac,
                 "delta_rows": base_rows,
@@ -895,6 +931,24 @@ def run_bm25_index_probe(spark, sf_dir: str) -> dict:
         mv_refresh(postings, corpus, g, m, from_version=v0,
                    transform=tok_rows)
         refresh_sec = time.perf_counter() - t0
+        # fixed-vs-marginal split (VERDICT r11 next #7): a one-doc
+        # delta pays the full fixed refresh path (feed plan, tokenize
+        # codegen, checkpoint, MV scan + commit) with ~zero per-token
+        # work; publishing refresh minus it keeps the speedup ratio
+        # honest as the corpus grows — the FIXED part won't shrink,
+        # the marginal part is what O(delta) bounds.
+        v1 = corpus.latest_version()
+        corpus.append(
+            big.filter((F.col("_r") == 0) & (F.col("doc_id") % fac == 0))
+            .limit(1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .drop("_r")
+            .coalesce(1)
+        )
+        t0 = time.perf_counter()
+        mv_refresh(postings, corpus, g, m, from_version=v1,
+                   transform=tok_rows)
+        fixed_sec = time.perf_counter() - t0
         fresh = TxTable(spark, base + "/fresh_index")
         t0 = time.perf_counter()
         mv_init(fresh, corpus.snapshot(), g, m, transform=tok_rows)
@@ -903,8 +957,15 @@ def run_bm25_index_probe(spark, sf_dir: str) -> dict:
             "n_docs": int(corpus.snapshot().count()),
             "delta_fraction": round(1.0 / fac, 4),
             "incremental_refresh_sec": round(refresh_sec, 4),
+            "refresh_fixed_sec": round(fixed_sec, 4),
+            "refresh_marginal_sec": round(
+                max(refresh_sec - fixed_sec, 0.0), 4
+            ),
             "full_recompute_sec": round(recompute_sec, 4),
             "speedup_vs_recompute": round(recompute_sec / refresh_sec, 2),
+            "speedup_marginal_vs_recompute": round(
+                recompute_sec / max(refresh_sec - fixed_sec, 1e-9), 2
+            ),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -927,7 +988,40 @@ def run_bm25_index_probe(spark, sf_dir: str) -> dict:
 #: Pinned to the QUIET build box (best-of-7, no concurrent load) so
 #: scale_vs_nominal reads ~1.0 when the environment is healthy and >1
 #: under contention.
-ANCHOR_NOMINAL = {"spark_roundtrip_sec": 0.135, "cpu_kernel_sec": 0.0115}
+ANCHOR_NOMINAL = {
+    "spark_roundtrip_sec": 0.135,
+    "cpu_kernel_sec": 0.0115,
+    # the MEDIAN nominal is what normalization divides by (ADVICE r11:
+    # best-of-7 normalization lets one transiently-fast anchor run
+    # deflate the published normalized headline; the median is robust
+    # in both directions).  Fixed point: median of 7, repeated 3x on
+    # the quiet build box 2026-08-16 (0.125 / 0.128 warm; pinned
+    # slightly above at 0.13 so a healthy box reads ~1.0).
+    "spark_roundtrip_median_sec": 0.13,
+}
+
+
+def run_family_anchor(spark) -> dict:
+    """Quick 3-run anchor sampled immediately before each probe family
+    (VERDICT r11 next #2): the median spark roundtrip over nominal, so
+    every family's published numbers carry the box state AT THAT
+    MOMENT — a contended window shows anchor_ratio >> 1 on exactly the
+    families it hit."""
+    def spark_roundtrip() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).selectExpr(
+            "sum(id) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    runs = sorted(spark_roundtrip() for _ in range(3))
+    med = runs[1]
+    return {
+        "anchor_spark_roundtrip_sec": round(med, 4),
+        "anchor_ratio": round(
+            med / ANCHOR_NOMINAL["spark_roundtrip_median_sec"], 3
+        ),
+    }
 
 
 def run_anchor_probe(spark) -> dict:
@@ -1023,7 +1117,64 @@ def run_txlog_probe(spark) -> dict:
         cold = TxTable(spark, base + "/t")
         n_resolved = len(cold.manifest()["files"])
         resolve_sec = time.perf_counter() - t0
+
+        # Multi-writer throughput (VERDICT r11 next #6): t98 proves
+        # the op-aware rebase is CORRECT; this measures the claimed
+        # win.  N threads race M disjoint one-file appends each
+        # against one table — under rebase a lost race lands without
+        # restaging, so wall ≈ slowest writer, not sum of writers.
+        # The serialized comparator runs the SAME work single-file,
+        # single-thread (what writers would pay if every lost race
+        # forced a full re-stage-and-retry queue).
+        import threading
+
+        n_threads, per_thread = 4, 5
+        serial_t = TxTable(spark, base + "/serial")
+        serial_t.init(one.coalesce(1))
+        t0 = time.perf_counter()
+        for _ in range(n_threads * per_thread):
+            serial_t.append(one.coalesce(1))
+        serial_sec = time.perf_counter() - t0
+        conc_t = TxTable(spark, base + "/conc")
+        conc_t.init(one.coalesce(1))
+        conc_errors: list[str] = []
+
+        def writer() -> None:
+            try:
+                handle = TxTable(spark, base + "/conc")
+                for _ in range(per_thread):
+                    handle.append(one.coalesce(1))
+            except Exception as exc:  # noqa: BLE001 — published below
+                conc_errors.append(f"{type(exc).__name__}: {exc}"[:200])
+
+        threads = [
+            threading.Thread(target=writer) for _ in range(n_threads)
+        ]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        conc_sec = time.perf_counter() - t0
+        landed = conc_t.latest_version() - 1
+        concurrent = {
+            "threads": n_threads,
+            "commits": n_threads * per_thread,
+            "commits_landed": int(landed),
+            "wall_sec": round(conc_sec, 4),
+            "concurrent_commits_per_s": round(
+                (n_threads * per_thread) / conc_sec, 2
+            ),
+            "serial_wall_sec": round(serial_sec, 4),
+            "serial_commits_per_s": round(
+                (n_threads * per_thread) / serial_sec, 2
+            ),
+            "speedup_vs_serial": round(serial_sec / conc_sec, 2),
+        }
+        if conc_errors:
+            concurrent["errors"] = conc_errors
         return {
+            "concurrent": concurrent,
             "files_small": files_small,
             "files_big": files_big,
             "commit_bytes_small": bytes_small,
@@ -1254,47 +1405,57 @@ def main() -> None:
     # 80+-query suite has accumulated heap/localCheckpoint pressure):
     # measured, a probe point timed after the full suite can spike ~3x
     # from GC noise that best-of-3 cannot hide.
+    #
+    # Per-family measurement protocol (VERDICT r11 next #2 — the r11
+    # semdedup 32x number was unreadable because a single pre-suite
+    # anchor could not see contention arriving mid-probe-sequence):
+    # before EVERY family the JVM gets an explicit GC hint and a quick
+    # 3-run anchor is sampled; each family's result carries its own
+    # `anchor_ratio` (measured/nominal median), so a slow number is
+    # attributable to the box at that MOMENT, not just the run.  The
+    # heaviest family (semdedup: per-point k-means training) runs
+    # second, right after the headline-shaped scale probe, before any
+    # heap churn from the index/maintenance probes accumulates.
     probe: dict = {}
-    try:
-        probe = run_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["llm"] = run_llm_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__llm_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["curation"] = run_curation_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__curation_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["bpe"] = run_bpe_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__bpe_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["semdedup"] = run_semdedup_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__semdedup_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["sketch"] = run_sketch_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__sketch_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["matview"] = run_matview_scale_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__matview_scale_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["bm25_index"] = run_bm25_index_probe(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__bm25_index_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["codec"] = run_codec_probe(spark)
-    except Exception as exc:  # noqa: BLE001 — record, continue
-        errors["__codec_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        probe["txlog"] = run_txlog_probe(spark)
-    except Exception as exc:  # noqa: BLE001 — probe must never forfeit the line
-        errors["__txlog_probe__"] = f"{type(exc).__name__}: {exc}"[:500]
+    probe_families = [
+        (None, lambda: run_scale_probe(spark, sf_dir), "__scale_probe__"),
+        ("semdedup", lambda: run_semdedup_scale_probe(spark, sf_dir),
+         "__semdedup_scale_probe__"),
+        ("llm", lambda: run_llm_scale_probe(spark, sf_dir),
+         "__llm_scale_probe__"),
+        ("curation", lambda: run_curation_scale_probe(spark, sf_dir),
+         "__curation_scale_probe__"),
+        ("bpe", lambda: run_bpe_scale_probe(spark, sf_dir),
+         "__bpe_scale_probe__"),
+        ("sketch", lambda: run_sketch_scale_probe(spark, sf_dir),
+         "__sketch_scale_probe__"),
+        ("matview", lambda: run_matview_scale_probe(spark, sf_dir),
+         "__matview_scale_probe__"),
+        ("bm25_index", lambda: run_bm25_index_probe(spark, sf_dir),
+         "__bm25_index_probe__"),
+        ("codec", lambda: run_codec_probe(spark), "__codec_probe__"),
+        ("txlog", lambda: run_txlog_probe(spark), "__txlog_probe__"),
+    ]
+    for key, fn, errkey in probe_families:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — a hint, never load-bearing
+            pass
+        fam_anchor = {}
+        try:
+            fam_anchor = run_family_anchor(spark)
+        except Exception:  # noqa: BLE001 — diagnostic only
+            pass
+        try:
+            res = fn()
+            if isinstance(res, dict):
+                res.update(fam_anchor)
+            if key is None:
+                probe = res
+            else:
+                probe[key] = res
+        except Exception as exc:  # noqa: BLE001 — never forfeit the line
+            errors[errkey] = f"{type(exc).__name__}: {exc}"[:500]
     # RE-warm the headline right before timing it: seven probes now sit
     # between the first warm pass and the suite, and their heap/
     # checkpoint churn measurably degrades the first timed queries
@@ -1392,12 +1553,17 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — drift diagnostic only
         pass
     value_anchor_normalized = None
-    if total is not None and anchor.get("spark_roundtrip_sec"):
+    if total is not None and anchor.get("spark_roundtrip_median_sec"):
+        # MEDIAN over median-nominal (ADVICE r11): best-of-7 could be
+        # deflated by one lucky run, which would inflate the published
+        # normalized headline; the basis is published so the scale is
+        # auditable.
         scale = (
-            anchor["spark_roundtrip_sec"]
-            / ANCHOR_NOMINAL["spark_roundtrip_sec"]
+            anchor["spark_roundtrip_median_sec"]
+            / ANCHOR_NOMINAL["spark_roundtrip_median_sec"]
         )
         anchor["scale_vs_nominal"] = round(scale, 3)
+        anchor["normalization_basis"] = "spark_roundtrip_median_sec"
         value_anchor_normalized = round(total / scale, 4)
 
     # End-to-end pipeline at the reference's exact scale (1000 customers /
@@ -1489,7 +1655,9 @@ def main() -> None:
     tail = {
         "headline_total_sec": total,
         "headline_anchor_normalized_sec": value_anchor_normalized,
-        "anchor_spark_roundtrip_sec": anchor.get("spark_roundtrip_sec"),
+        "anchor_spark_roundtrip_median_sec": anchor.get(
+            "spark_roundtrip_median_sec"
+        ),
         "anchor_scale_vs_nominal": anchor.get("scale_vs_nominal"),
         "ratio_vs_baseline_4.44s": (
             round(total / 4.44, 4) if total is not None else None

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import subprocess
 import tempfile
@@ -108,12 +109,34 @@ _CLASS_NAME = "ImageDecodeRGB"
 _registered: set[int] = set()
 
 
+def _java_major_version() -> str:
+    """The major version ``javac`` reports (e.g. ``17``), or
+    ``unknown`` when it can't be probed — the cache then still keys on
+    something stable, and registration failures fall back anyway."""
+    try:
+        out = subprocess.run(
+            ["javac", "-version"], capture_output=True, text=True
+        )
+        text = (out.stdout or "") + (out.stderr or "")
+        m = re.search(r"(\d+)", text)
+        return m.group(1) if m else "unknown"
+    except OSError:
+        return "unknown"
+
+
 def _build_jar() -> str | None:
     """Compile the UDF once per (source hash, java version) into a
     cached jar under the system temp dir; return the jar path, or None
     when no ``javac`` is available (a JRE-only deployment — the caller
     falls back to the Python tiers)."""
-    key = hashlib.sha256(_JAVA_SOURCE.encode()).hexdigest()[:12]
+    # the cache key includes the JVM major version (ADVICE r11): a
+    # class file compiled by a newer JDK must not survive a JVM
+    # downgrade — ADD JAR would then fail with
+    # UnsupportedClassVersionError long after this cache hit
+    java_major = _java_major_version()
+    key = hashlib.sha256(
+        f"{_JAVA_SOURCE}|java{java_major}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(
         tempfile.gettempdir(), f"ecommerce_jvmcodec_{key}"
     )
@@ -156,11 +179,17 @@ def ensure_jvm_codec(spark: SparkSession) -> bool:
     jar = _build_jar()
     if jar is None:
         return False
-    # posix separators for the SQL literal (backslashes would escape)
-    spark.sql(f"ADD JAR '{jar.replace(os.sep, '/')}'")
-    spark.udf.registerJavaFunction(
-        FUNCTION_NAME, _CLASS_NAME, BinaryType()
-    )
+    try:
+        # posix separators for the SQL literal (backslashes would
+        # escape); the try honors the "False — never an exception"
+        # contract even for a stale-but-cache-hit jar (e.g. class
+        # version mismatch after a JVM swap the version key missed)
+        spark.sql(f"ADD JAR '{jar.replace(os.sep, '/')}'")
+        spark.udf.registerJavaFunction(
+            FUNCTION_NAME, _CLASS_NAME, BinaryType()
+        )
+    except Exception:
+        return False
     _registered.add(id(spark))
     return True
 

@@ -1249,3 +1249,167 @@ def semdedup_trained(
         dim=dim,
         assign_bits=assign_bits,
     )
+
+
+class AnnIndex:
+    """A STANDING approximate-nearest-neighbor retrieval index over a
+    TxTable corpus of embeddings — the embedding twin of
+    :class:`..operators.text.Bm25Index` (VERDICT r11 next #1): the
+    persisted SRP band relation (:func:`srp_band_table`, the t37
+    machinery) maintained as ONE incrementally-refreshed matview under
+    a build / refresh / score lifecycle, so a retrieval service over a
+    growing corpus calls ``refresh()`` after each corpus commit and
+    ``score(queries)`` per query batch — never a corpus re-projection.
+
+    Scale shape (the 100 TB contract):
+
+    - **build** is one pass over the corpus snapshot: each vector emits
+      its ``bands`` (band, key) rows via plan-literal hyperplanes — a
+      row-local transform, so the matview machinery maintains it off
+      the change feed (inserts add band rows, deletes subtract them:
+      a takedown leaves the index, no rebuild).
+    - **refresh** costs O(delta vectors × bands) + one MV scan
+      (sources/matview.mv_apply_changes) — independent of corpus size.
+    - **score** joins the (small, broadcast) query batch's band keys
+      against the index relation — candidates are bucket-restricted,
+      never a cross join — then exact-cosine re-ranks candidates only,
+      fetching full vectors for candidate ids alone (left-semi
+      restriction on the corpus).  Cost is O(candidates), tuned by
+      bands × bits_per_band, with recall from band-OR semantics.
+
+    The absorbed corpus version rides each refresh commit's own
+    manifest (``ann_from_version`` via mv_refresh's ``extra`` — the
+    crash-atomic stamp discipline ADVICE r11 fixed on Bm25Index), so a
+    restarted service resumes from durable state alone.
+
+    ``score(..., where=...)`` is FILTERED ANN: the predicate (over the
+    corpus table's columns) restricts candidates BEFORE vector fetch
+    and cosine re-rank — filter-below-the-expensive-stage, the same
+    plan property tests/test_plan_quality.py pins for filtered kNN."""
+
+    _G = ["id", "band", "key"]
+    _M: dict = {}  # presence-only MV: n_rows is the whole payload
+
+    def __init__(self, corpus, root: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding", bands: int = 6,
+                 bits_per_band: int = 3, dim: int = 64,
+                 seed: int = 7) -> None:
+        from ..sources.txtable import TxTable
+
+        self.corpus = corpus
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bands = bands
+        self.bits_per_band = bits_per_band
+        self.dim = dim
+        self.seed = seed
+        self.bands_mv = TxTable(
+            corpus.spark, root.rstrip("/") + "/bands"
+        )
+
+    def _band_rows(self, df: DataFrame) -> DataFrame:
+        # row-local (select + explode over plan-literal hyperplanes):
+        # the mv_init/mv_refresh transform contract
+        return srp_band_table(
+            df, self.bands, self.bits_per_band, self.dim, self.seed,
+            self.id_col, self.vec_col,
+        )
+
+    def build(self) -> None:
+        """Materialize the band index from the corpus's current
+        snapshot; the absorbed version rides the init commit."""
+        from ..sources.matview import mv_init
+
+        v = self.corpus.latest_version()
+        mv_init(
+            self.bands_mv, self.corpus.snapshot(v), self._G, self._M,
+            transform=self._band_rows,
+            extra={"ann_from_version": int(v)},
+        )
+
+    def _stamped(self) -> int:
+        from ..sources.matview import mv_stamp_read
+
+        got = mv_stamp_read(self.bands_mv, "ann_from_version")
+        if got is None:
+            raise RuntimeError(
+                f"AnnIndex: no absorbed-version stamp in "
+                f"{self.bands_mv.path}; was build() run?"
+            )
+        return got
+
+    def refresh(self) -> int:
+        """Absorb every corpus commit since the last refresh
+        (O(delta × bands) + one MV scan); returns the corpus version
+        now reflected.  Commit-free no-op when already current; on a
+        net-no-op diff (pure compact) the stamp advances via a
+        metadata-only commit (safe — re-applying a no-op range is a
+        no-op)."""
+        from ..sources.matview import mv_refresh, mv_stamp_write
+
+        head = self.corpus.latest_version()
+        done = self._stamped()
+        if done == head:
+            return head
+        before = self.bands_mv.latest_version()
+        mv_refresh(
+            self.bands_mv, self.corpus, self._G, self._M,
+            from_version=done, transform=self._band_rows,
+            extra={"ann_from_version": int(head)},
+        )
+        if self.bands_mv.latest_version() == before:
+            mv_stamp_write(self.bands_mv, "ann_from_version", head)
+        return head
+
+    def score(self, queries: DataFrame, k: int = 10,
+              query_id_col: str = "query_id",
+              query_vec_col: str = "embedding",
+              where=None, ndigits: int = 6) -> DataFrame:
+        """Top-k neighbors for a query batch against the maintained
+        index: (query_id, neighbor_id, rank, cosine_sim) with the
+        shared :func:`rank_topk` tie-break, identical to a fresh
+        SRP-banded recompute over the current snapshot (the t100
+        gate's equality).  Self-matches (same id value) are excluded —
+        the knn convention.  ``where`` (Column or SQL string over the
+        corpus columns) restricts candidate NEIGHBORS."""
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(self.vec_col if query_vec_col is None
+                  else query_vec_col).alias("q_vec"),
+        )
+        q_bands = srp_band_table(
+            q, self.bands, self.bits_per_band, self.dim, self.seed,
+            id_col="query_id", vec_col="q_vec",
+        ).withColumnRenamed("id", "query_id")
+        index = self.bands_mv.snapshot().select("id", "band", "key")
+        cands = (
+            index.join(F.broadcast(q_bands), ["band", "key"])
+            .filter(F.col("query_id") != F.col("id"))
+            .select("query_id", "id")
+            .distinct()
+        )
+        snap = self.corpus.snapshot()
+        if where is not None:
+            snap = snap.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+        vecs = snap.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).alias("c_vec"),
+        )
+        qv = q.withColumnRenamed("query_id", "qid")
+        scored = (
+            cands.join(vecs, "id")  # filtered fetch: non-qualifying
+            .join(                  # candidates never reach the cosine
+                F.broadcast(qv),
+                F.col("query_id") == F.col("qid"),
+            )
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                quant(
+                    cosine(F.col("q_vec"), F.col("c_vec")), ndigits
+                ).alias("cosine_sim"),
+            )
+        )
+        return rank_topk(scored, k, "cosine_sim")

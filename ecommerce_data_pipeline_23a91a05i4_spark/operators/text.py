@@ -533,64 +533,72 @@ class Bm25Index:
             F.lit("corpus").alias("scope"),
         )
 
+    def _mv_specs(self):
+        return (
+            (self.postings, self._G_POST, self._M_POST, self._tok_rows),
+            (self.doclen, self._G_DL, self._M_DL, self._doc_rows),
+            (self.cstats, self._G_CS, self._M_CS, self._doc_rows),
+        )
+
     def build(self) -> None:
         """Initialize all three MVs from the corpus's current
-        snapshot; records the absorbed version."""
+        snapshot; the absorbed version rides on each MV's init commit
+        itself (crash-atomic: an MV either exists WITH its stamp or
+        not at all — ADVICE r11)."""
         from ..sources.matview import mv_init
 
         v = self.corpus.latest_version()
         snap = self.corpus.snapshot(v)
-        mv_init(self.postings, snap, self._G_POST, self._M_POST,
-                transform=self._tok_rows)
-        mv_init(self.doclen, snap, self._G_DL, self._M_DL,
-                transform=self._doc_rows)
-        mv_init(self.cstats, snap, self._G_CS, self._M_CS,
-                transform=self._doc_rows)
-        for mv in (self.postings, self.doclen, self.cstats):
-            self._stamp(mv, v)
+        for mv, groups, measures, transform in self._mv_specs():
+            mv_init(mv, snap, groups, measures, transform=transform,
+                    extra={"bm25_from_version": int(v)})
 
     def _stamp(self, mv, version: int) -> None:
-        m = mv.manifest()
-        from pyspark.sql.types import StructType as _ST
-        import json as _json
+        from ..sources.matview import mv_stamp_write
 
-        mv._commit(
-            m["files"], "bm25_stamp", m["version"],
-            _ST.fromJson(_json.loads(m["schema"])),
-            m.get("partition_by"),
-            extra={"bm25_from_version": int(version)},
-        )
+        mv_stamp_write(mv, "bm25_from_version", version)
 
     def _stamped(self, mv) -> int:
-        for v in reversed(mv.versions()):
-            got = mv._manifest_raw(v).get("bm25_from_version")
-            if got is not None:
-                return int(got)
-        raise RuntimeError(
-            f"Bm25Index: no absorbed-version stamp in {mv.path}; "
-            "was build() run?"
-        )
+        from ..sources.matview import mv_stamp_read
+
+        got = mv_stamp_read(mv, "bm25_from_version")
+        if got is None:
+            raise RuntimeError(
+                f"Bm25Index: no absorbed-version stamp in {mv.path}; "
+                "was build() run?"
+            )
+        return got
 
     def refresh(self) -> int:
         """Absorb every corpus commit since the last refresh into all
         three MVs (O(delta tokens) + one MV scan each, see
         mv_apply_changes); returns the corpus version now reflected.
-        No-op (commit-free) when already current."""
+        No-op (commit-free) when already current.
+
+        Crash-atomic (ADVICE r11): the absorbed-version stamp rides
+        each MV's OWN refresh commit via mv_refresh's ``extra``, and
+        each MV resumes from its OWN stamp — a crash between the
+        postings refresh and the doclen refresh leaves postings
+        stamped at head and doclen at the old version, and the next
+        refresh() absorbs exactly the missing range per MV.  The only
+        separate stamp commit left is the net-no-op diff case (a pure
+        compact), where re-applying the range is itself a no-op, so
+        the crash window is harmless there too."""
         from ..sources.matview import mv_refresh
 
         head = self.corpus.latest_version()
-        done = self._stamped(self.postings)
-        if head == done:
-            return head
-        mv_refresh(self.postings, self.corpus, self._G_POST,
-                   self._M_POST, from_version=done,
-                   transform=self._tok_rows)
-        mv_refresh(self.doclen, self.corpus, self._G_DL, self._M_DL,
-                   from_version=done, transform=self._doc_rows)
-        mv_refresh(self.cstats, self.corpus, self._G_CS, self._M_CS,
-                   from_version=done, transform=self._doc_rows)
-        for mv in (self.postings, self.doclen, self.cstats):
-            self._stamp(mv, head)
+        for mv, groups, measures, transform in self._mv_specs():
+            done = self._stamped(mv)
+            if done == head:
+                continue
+            before = mv.latest_version()
+            mv_refresh(mv, self.corpus, groups, measures,
+                       from_version=done, transform=transform,
+                       extra={"bm25_from_version": int(head)})
+            if mv.latest_version() == before:
+                # net-no-op diff committed nothing; advance the stamp
+                # explicitly (safe — see docstring)
+                self._stamp(mv, head)
         return head
 
     def score(self, queries: DataFrame, query_id_col: str = "query_id",

@@ -186,6 +186,56 @@ def mv_aggregate(
     return _signed_agg(df, group_cols, measures, dec, F.lit(1))
 
 
+def mv_stamp_read(mv: TxTable, key: str) -> int | None:
+    """Latest value of a manifest stamp ``key`` on ``mv`` (newest
+    commit that carries it) — the durable absorbed-version pointer an
+    index service resumes from.  None when no commit carries the key
+    (the service was never built)."""
+    for v in reversed(mv.versions()):
+        got = mv._manifest_raw(v).get(key)
+        if got is not None:
+            return int(got)
+    return None
+
+
+def mv_stamp_write(mv: TxTable, key: str, version: int) -> None:
+    """Metadata-only commit re-publishing the MV's current file set
+    with ``{key: version}`` in the manifest.  ONLY for the net-no-op
+    refresh case, where the stamp has no data commit to ride (see
+    mv_apply_changes) — an eventful refresh must pass the stamp via
+    ``extra`` instead, so state and stamp land atomically."""
+    m = mv.manifest()
+    mv._commit(
+        m["files"],
+        f"{key.rsplit('_', 2)[0]}_stamp" if "_" in key else "stamp",
+        m["version"],
+        StructType.fromJson(json.loads(m["schema"])),
+        m.get("partition_by"),
+        extra={key: int(version)},
+    )
+
+
+def _estimated_row_bytes(schema: StructType) -> int:
+    """Pessimistic per-row byte estimate for broadcast sizing: fixed
+    widths from the type, 48 bytes assumed per string/binary/array
+    field (group keys are typically short identifiers/terms; the
+    constant errs high so the 256 MiB byte bound trips BEFORE the
+    driver builds an oversized broadcast)."""
+    fixed = {
+        "boolean": 1, "byte": 1, "short": 2, "int": 4, "integer": 4,
+        "long": 8, "float": 4, "double": 8, "date": 4,
+        "timestamp": 8, "timestamp_ntz": 8,
+    }
+    total = 0
+    for f in schema.fields:
+        name = f.dataType.typeName()
+        if name.startswith("decimal"):
+            total += 16
+        else:
+            total += fixed.get(name, 48)
+    return max(total, 1)
+
+
 def _reject_null_groups(
     agg: DataFrame, group_cols: list[str], verb: str
 ) -> DataFrame:
@@ -197,9 +247,11 @@ def _reject_null_groups(
     genuinely NULL-able group expressions should encode a sentinel in
     the group expression (e.g. ``coalesce(col, '∅')``) so both the MV
     and its readers see one consistent value.  Returns the aggregate
-    localCheckpoint-ed, so validation and the subsequent write share
-    one materialization."""
-    agg = agg.localCheckpoint()
+    localCheckpoint-ed (explicitly EAGER — ADVICE r11 asked for the
+    materialization point to be unambiguous), so validation, the
+    later size probe, and the subsequent write all share one
+    materialization."""
+    agg = agg.localCheckpoint(eager=True)
     if not group_cols:
         # a global (no-group) aggregate has no key columns to be NULL;
         # init works as before (refresh would fail at merge-on-no-keys,
@@ -224,6 +276,7 @@ def mv_init(
     dec: str = DEC,
     partition_by: str | None = None,
     transform=None,
+    extra: dict | None = None,
 ) -> int:
     """Create the aggregate table from a full base snapshot:
     (group_cols..., <measure> decimal..., n_rows long).  ``measures``
@@ -243,7 +296,13 @@ def mv_init(
     the same input row always producing the same output rows.  This
     extends the self-maintainable class to MVs over a flatMap of the
     base — e.g. an inverted text index: doc -> exploded (term, tf)
-    rows, grouped by term (VERDICT r10 next #6)."""
+    rows, grouped by term (VERDICT r10 next #6).
+
+    ``extra`` rides on the init commit's manifest verbatim — the
+    crash-atomic way for an index service to stamp the absorbed base
+    version on the SAME commit that materializes the state (ADVICE
+    r11: a separate stamp commit leaves a window where a crash
+    re-applies an already-absorbed delta)."""
     if transform is not None:
         base_rows = transform(base_rows)
     agg = _reject_null_groups(
@@ -251,7 +310,7 @@ def mv_init(
         group_cols,
         "mv_init",
     )
-    return mv.init(agg, partition_by=partition_by)
+    return mv.init(agg, partition_by=partition_by, extra=extra)
 
 
 def mv_refresh(
@@ -263,6 +322,7 @@ def mv_refresh(
     to_version: int | None = None,
     dec: str = DEC,
     transform=None,
+    extra: dict | None = None,
 ) -> int:
     """Advance the MV by the base diff ``(from_version, to_version]``:
     aggregate the change feed with ±1 signs, add it to the affected
@@ -286,6 +346,7 @@ def mv_refresh(
         measures,
         dec=dec,
         transform=transform,
+        extra=extra,
     )
 
 
@@ -296,6 +357,7 @@ def mv_apply_changes(
     measures: dict[str, str],
     dec: str = DEC,
     transform=None,
+    extra: dict | None = None,
 ) -> int:
     """Advance the MV by an ARBITRARY change-row set — base columns
     plus ``_change_type`` ('insert'/'delete') — instead of a version
@@ -307,7 +369,13 @@ def mv_apply_changes(
     affected groups' stored values via one keyed merge; groups
     reaching zero rows are deleted; untouched groups are never read.
     Returns the committed MV version (the current one on a net-no-op
-    change set)."""
+    change set).
+
+    ``extra`` rides on the refresh's own append/merge commit manifest
+    (the crash-atomic stamp channel, see mv_init).  A net-no-op change
+    set commits NOTHING — extra is then not recorded, and the caller's
+    stamp must be advanced separately (safe: re-applying a net-no-op
+    range is itself a no-op)."""
     ch = change_rows
     if transform is None:
         sign = F.when(
@@ -350,12 +418,19 @@ def mv_apply_changes(
     # delta names every group it touches, so the untouched majority of
     # a large MV (a 100 TB postings index refreshing a 1/1000 delta)
     # must never enter a shuffle — when the delta's group-key set is
-    # small (it is checkpointed, so counting is a memory read) the semi
-    # join is FORCED to broadcast it, making the refresh's join cost
-    # one columnar MV scan + O(delta); a genuinely huge delta (a
-    # backfill) falls back to the planner's shuffled join
+    # small (delta is eagerly checkpointed in _reject_null_groups, so
+    # the count reads the materialized blocks, not a recompute) the
+    # semi join is FORCED to broadcast it, making the refresh's join
+    # cost one columnar MV scan + O(delta); a genuinely huge delta (a
+    # backfill) falls back to the planner's shuffled join.  The bound
+    # is BYTES, not rows (ADVICE r11: wide string group keys at a
+    # fixed row cap could build a multi-GB driver broadcast):
+    # schema-estimated key width × rows ≤ 256 MiB, with a row
+    # backstop for degenerate width estimates.
     keys = delta.select(*group_cols)
-    if delta.count() <= 4_000_000:
+    n_delta = delta.count()
+    if n_delta * _estimated_row_bytes(keys.schema) <= 256 * 1024 * 1024 \
+            and n_delta <= 8_000_000:
         keys = F.broadcast(keys)
     joined = delta.join(
         old.join(keys, on=group_cols, how="leftsemi"),
@@ -404,7 +479,12 @@ def mv_apply_changes(
                 "mv_apply_changes: unmatched group with net-zero rows "
                 "but nonzero measures — the transform is not row-local"
             )
-        return mv.append(source.drop("_mv_dead", "_mv_matched"))
+        return mv.append(
+            source.drop("_mv_dead", "_mv_matched"), extra=extra
+        )
     return mv.merge(
-        source.drop("_mv_matched"), on=group_cols, delete_col="_mv_dead"
+        source.drop("_mv_matched"),
+        on=group_cols,
+        delete_col="_mv_dead",
+        extra=extra,
     )

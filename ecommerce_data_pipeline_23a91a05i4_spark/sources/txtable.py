@@ -1520,6 +1520,7 @@ class TxTable:
         df: DataFrame,
         partition_by: str | None = None,
         generated: dict[str, str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Create the table (version 1); fails if a log already exists.
 
@@ -1551,6 +1552,7 @@ class TxTable:
             None,
             df.schema,
             partition_by,
+            extra=extra,
             generated=generated or None,
         )
 
@@ -1570,7 +1572,12 @@ class TxTable:
             )
         return df, _generated_guards(gen, provided)
 
-    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        extra: dict | None = None,
+    ) -> int:
         """Blind append: stage once, then race to commit; on conflict the
         staged files REBASE onto the new head (_commit_or_rebase) —
         CONCURRENT APPENDS never invalidate each other, and an append
@@ -1600,7 +1607,7 @@ class TxTable:
             _constraints(base) + gen_guards,
         )
         return self._commit_or_rebase(
-            base["files"] + staged, "append", base, max_retries
+            base["files"] + staged, "append", base, max_retries, extra=extra
         )
 
     def _ingested_files_legacy(self) -> set[str]:
@@ -2743,7 +2750,18 @@ class TxTable:
         re-running the plan; the delete then serializes logically
         BEFORE the interleave, so concurrently-appended rows matching
         the predicate survive (exactly Delta's WriteSerializable
-        contract).  ``isolation="serializable"`` skips the rebase and
+        contract).
+
+        .. note:: **Behavior change (round 11).** Before the op-aware
+           rebase landed, a lost race always re-derived against the
+           new head — effectively ``serializable``: a delete retried
+           after a concurrent append ALSO removed newly appended
+           matching rows.  The default is now ``write_serializable``
+           (matching Delta's default), under which those rows
+           survive.  Pipelines that relied on the old retry outcome
+           must pass ``isolation="serializable"`` explicitly.
+
+        ``isolation="serializable"`` skips the rebase and
         always re-derives against the new snapshot, so the delete also
         sees concurrently-appended rows.  A genuinely conflicting
         interleave (rewrote a hit file, changed metadata) re-derives
@@ -2886,8 +2904,11 @@ class TxTable:
         the vectored entries onto the new head when the interleave is
         disjoint (the VERDICT r10 "delete_dv vs append" case — the
         delete serializes logically before the append, whose rows
-        survive); ``"serializable"`` always re-derives.  Returns the
-        committed version, or the current version unchanged on no
+        survive); ``"serializable"`` always re-derives.  The same
+        round-11 behavior change noted on delete() applies: the old
+        recompute-and-retry default acted as ``serializable``; callers
+        relying on that outcome must now pass it explicitly.  Returns
+        the committed version, or the current version unchanged on no
         match."""
         if isolation not in ("write_serializable", "serializable"):
             raise ValueError(
@@ -2982,6 +3003,7 @@ class TxTable:
         insert_unmatched: bool = True,
         max_retries: int = 5,
         evolve_schema: bool = False,
+        extra: dict | None = None,
     ) -> int:
         """Keyed MERGE (the Delta ``MERGE INTO`` / CDC-apply shape —
         the one DML verb the table lacked after delete()): for each
@@ -3172,6 +3194,7 @@ class TxTable:
                     m["version"],
                     schema,
                     pcol,
+                    extra=extra,
                     column_mapping=evolved_cmap,
                 )
                 return m["version"] + 1

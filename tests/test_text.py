@@ -242,3 +242,99 @@ def test_bm25_index_lifecycle_matches_recompute(spark, tmp_path):
         for r in idx2.score(qt).collect()
     }
     assert got2 == want
+
+
+def test_bm25_index_stamp_rides_refresh_commit(spark, tmp_path):
+    """Crash-atomicity of the absorbed-version stamp (ADVICE r11): the
+    stamp must ride each MV's OWN init/refresh commit — a separate
+    bm25_stamp commit after the refresh leaves a crash window where a
+    restarted service re-applies the absorbed delta (double-counted
+    postings).  Also pins per-MV resume: a crash AFTER the postings
+    refresh but BEFORE the doclen refresh must leave doclen resumable
+    from its own (older) stamp, and a completed retry converges to the
+    recompute."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        Bm25Index,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta delta"),
+            (3, "alpha delta epsilon"),
+            (4, "gamma beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(docs.filter(F.col("doc_id") <= 2).coalesce(1))
+    idx = Bm25Index(corpus, str(tmp_path / "idx"))
+    idx.build()
+    corpus.append(docs.filter(F.col("doc_id") > 2).coalesce(1))
+    idx.refresh()
+    # no separate stamp commit anywhere: every version of every MV is
+    # a real data op (init/append/merge), and the LATEST commit of
+    # each MV carries the stamp in its own manifest
+    for mv in (idx.postings, idx.doclen, idx.cstats):
+        ops = [h["op"] for h in mv.history()]
+        assert "bm25_stamp" not in ops, ops
+        head = mv._manifest_raw(mv.latest_version())
+        assert head.get("bm25_from_version") == corpus.latest_version()
+
+    # crash-window simulation: refresh postings only (as if the
+    # process died before doclen/cstats), then resume with a FRESH
+    # object — per-MV stamps mean the retry absorbs exactly the
+    # missing range per MV, no double-count
+    corpus.append(
+        docs.select(
+            (F.col("doc_id") + 10).alias("doc_id"), F.col("text")
+        ).coalesce(1)
+    )
+    head_v = corpus.latest_version()
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.matview import (
+        mv_refresh,
+    )
+
+    mv_refresh(
+        idx.postings, corpus, idx._G_POST, idx._M_POST,
+        from_version=idx._stamped(idx.postings),
+        transform=idx._tok_rows,
+        extra={"bm25_from_version": int(head_v)},
+    )  # postings absorbed; doclen/cstats stale — the crash point
+    assert idx._stamped(idx.postings) == head_v
+    assert idx._stamped(idx.doclen) < head_v
+
+    idx2 = Bm25Index(corpus, str(tmp_path / "idx"))
+    assert idx2.refresh() == head_v
+    # converged: every MV equals its from-scratch recompute
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.matview import (
+        mv_aggregate,
+    )
+
+    snap = corpus.snapshot()
+    got_post = {
+        (r.term, r.doc_id, int(r.tf))
+        for r in idx2.postings.snapshot().collect()
+    }
+    want_post = {
+        (r.term, r.doc_id, int(r.tf))
+        for r in mv_aggregate(
+            idx2._tok_rows(snap), idx2._G_POST, idx2._M_POST
+        ).collect()
+    }
+    assert got_post == want_post
+    got_dl = {
+        (r.doc_id, int(r.dl)) for r in idx2.doclen.snapshot().collect()
+    }
+    want_dl = {
+        (r.doc_id, int(r.dl))
+        for r in mv_aggregate(
+            idx2._doc_rows(snap), idx2._G_DL, idx2._M_DL
+        ).collect()
+    }
+    assert got_dl == want_dl
