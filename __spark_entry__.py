@@ -81,7 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tests/test_oracle_parity.py) runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- WINDOW (first 50 = this round's driver check) ---------------
-        # (00) new ROUND-11 gates: zero driver evidence, head of window
+        # (00) new ROUND-12 gates: zero driver evidence, head of window
+        "t100_ann_index": llmdata.t100_ann_index,
+        # (0) round-11 gates
         "t98_concurrent_writers": llmdata.t98_concurrent_writers,
         "t99_incremental_bm25_index": corpus.t99_incremental_bm25_index,
         "s20_streaming_multihop_pipeline": (

@@ -716,6 +716,79 @@ def _t69_oracle() -> str:
 LLMDATA_ORACLES["t69_quantized_ann"] = _t69_oracle()
 
 
+# t100: the standing AnnIndex service replayed from scratch — final
+# corpus state (all vec_ids appended, % 7 == 3 deleted), t7b's
+# hyperplane literals and band-OR candidate rule, the label-parity
+# neighbor filter BELOW the cosine, exact-cosine re-rank, top-5 with
+# the shared (score DESC, neighbor_id) tie-break.  Equality proves the
+# incrementally maintained band matview scores exactly like a fresh
+# recompute (the t99 proof shape for embeddings).
+def _t100_oracle(
+    bands: int = 6, bits_per_band: int = 3, dim: int = 64,
+    seed: int = 7, k: int = 5,
+) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+
+    def plane_lit(coeffs: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+    bit_cols = ",\n                   ".join(
+        f"CASE WHEN {_dot('embedding', plane_lit(planes[p]))} > 0 "
+        f"THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(bands * bits_per_band)
+    )
+    band_cols = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"bit{i * bits_per_band + j} * {1 << j}"
+            for j in range(bits_per_band)
+        )
+        + f") AS band{i}"
+        for i in range(bands)
+    )
+    band_match = " OR ".join(f"q.band{i} = c.band{i}" for i in range(bands))
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot('embedding', 'embedding')}) AS nrm,
+                   {bit_cols}
+            FROM embeddings
+            WHERE vec_id % 7 <> 3
+        ),
+        sig AS (
+            SELECT vec_id, label, embedding, nrm,
+                   {band_cols}
+            FROM v
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {SQL_QUANT(_dot('q.embedding', 'c.embedding') + ' / (q.nrm * c.nrm)', 6)}
+                       AS cosine_sim
+            FROM sig q JOIN sig c
+              ON ({band_match})
+                 AND q.vec_id % 9 = 1
+                 AND c.vec_id <> q.vec_id
+                 AND c.label % 2 = 0
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+               cosine_sim, TRUE AS index_matches_recompute
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+LLMDATA_ORACLES["t100_ann_index"] = _t100_oracle()
+
+
 LLMDATA_ORACLES["t7b_embedding_neardup_lsh"] = _srp_lsh_oracle(
     threshold=0.35, bands=6, bits_per_band=3, dim=64, seed=7
 )

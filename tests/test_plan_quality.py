@@ -388,3 +388,46 @@ def test_bm25_index_scoring_broadcasts_and_stays_jvm(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_index_scoring_plan_is_clean(spark, tmp_path):
+    """AnnIndex.score (the t100 service): the query batch's band keys
+    and vectors BROADCAST against the maintained index — the index
+    relation is the only large input; no cartesian product, no Python
+    workers; and the filtered variant's neighbor predicate sits in the
+    corpus-side scan, BELOW the vector fetch and the cosine."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.similarity import (
+        AnnIndex,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = random.Random(5)
+    vecs = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1.0, 1.0) for _ in range(8)], i % 3)
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(vecs.coalesce(1))
+    idx = AnnIndex(
+        corpus, str(tmp_path / "idx"), bands=4, bits_per_band=2, dim=8
+    )
+    idx.build()
+    queries = vecs.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = explain_str(idx.score(queries, k=3, where="label % 3 = 0"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the neighbor filter is on the corpus scan side (pushed into the
+    # snapshot read), not applied after the cosine projection
+    assert "label" in plan and "PushedFilters" in plan
