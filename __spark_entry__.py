@@ -83,6 +83,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- WINDOW (first 50 = this round's driver check) ---------------
         # (00) new ROUND-12 gates: zero driver evidence, head of window
         "t100_ann_index": llmdata.t100_ann_index,
+        "t101_bm25_topk_pruned": corpus.t101_bm25_topk_pruned,
+        "t102_mjpeg_frame_decode": corpus.t102_mjpeg_frame_decode,
         # (0) round-11 gates
         "t98_concurrent_writers": llmdata.t98_concurrent_writers,
         "t99_incremental_bm25_index": corpus.t99_incremental_bm25_index,

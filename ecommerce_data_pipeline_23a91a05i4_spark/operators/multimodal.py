@@ -295,50 +295,175 @@ def sample_video_frames(
     every_ms: int = 1000,
     duration_key: str = "duration_ms",
     fake: bool = True,
+    decode: str = "rgb",
 ) -> DataFrame:
     """mapInPandas video frame sampling: one output row per sampled
-    offset (offsets every_ms apart across metadata[duration_key]).
+    offset (offsets every_ms apart across the asset's duration).
 
-    The *plan* (which offsets) is exact and engine-verifiable:
-    ceil(duration/every_ms) frames at offsets 0, every_ms, 2*every_ms …
-    The *decode* of each frame is the stub — fake=True emits a 32-byte
-    hash-derived payload per frame; fake=False raises by design.
+    ``fake=True`` (the plumbing double): duration comes from
+    metadata[duration_key] and each "frame" is a 32-byte hash payload
+    — the plan (which offsets) is exact arithmetic an engine oracle
+    replays from the metadata.
 
-    Scale: fan-out is data-dependent (duration/every_ms per asset) but
-    Arrow-batched and shuffle-free; a skewed long-video corpus can
-    repartition on asset_id first.  The explode happens inside pandas,
-    so one giant asset cannot blow the driver — only its own batch."""
+    ``fake=False`` is the REAL path (VERDICT r11 next #5): ``content``
+    must be an MJPEG/AVI blob — the RIFF container is parsed
+    (operators/avi.parse_avi, one forward walk), the duration and
+    frame rate come from the CONTAINER (metadata is ignored), each
+    sample offset maps to its covering frame (floor(offset/frame_ms),
+    clamped), and only the SELECTED frames are touched — a sparse
+    sampling of a long asset never decodes the stream.  ``decode``
+    picks the payload:
+
+    - ``"rgb"``: the vendored T.81 baseline-JPEG decoder
+      (operators/jpeg.py) — chosen over the tiered _decode_rgb seam
+      ON PURPOSE: JPEG pixel values are decoder-specific by spec, and
+      the vendored tier is the one whose output is deterministic
+      across deployments, which the t25 gate's content hashes pin.
+    - ``"jpeg"``: the raw '00dc' JPEG payload, undecoded — the scale
+      path: route these bytes to the fastest available tier
+      (operators/jvmcodec.decode_images_jvm keeps them JVM-side).
+
+    Unparseable/undecodable assets yield NO rows (a corrupt object in
+    a 100 TB manifest filters, it does not fail the job).  Repeated
+    offsets into one frame decode it once (per-asset cache).
+
+    Scale: fan-out is data-dependent but Arrow-batched and
+    shuffle-free; a skewed long-video corpus can repartition on
+    asset_id first.  The explode happens inside pandas, so one giant
+    asset cannot blow the driver — only its own batch."""
+    if decode not in ("rgb", "jpeg"):
+        raise ValueError(
+            f"sample_video_frames: unknown decode mode {decode!r} "
+            "(use 'rgb' or 'jpeg')"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avi as _avi
+        from . import jpeg as _vjpeg
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame decoder not implemented; pass fake=True "
-                    "for the deterministic frame double"
-                )
             ids, offs, frames = [], [], []
             for aid, content, meta in zip(
                 pdf["asset_id"], pdf["content"], pdf["metadata"]
             ):
-                duration = int((meta or {}).get(duration_key, 0))
-                for off in frame_sample_offsets(duration, every_ms):
-                    ids.append(aid)
-                    offs.append(off)
-                    frames.append(
-                        hashlib.sha256(
-                            (content or b"") + off.to_bytes(8, "big")
-                        ).digest()
+                if fake:
+                    duration = int((meta or {}).get(duration_key, 0))
+                    for off in frame_sample_offsets(duration, every_ms):
+                        ids.append(aid)
+                        offs.append(off)
+                        frames.append(
+                            hashlib.sha256(
+                                (content or b"") + off.to_bytes(8, "big")
+                            ).digest()
+                        )
+                    continue
+                try:
+                    parsed = _avi.parse_avi(bytes(content or b""))
+                except ValueError:
+                    continue  # corrupt asset: filter, don't fail
+                decoded: dict[int, bytes] = {}
+                for off in frame_sample_offsets(
+                    parsed["duration_ms"], every_ms
+                ):
+                    fi = _avi.frame_index_at(
+                        off, parsed["us_per_frame"], parsed["n_frames"]
                     )
+                    if fi not in decoded:
+                        raw = parsed["frames"][fi]
+                        if decode == "jpeg":
+                            decoded[fi] = raw
+                        else:
+                            try:
+                                _, _, rgb = _vjpeg.decode_jpeg(raw)
+                                decoded[fi] = rgb
+                            except Exception:
+                                # undecodable frame: filter its
+                                # offsets (and never re-decode it)
+                                decoded[fi] = None
+                    if decoded[fi] is not None:
+                        ids.append(aid)
+                        offs.append(off)
+                        frames.append(decoded[fi])
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),
                     "frame_offset_ms": pd.Series(offs, dtype="int64"),
                     "frame": frames,
-                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                    "n_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
                 }
             )
 
     return assets.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def synth_frame_rgb(
+    seed: int, i: int, width: int = 16, height: int = 16
+) -> bytes:
+    """Deterministic RGB test frame (gradient shifted by (seed, i)) —
+    the fixture generator for the MJPEG/AVI path; numpy arithmetic
+    only, identical on every executor."""
+    import numpy as np
+
+    x = np.linspace(0, 255, width)[None, :].repeat(height, 0)
+    y = np.linspace(0, 255, height)[:, None].repeat(width, 1)
+    r = (x + (seed * 37 + i * 11) % 97).astype(np.float64) % 256.0
+    g = (y + (seed * 13) % 53).astype(np.float64) % 256.0
+    b = ((x + y) / 2.0 + i * 29) % 256.0
+    return (
+        np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+    )
+
+
+def synth_mjpeg_assets(
+    plan: DataFrame,
+    fps: int = 5,
+    width: int = 16,
+    height: int = 16,
+    id_col: str = "asset_id",
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Distributed deterministic MJPEG/AVI synthesis: for each
+    (asset_id, n_frames) row, encode ``n_frames`` gradient frames with
+    the vendored JPEG encoder and pack them into a spec-shaped AVI
+    (operators/avi.build_mjpeg_avi).  The fixture path for the real
+    video-decode gate/probe — content depends only on (asset_id,
+    n_frames, fps, dims), so every engine and run produces the same
+    bytes.  Output matches MULTIMODAL_SCHEMA."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avi as _avi
+        from . import jpeg as _vjpeg
+
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for aid, nf in zip(pdf[id_col], pdf[n_frames_col]):
+                aid, nf = int(aid), max(int(nf), 1)
+                frames = [
+                    _vjpeg.encode_jpeg(
+                        width, height,
+                        synth_frame_rgb(aid, i, width, height),
+                    )
+                    for i in range(nf)
+                ]
+                ids.append(aid)
+                blobs.append(
+                    _avi.build_mjpeg_avi(frames, fps, width, height)
+                )
+                metas.append({"n_frames": str(nf), "fps": str(fps)})
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "modality": pd.Series(
+                        ["video"] * len(ids), dtype="object"
+                    ),
+                    "content": blobs,
+                    "metadata": metas,
+                }
+            )
+
+    return plan.mapInPandas(run, schema=MULTIMODAL_SCHEMA)
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

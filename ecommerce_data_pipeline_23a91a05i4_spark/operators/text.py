@@ -421,6 +421,206 @@ def bm25_scores_from_index(
     )
 
 
+def _bm25_pruned_plan(
+    postings: DataFrame,
+    doc_lengths: DataFrame,
+    corpus_stats: DataFrame,
+    term_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    term_col: str,
+    k1: float,
+    b: float,
+    fp_bits: int,
+) -> dict:
+    """Internal: the max-score pruned top-k pipeline, returned as its
+    named intermediate relations so the bench probe can count SCORED
+    ROWS (tf entering the scoring tail) without re-deriving the plan.
+    See :func:`bm25_topk_from_index` for the algorithm and its
+    exactness argument."""
+    from pyspark.sql import Window
+
+    qt = queries.select(
+        F.col(query_id_col), F.col(term_col).alias("term")
+    ).distinct()
+    vocab = qt.select("term").distinct()
+    post = postings.select(
+        F.col("term"), F.col(id_col), F.col("tf").cast("long").alias("tf")
+    )
+    dl = doc_lengths.select(
+        F.col(id_col), F.col("dl").cast("long").alias("dl")
+    )
+    stats = corpus_stats.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+    # FULL document frequencies from the MAINTAINED per-term stats —
+    # O(|corpus vocabulary|), never O(matched postings); must equal
+    # the tail's derive-from-tf count (both count (term, doc) posting
+    # groups), or scores would drift from the unpruned path
+    dfreq = term_df.select(
+        "term", F.col("df").cast("long").alias("df")
+    ).join(F.broadcast(vocab), "term")
+    # per-(query, term) integer score upper bound:
+    # s = idf * tf(k1+1)/(tf + norm) < idf * (k1+1)  (tf-saturation;
+    # norm > 0), and floor is monotone, so s_fp <= ub_fp row-wise.
+    # idf is the logless rational RSJ ratio — ALWAYS > 0, which is
+    # what makes per-term bounds sum-able.
+    dfd = F.col("df").cast("double")
+    nd = F.col("n_docs").cast("double")
+    idf = (F.lit(2.0) * nd - F.lit(2.0) * dfd + F.lit(1.0)) / (
+        F.lit(2.0) * dfd + F.lit(1.0)
+    )
+    qub = (
+        qt.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            "term",
+            F.floor(idf * F.lit(k1 + 1.0) * F.lit(float(1 << fp_bits)))
+            .cast("long")
+            .alias("ub_fp"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("ub_fp"), F.asc("term")
+    )
+    wsuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    qub = qub.select(
+        query_id_col,
+        "term",
+        "ub_fp",
+        F.sum("ub_fp").over(wsuf).alias("suffix_fp"),
+        F.row_number().over(w).alias("pos"),
+    ).localCheckpoint(eager=True)  # tiny; consumed by 3 branches
+    # phase 1: score each query's TOP-ub term's postings ALONE (one
+    # narrow term-filtered pass — the top-ub term is the RAREST, so
+    # this touches the short lists, never the common ones).  A
+    # single-term partial UNDERESTIMATES every doc's true score
+    # (partials are strictly positive), so the k-th best of these is
+    # still a valid lower bound θ on the k-th best overall — weaker
+    # than full phase-1 scoring would give, but it avoids a second
+    # whole-vocabulary pass over the postings relation.
+    q1 = qub.filter(F.col("pos") == 1).select(query_id_col, "term")
+    tf1 = post.join(F.broadcast(q1.select("term").distinct()), "term")
+    s1 = _bm25_score_components(
+        tf1, dl, stats, q1, id_col, query_id_col, k1, b, fp_bits,
+        dfreq=dfreq, keep_fp=True,
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_fp"), F.asc(id_col)
+    )
+    theta = (
+        s1.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == k)
+        .select(query_id_col, F.col("score_fp").alias("theta_fp"))
+    )
+    # essential terms: keep term at position i iff the ub-sum of
+    # positions >= i can still reach theta.  A doc matching ONLY
+    # pruned terms scores STRICTLY below theta (suffix < theta), and
+    # theta is an ACHIEVED k-th score, so >= k docs beat it — pruned
+    # docs can never enter the top-k, even on ties.  No theta (fewer
+    # than k docs matched the top term) => nothing is pruned.
+    essential = (
+        qub.join(theta, query_id_col, "left")
+        .filter(
+            F.col("theta_fp").isNull()
+            | (F.col("suffix_fp") >= F.col("theta_fp"))
+        )
+        .select(query_id_col, "term")
+    )
+    # (query, doc) candidate PAIRS, not just a doc set: scoring is
+    # restricted per query, so a candidate doc of one query is never
+    # re-scored against every other query sharing a common term (that
+    # cross-product would re-inflate exactly the common-term rows the
+    # bound pruned)
+    cd_pairs = (
+        post.join(F.broadcast(essential), "term")
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    cand_docs = cd_pairs.select(id_col).distinct()
+    tf2 = post.join(F.broadcast(vocab), "term").join(
+        cand_docs, id_col, "leftsemi"
+    )
+    s2 = _bm25_score_components(
+        tf2, dl, stats, qt, id_col, query_id_col, k1, b, fp_bits,
+        dfreq=dfreq, keep_fp=True, pairs=cd_pairs,
+    )
+    topk = (
+        s2.withColumn(
+            "rank", F.row_number().over(wk).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "rank", id_col, "n_terms_matched", "score"
+        )
+    )
+    return {
+        "qub": qub,
+        "tf1": tf1,
+        "tf2": tf2,
+        "essential": essential,
+        "topk": topk,
+    }
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doc_lengths: DataFrame,
+    corpus_stats: DataFrame,
+    term_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    fp_bits: int = 20,
+) -> DataFrame:
+    """EXACT top-k BM25 over the maintained index with MAX-SCORE
+    pruning (VERDICT r11 next #4): full scoring evaluates every
+    matched posting per query — at corpus scale a common query term
+    (the/of/and-class) drags millions of postings through the scoring
+    tail to produce a top-10.  Max-score (Turtle & Flood 1995) bounds
+    each term's best-possible contribution and scores only documents
+    that could still reach the current k-th best:
+
+    1. Per-term upper bound ``ub = idf·(k1+1)`` from the MAINTAINED
+       (term, df) matview — O(|corpus vocab|), no posting touched.
+       The logless rational idf is strictly positive, so bounds sum.
+    2. Phase 1: score each query's single highest-ub (= rarest) term's
+       postings alone — one narrow pass over the SHORT lists; those
+       single-term partials underestimate true scores, so their k-th
+       best is a valid lower bound θ on the final k-th best.
+    3. Keep the minimal ub-descending prefix of terms whose suffix
+       bound still reaches θ ("essential"); docs matching ONLY pruned
+       terms score strictly below θ — beaten by ≥ k docs, ties
+       included — so the top-k over essential-term candidates is
+       EXACTLY the unpruned top-k (same integer ranking key, same
+       (score DESC, id) tie-break).
+
+    All bound arithmetic happens in the tail's own 2^fp_bits integer
+    domain (floor is monotone), so pruning decisions are exact — no
+    float-comparison edge can disagree with the unpruned ranking.
+    Scored rows scale with the rare (high-idf) terms' posting lists
+    and k, NOT with the document frequency of common terms.
+
+    ``term_df`` is the (term, df) relation the index maintains
+    alongside postings (Bm25Index's termdf matview: one row-local
+    array_distinct explode, df = docs containing the term).
+
+    Returns ``(query_id, rank, doc_id, n_terms_matched, score)``,
+    rank 1..k per query."""
+    return _bm25_pruned_plan(
+        postings, doc_lengths, corpus_stats, term_df, queries, k,
+        id_col, query_id_col, term_col, k1, b, fp_bits,
+    )["topk"]
+
+
 def _bm25_score_components(
     tf: DataFrame,
     dl: DataFrame,
@@ -431,14 +631,30 @@ def _bm25_score_components(
     k1: float,
     b: float,
     fp_bits: int,
+    dfreq: DataFrame | None = None,
+    keep_fp: bool = False,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail: per-(doc, term) partials from the
     (tf, dl, corpus-stats) components, floor-quantized to fixed point
     and integer-summed per (query, doc) — the order-independent exact
     chain both the recompute and the maintained-index entry points
     share, so they cannot drift.  ``tf`` must already be restricted
-    to the query vocabulary."""
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    to the query vocabulary.
+
+    ``dfreq`` (term, df) overrides the derive-from-tf document
+    frequencies — REQUIRED when tf is additionally restricted by
+    document (the max-score pruned path: counting the restricted tf
+    would understate df and change scores).  ``keep_fp`` appends the
+    integer ``score_fp`` column (the exact ranking key the pruned
+    top-k compares against its integer bounds).  ``pairs``
+    (query_id, id) restricts the scored (query, doc) combinations
+    BEFORE the aggregate — without it, a candidate doc pulled in by
+    one query is scored against EVERY query sharing any of its terms,
+    which re-inflates exactly the common-term row count the pruned
+    path exists to avoid."""
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = F.col("n_docs").cast("double")
     avgdl = F.col("total_tokens").cast("double") / nd
     norm = F.lit(k1) * (
@@ -464,33 +680,45 @@ def _bm25_score_components(
             .alias("s_fp"),
         )
     )
-    return (
-        part.join(F.broadcast(qt), "term")
-        .groupBy(query_id_col, id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("s_fp").alias("score_fp"),
+    joined = part.join(F.broadcast(qt), "term")
+    if pairs is not None:
+        joined = joined.join(
+            F.broadcast(pairs), [query_id_col, id_col], "leftsemi"
         )
-        .select(
-            query_id_col,
-            id_col,
-            "n_terms_matched",
-            (
-                F.col("score_fp").cast("double")
-                / F.lit(float(1 << fp_bits))
-            ).alias("score"),
-        )
+    hits = joined.groupBy(query_id_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("s_fp").alias("score_fp"),
     )
+    cols = [
+        query_id_col,
+        id_col,
+        "n_terms_matched",
+        (
+            F.col("score_fp").cast("double")
+            / F.lit(float(1 << fp_bits))
+        ).alias("score"),
+    ]
+    if keep_fp:
+        cols.append(F.col("score_fp").cast("long").alias("score_fp"))
+    return hits.select(*cols)
 
 
 class Bm25Index:
     """A STANDING BM25 retrieval index over a TxTable corpus — the
     convenience composition of the t99 machinery (VERDICT r10 next #6):
-    three incrementally-maintained matviews (postings (term, id, tf),
-    per-document lengths, one-row corpus totals) under one object with
+    four incrementally-maintained matviews (postings (term, id, tf),
+    per-document lengths, one-row corpus totals, and per-term document
+    frequencies — the max-score top-k bounds) under one object with
     a build / refresh / score lifecycle, so a retrieval service calls
     ``refresh()`` after each corpus commit and ``score(queries)``
     per query batch — never a corpus re-tokenization.
+
+    The postings MV is PARTITIONED by a 32-way md5 term bucket
+    (``tb``), so scoring reads only the partitions the query batch's
+    vocabulary names (manifest-level pruning in _post_snapshot) — the
+    posting-list seek of a classical inverted index, re-expressed as
+    partition pruning; on a 100 TB index a 3-term query touches
+    ≤ 3/32 of the files before a single row is read.
 
     The index tracks the last absorbed corpus version in each MV's own
     manifest (``bm25_from_version`` ridden on the refresh commit), so a
@@ -498,12 +726,18 @@ class Bm25Index:
     Scores go through :func:`bm25_scores_from_index`, the SAME shared
     tail as the full recompute (bit-identical by construction)."""
 
-    _G_POST = ["term", "doc_id"]
+    #: term-bucket count for the postings layout (posting-list "seek"
+    #: re-expressed as partition pruning — see _tok_rows/_post_snapshot)
+    TB_BUCKETS = 32
+
+    _G_POST = ["tb", "term", "doc_id"]
     _M_POST = {"tf": "1"}
     _G_DL = ["doc_id"]
     _M_DL = {"dl": "dl"}
     _G_CS = ["scope"]
     _M_CS = {"n_docs": "1", "total_tokens": "dl"}
+    _G_TDF = ["term"]
+    _M_TDF: dict = {}  # n_rows IS the document frequency
 
     def __init__(self, corpus, root: str, id_col: str = "doc_id",
                  text_col: str = "text") -> None:
@@ -516,13 +750,33 @@ class Bm25Index:
         self.postings = TxTable(spark, root.rstrip("/") + "/postings")
         self.doclen = TxTable(spark, root.rstrip("/") + "/doclen")
         self.cstats = TxTable(spark, root.rstrip("/") + "/cstats")
+        # per-term document frequencies — the max-score upper-bound
+        # state (VERDICT r11 next #4): one row per corpus-vocabulary
+        # term, maintained by the same signed-delta algebra
+        self.termdf = TxTable(spark, root.rstrip("/") + "/termdf")
 
     # row-local transforms (the mv_init/mv_refresh contract)
     def _tok_rows(self, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(self.id_col).alias("doc_id"),
-            F.explode(tokens(F.col(self.text_col))).alias("term"),
-        ).filter(F.col("term") != "")
+        # tb = md5-derived term bucket, PARTITION KEY of the postings
+        # MV: a posting row's bucket is a pure function of its term,
+        # so a query batch's vocabulary names the exact buckets its
+        # postings live in — scoring reads O(|vocab buckets|) of the
+        # index, the relational analog of a posting-list seek.  md5
+        # (not JVM hash) so the driver can compute the same bucket
+        # when pruning (_term_buckets).
+        from ..operators.dedup import md5_hash32
+
+        return (
+            df.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.explode(tokens(F.col(self.text_col))).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .withColumn(
+                "tb",
+                (md5_hash32(F.col("term")) % self.TB_BUCKETS).cast("int"),
+            )
+        )
 
     def _doc_rows(self, df: DataFrame) -> DataFrame:
         return df.select(
@@ -533,15 +787,29 @@ class Bm25Index:
             F.lit("corpus").alias("scope"),
         )
 
+    def _tdf_rows(self, df: DataFrame) -> DataFrame:
+        # DISTINCT terms per doc (row-local): grouped by term, n_rows
+        # counts documents containing the term — df, exactly the count
+        # the scoring tail derives from unrestricted postings, so
+        # bound arithmetic and scoring can never disagree
+        return df.select(
+            F.explode(
+                F.array_distinct(tokens(F.col(self.text_col)))
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+
     def _mv_specs(self):
         return (
-            (self.postings, self._G_POST, self._M_POST, self._tok_rows),
-            (self.doclen, self._G_DL, self._M_DL, self._doc_rows),
-            (self.cstats, self._G_CS, self._M_CS, self._doc_rows),
+            (self.postings, self._G_POST, self._M_POST, self._tok_rows,
+             "tb"),
+            (self.doclen, self._G_DL, self._M_DL, self._doc_rows, None),
+            (self.cstats, self._G_CS, self._M_CS, self._doc_rows, None),
+            (self.termdf, self._G_TDF, self._M_TDF, self._tdf_rows,
+             None),
         )
 
     def build(self) -> None:
-        """Initialize all three MVs from the corpus's current
+        """Initialize all four MVs from the corpus's current
         snapshot; the absorbed version rides on each MV's init commit
         itself (crash-atomic: an MV either exists WITH its stamp or
         not at all — ADVICE r11)."""
@@ -549,8 +817,9 @@ class Bm25Index:
 
         v = self.corpus.latest_version()
         snap = self.corpus.snapshot(v)
-        for mv, groups, measures, transform in self._mv_specs():
+        for mv, groups, measures, transform, pcol in self._mv_specs():
             mv_init(mv, snap, groups, measures, transform=transform,
+                    partition_by=pcol,
                     extra={"bm25_from_version": int(v)})
 
     def _stamp(self, mv, version: int) -> None:
@@ -569,9 +838,44 @@ class Bm25Index:
             )
         return got
 
+    #: vocab size above which score() stops collecting terms for
+    #: bucket pruning and falls back to the full postings scan
+    PRUNE_VOCAB_CAP = 4096
+
+    def _post_snapshot(self, queries: DataFrame, term_col: str):
+        """The postings relation restricted to the query batch's term
+        BUCKETS (manifest-level partition pruning): the driver
+        recomputes each term's md5 bucket (the same function
+        _tok_rows partitions by) and reads only those partitions'
+        files — the posting-list seek, as O(|vocab buckets|/32) of
+        the index instead of all of it.  A vocabulary above
+        PRUNE_VOCAB_CAP (or one that touches every bucket) reads the
+        full snapshot — correctness never depends on pruning, only
+        cost."""
+        import hashlib as _hashlib
+
+        terms = [
+            r[0]
+            for r in queries.select(term_col)
+            .distinct()
+            .limit(self.PRUNE_VOCAB_CAP + 1)
+            .collect()
+        ]
+        if 0 < len(terms) <= self.PRUNE_VOCAB_CAP:
+            buckets = sorted({
+                int(_hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                % self.TB_BUCKETS
+                for t in terms
+            })
+            if len(buckets) < self.TB_BUCKETS:
+                return self.postings.snapshot(
+                    part=[str(b) for b in buckets]
+                ).select("term", "doc_id", "tf")
+        return self.postings.snapshot().select("term", "doc_id", "tf")
+
     def refresh(self) -> int:
         """Absorb every corpus commit since the last refresh into all
-        three MVs (O(delta tokens) + one MV scan each, see
+        four MVs (O(delta tokens) + one MV scan each, see
         mv_apply_changes); returns the corpus version now reflected.
         No-op (commit-free) when already current.
 
@@ -587,7 +891,7 @@ class Bm25Index:
         from ..sources.matview import mv_refresh
 
         head = self.corpus.latest_version()
-        for mv, groups, measures, transform in self._mv_specs():
+        for mv, groups, measures, transform, _pcol in self._mv_specs():
             done = self._stamped(mv)
             if done == head:
                 continue
@@ -603,11 +907,35 @@ class Bm25Index:
 
     def score(self, queries: DataFrame, query_id_col: str = "query_id",
               term_col: str = "term", k1: float = 1.2, b: float = 0.75,
-              fp_bits: int = 20) -> DataFrame:
+              fp_bits: int = 20, k: int | None = None) -> DataFrame:
         """BM25 scores for a query relation against the maintained
-        index — O(matched postings) per call."""
+        index — O(matched postings) per call.  With ``k`` set, routes
+        through :func:`bm25_topk_from_index`: max-score pruning on the
+        maintained per-term df bounds returns the EXACT top-k per
+        query — ``(query_id, rank, doc_id, n_terms_matched, score)``
+        — while scoring only candidates that can reach the k-th best
+        (cost follows rare-term posting lists and k, not common-term
+        document frequency)."""
+        post = self._post_snapshot(queries, term_col)
+        if k is not None:
+            return bm25_topk_from_index(
+                post,
+                self.doclen.snapshot().select("doc_id", "dl"),
+                self.cstats.snapshot().select("n_docs", "total_tokens"),
+                self.termdf.snapshot().select(
+                    "term", F.col("n_rows").alias("df")
+                ),
+                queries,
+                k=k,
+                id_col="doc_id",
+                query_id_col=query_id_col,
+                term_col=term_col,
+                k1=k1,
+                b=b,
+                fp_bits=fp_bits,
+            ).withColumnRenamed("doc_id", self.id_col)
         return bm25_scores_from_index(
-            self.postings.snapshot().select("term", "doc_id", "tf"),
+            post,
             self.doclen.snapshot().select("doc_id", "dl"),
             self.cstats.snapshot().select("n_docs", "total_tokens"),
             queries,

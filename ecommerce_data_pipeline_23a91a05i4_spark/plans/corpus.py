@@ -772,3 +772,97 @@ def t99_incremental_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def t101_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-SCORE top-k pruning over the inverted index (VERDICT r11
+    next #4, operators/text.bm25_topk_from_index): t94's 100
+    corpus-derived two-term queries, but scored through the pruned
+    path — per-term integer upper bounds from the (term, df) relation,
+    a phase-1 θ from each query's highest-bound term, essential-term
+    candidate restriction, exact re-rank — which must return
+    ROW-IDENTICAL top-3 results to t94's full scoring (same integer
+    ranking key, same (score DESC, doc_id) tie-break).  The oracle IS
+    t94's full-scoring replay, so the driver's hash equality is
+    exactly the pruning-exactness theorem checked cross-engine.
+    Common query terms (every 'the'-class token in the top-200 vocab)
+    are the ones the bound prunes; scored-rows-vs-k scaling is
+    measured by the bench probe, exactness is pinned here."""
+    from ..operators.text import bm25_topk_from_index, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks_all = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    postings = toks_all.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q_toks = toks_all.filter(F.length("term") >= 4)
+    vocab = (
+        q_toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(200)
+    )
+    qt = vocab.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+    ).select(
+        F.floor((F.col("rn") - F.lit(1)) / F.lit(2))
+        .cast("long")
+        .alias("query_id"),
+        "term",
+    )
+    return bm25_topk_from_index(
+        postings, dl, stats, termdf, qt, k=3
+    ).orderBy("query_id", "rank")
+
+
+def t102_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode (VERDICT r11 next #5 — t25's
+    plan-arithmetic stub upgraded to decoded-frame CONTENT): each
+    document seeds a deterministic MJPEG/AVI asset (2 + doc_id % 4
+    gradient frames at 5 fps, vendored T.81 encoder packed by
+    operators/avi.build_mjpeg_avi), and sample_video_frames
+    (fake=False) parses the RIFF container, maps each 300 ms sample
+    offset to its covering frame, and decodes ONLY the selected
+    frames through the vendored JPEG decoder — real container parse,
+    real entropy decode, no codec stub anywhere in the path.
+
+    The rollup hashes the decoded RGB bytes (md5_hash32 summed per
+    source — order-independent integers), so the gate pins pixel
+    CONTENT, not just frame arithmetic.  The oracle is a
+    checksum-guarded static pin (tools/gen_static_oracles.py):
+    Python-side entropy decode is not SQL-replayable, the t24
+    treatment; tests/test_multimodal.py pins the AVI round-trip and
+    decode determinism independently."""
+    from ..operators import multimodal as mm
+    from ..operators.dedup import md5_hash32
+
+    docs = table(spark, sf_dir, "documents")
+    plan = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+    )
+    assets = mm.synth_mjpeg_assets(plan, fps=5)
+    frames = mm.sample_video_frames(assets, every_ms=300, fake=False)
+    doc_src = docs.select(F.col("doc_id").alias("asset_id"), "source")
+    return (
+        frames.join(doc_src, "asset_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("asset_id").cast("long").alias("n_assets"),
+            F.count(F.lit(1)).cast("long").alias("total_frames"),
+            F.max("frame_offset_ms").cast("long")
+            .alias("max_last_offset_ms"),
+            F.sum("n_bytes").cast("long").alias("total_frame_bytes"),
+            F.sum(md5_hash32(F.col("frame"))).cast("long")
+            .alias("frame_hash_sum"),
+        )
+        .orderBy("source")
+    )

@@ -5223,3 +5223,12 @@ LLMDATA_ORACLES["t98_concurrent_writers"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+# t101: max-score pruned top-k — the oracle IS t94's full-scoring
+# replay (identical derivation, ranking key, and tie-break): hash
+# equality against it is the pruning-exactness theorem, checked
+# cross-engine.
+CORPUS_ORACLES["t101_bm25_topk_pruned"] = CORPUS_ORACLES[
+    "t94_bm25_query_relation"
+]

@@ -310,6 +310,14 @@ def mv_init(
         group_cols,
         "mv_init",
     )
+    if partition_by is not None:
+        # co-locate each partition value's rows in ONE task before the
+        # partitioned write: without this every shuffle partition
+        # writes a sliver of every value (tasks × values files — 1024
+        # for a 32-bucket MV at 32 shuffle partitions), and the
+        # partition-pruned read path pays per-file open cost that
+        # swamps the rows it skips
+        agg = agg.repartition(F.col(partition_by))
     return mv.init(agg, partition_by=partition_by, extra=extra)
 
 
@@ -458,6 +466,12 @@ def mv_apply_changes(
     # one delta-sized materialization: the MV scan in the semi join
     # above runs exactly once, and the fast-path probe below costs a
     # memory read, not a re-scan
+    pcol = mv.manifest().get("partition_by")
+    if pcol is not None and pcol in source.columns:
+        # same file-count discipline as mv_init: one task per
+        # partition value, or every refresh multiplies the MV's file
+        # count by the shuffle parallelism
+        source = source.repartition(F.col(pcol))
     source = source.localCheckpoint(eager=True)
     if source.isEmpty():
         return mv.latest_version()

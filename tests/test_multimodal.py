@@ -409,3 +409,100 @@ def test_jvm_codec_plan_has_no_python_workers(spark):
         .toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_avi_roundtrip_and_parser_edges():
+    """RIFF/AVI writer+parser (operators/avi.py): frames round-trip
+    bit-exactly (odd sizes word-align), timing comes from the avih
+    header, 'rec ' sub-lists are walked, and non-AVI blobs raise
+    ValueError (the filter-not-fail contract)."""
+    import struct
+
+    import pytest
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.avi import (
+        _chunk,
+        _list,
+        build_mjpeg_avi,
+        frame_index_at,
+        parse_avi,
+    )
+
+    frames = [b"\xff\xd8odd", b"\xff\xd8even!", b"\xff\xd8x"]
+    avi = build_mjpeg_avi(frames, fps=4, width=8, height=8)
+    p = parse_avi(avi)
+    assert p["frames"] == frames
+    assert p["us_per_frame"] == 250_000
+    assert p["n_frames"] == 3 and p["duration_ms"] == 750
+    # frame selection: floor(offset/frame_ms), clamped
+    assert frame_index_at(0, 250_000, 3) == 0
+    assert frame_index_at(249, 250_000, 3) == 0
+    assert frame_index_at(250, 250_000, 3) == 1
+    assert frame_index_at(10_000, 250_000, 3) == 2
+    # 'rec ' interleave wrapping survives
+    body_start = avi.index(b"movi") + 4
+    movi_end = avi.index(b"idx1")
+    inner = avi[body_start:movi_end]
+    rec_avi = avi[: avi.index(b"LISTmovi"[0:4], 12)]
+    # rebuild: hdrl + movi(rec(frames)) without idx1
+    hdr_end = avi.index(b"LIST", 12)
+    hdr_end = avi.index(b"movi") - 8
+    hdrl = avi[12:hdr_end]
+    movi = _list(b"movi", _list(b"rec ", inner))
+    rec_avi = _chunk(
+        b"RIFF", b"AVI " + hdrl + movi
+    )
+    assert parse_avi(rec_avi)["frames"] == frames
+    for bad in (b"", b"RIFFxxxx", b"RIFF" + struct.pack("<I", 4) + b"WAVE"):
+        with pytest.raises(ValueError):
+            parse_avi(bad)
+
+
+def test_sample_video_frames_real_decode_deterministic(spark):
+    """The real MJPEG path: synth_mjpeg_assets → container parse →
+    vendored JPEG decode.  Decoded RGB is deterministic across runs,
+    every sampled frame is w*h*3 bytes, a corrupt asset filters (no
+    rows, no failure), and only selected frames are decoded (offsets
+    collapsing to one frame share its bytes)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        multimodal as mm,
+    )
+
+    plan = spark.range(4).select(
+        F.col("id").alias("asset_id"),
+        (F.lit(2) + F.col("id") % 3).cast("int").alias("n_frames"),
+    )
+    assets = mm.synth_mjpeg_assets(plan, fps=5)  # 200 ms/frame
+    # inject one corrupt asset
+    corrupt = spark.createDataFrame(
+        [(99, "video", bytearray(b"not an avi"), {"x": "1"})],
+        mm.MULTIMODAL_SCHEMA,
+    )
+    out = mm.sample_video_frames(
+        assets.unionByName(corrupt), every_ms=100, fake=False
+    )
+    rows = out.orderBy("asset_id", "frame_offset_ms").collect()
+    assert rows and all(r.n_bytes == 16 * 16 * 3 for r in rows)
+    assert not [r for r in rows if r.asset_id == 99]  # filtered
+    # offsets 0 and 100 both land in frame 0 (200 ms frames): same bytes
+    a0 = {r.frame_offset_ms: bytes(r.frame)
+          for r in rows if r.asset_id == 0}
+    assert a0[0] == a0[100]
+    assert a0[200] != a0[0]  # next frame differs (gradient shifted)
+    rows2 = mm.sample_video_frames(
+        assets, every_ms=100, fake=False
+    ).orderBy("asset_id", "frame_offset_ms").collect()
+    assert [bytes(r.frame) for r in rows if r.asset_id != 99] == [
+        bytes(r.frame) for r in rows2
+    ]
+    # raw mode hands back the exact '00dc' JPEG payloads
+    raw = mm.sample_video_frames(
+        assets, every_ms=100, fake=False, decode="jpeg"
+    ).collect()
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.jpeg import (
+        is_jpeg,
+    )
+
+    assert raw and all(is_jpeg(bytes(r.frame)) for r in raw)

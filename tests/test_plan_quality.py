@@ -431,3 +431,36 @@ def test_ann_index_scoring_plan_is_clean(spark, tmp_path):
     # the neighbor filter is on the corpus scan side (pushed into the
     # snapshot read), not applied after the cosine projection
     assert "label" in plan and "PushedFilters" in plan
+
+
+def test_bm25_pruned_topk_plan_is_clean(spark):
+    """bm25_topk_from_index (max-score pruning): bound computation,
+    candidate restriction, and both scoring phases broadcast the
+    query-sized relations — no cartesian beyond the one-row stats
+    broadcast, no Python workers; the postings relation is the only
+    large input."""
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        bm25_topk_from_index,
+    )
+
+    postings = spark.createDataFrame(
+        [("alpha", 1, 2), ("beta", 1, 1), ("alpha", 2, 1), ("beta", 3, 4)],
+        "term string, doc_id long, tf long",
+    )
+    dl = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 4)], "doc_id long, dl long"
+    )
+    stats = spark.createDataFrame(
+        [(3, 8)], "n_docs long, total_tokens long"
+    )
+    termdf = spark.createDataFrame(
+        [("alpha", 2), ("beta", 2)], "term string, df long"
+    )
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    out = bm25_topk_from_index(postings, dl, stats, termdf, qt, k=2)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -338,3 +338,156 @@ def test_bm25_index_stamp_rides_refresh_commit(spark, tmp_path):
         ).collect()
     }
     assert got_dl == want_dl
+
+
+def test_bm25_maxscore_topk_equals_full_scoring_and_prunes(spark, tmp_path):
+    """Max-score pruned top-k (VERDICT r11 next #4): on a corpus with
+    one wall-to-wall common term and a few rare terms, the pruned
+    path must return EXACTLY the full-scoring top-k (same integer
+    ranking key, same tie-break) while pushing strictly fewer rows
+    through the scoring tail than the full matched-posting count —
+    the scored-rows-scale-with-k property."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        Bm25Index,
+        _bm25_pruned_plan,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    # 40 docs: every doc contains 'common'; doc i%8==0 also contains
+    # 'rare'; assorted mid-frequency terms
+    rows = []
+    for i in range(40):
+        words = ["common", "common"]
+        if i % 8 == 0:
+            words.append("rare")
+        if i % 4 == 0:
+            words.append("mid")
+        words.append(f"noise{i % 10}")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(docs.coalesce(1))
+    idx = Bm25Index(corpus, str(tmp_path / "idx"))
+    idx.build()
+
+    qt = spark.createDataFrame(
+        [(0, "common"), (0, "rare"), (1, "common"), (1, "mid")],
+        "query_id long, term string",
+    )
+    k = 3
+    pruned = idx.score(qt, k=k)
+    full = idx.score(qt)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc((F.col("score") * (1 << 20)).cast("long")), F.asc("doc_id")
+    )
+    full_topk = (
+        full.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_terms_matched", "score")
+    )
+    got = sorted(map(tuple, pruned.collect()))
+    want = sorted(map(tuple, full_topk.collect()))
+    assert got == want and got
+
+    # pruning property: 'common' (df=40) must be non-essential for
+    # query 0 (rare's docs fill the top-3 and common's bound cannot
+    # reach theta), so scored rows < full matched postings
+    parts = _bm25_pruned_plan(
+        idx.postings.snapshot().select("term", "doc_id", "tf"),
+        idx.doclen.snapshot().select("doc_id", "dl"),
+        idx.cstats.snapshot().select("n_docs", "total_tokens"),
+        idx.termdf.snapshot().select(
+            "term", F.col("n_rows").alias("df")
+        ),
+        qt, k, "doc_id", "query_id", "term", 1.2, 0.75, 20,
+    )
+    ess = {
+        (r.query_id, r.term) for r in parts["essential"].collect()
+    }
+    assert (0, "rare") in ess
+    assert (0, "common") not in ess  # the common term got pruned
+    full_matched = (
+        idx.postings.snapshot()
+        .join(qt.select("term").distinct(), "term")
+        .count()
+    )
+    assert parts["tf2"].count() < full_matched
+
+
+def test_bm25_index_bucket_pruned_read_is_exact_and_partial(spark, tmp_path):
+    """The postings MV's term-bucket partitioning (posting-list seek
+    as partition pruning): score() over a small-vocabulary query batch
+    reads only the buckets the terms hash to — strictly fewer manifest
+    entries than the full snapshot — and returns scores identical to
+    an unpruned read (pruning is a file-set reduction, never a row
+    filter)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.text import (
+        Bm25Index,
+        bm25_scores_from_index,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[j % len(words)]
+                         for j in range(i, i + 4)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(docs.coalesce(2))
+    idx = Bm25Index(corpus, str(tmp_path / "idx"))
+    idx.build()
+
+    # the layout really is partitioned: >1 distinct bucket on disk
+    parts = {e.get("part") for e in idx.postings.manifest()["files"]}
+    assert len(parts) > 1
+
+    qt = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "query_id long, term string"
+    )
+    pruned_rel = idx._post_snapshot(qt, "term")
+    full_rel = idx.postings.snapshot().select("term", "doc_id", "tf")
+    # pruned read touches a strict subset of buckets
+    import hashlib
+
+    want_buckets = {
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        % Bm25Index.TB_BUCKETS
+        for t in ("alpha", "beta")
+    }
+    touched = {
+        int(p) for p in
+        {e.get("part") for e in idx.postings.manifest()["files"]}
+    }
+    assert want_buckets < touched or len(want_buckets) < len(touched)
+
+    def scores(rel):
+        return {
+            (r.query_id, r.doc_id, r.n_terms_matched, r.score)
+            for r in bm25_scores_from_index(
+                rel,
+                idx.doclen.snapshot().select("doc_id", "dl"),
+                idx.cstats.snapshot().select("n_docs", "total_tokens"),
+                qt,
+            ).collect()
+        }
+
+    assert scores(pruned_rel) == scores(full_rel) != set()
+    got = {
+        (r.query_id, r.doc_id, r.n_terms_matched, r.score)
+        for r in idx.score(qt).collect()
+    }
+    assert got == scores(full_rel)

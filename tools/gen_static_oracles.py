@@ -59,6 +59,18 @@ TARGETS: dict[str, list[tuple[str, str]]] = {
         ("min_width", "INTEGER"),
         ("max_height", "INTEGER"),
     ],
+    # Deterministic by construction: synthetic MJPEG/AVI assets are a
+    # pure function of (doc_id, frame index), and the decode path is
+    # the VENDORED T.81 decoder on purpose (tier-independent pixel
+    # bytes) — see plans/corpus.t102_mjpeg_frame_decode.
+    "t102_mjpeg_frame_decode": [
+        ("source", "VARCHAR"),
+        ("n_assets", "BIGINT"),
+        ("total_frames", "BIGINT"),
+        ("max_last_offset_ms", "BIGINT"),
+        ("total_frame_bytes", "BIGINT"),
+        ("frame_hash_sum", "BIGINT"),
+    ],
 }
 
 CHECKSUM_SQL = "SELECT SUM((doc_id + 1) * n_chars) FROM documents"
