@@ -1289,11 +1289,14 @@ class AnnIndex:
 
     _G = ["id", "band", "key"]
     _M: dict = {}  # presence-only MV: n_rows is the whole payload
+    _G_CODES = ["id", "codes"]  # PQ codes as a group KEY (array equality)
 
     def __init__(self, corpus, root: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", bands: int = 6,
                  bits_per_band: int = 3, dim: int = 64,
-                 seed: int = 7) -> None:
+                 seed: int = 7, pq: bool = False, pq_m: int = 16,
+                 pq_ksub: int = 16,
+                 pq_train_mod: int | None = None) -> None:
         from ..sources.txtable import TxTable
 
         self.corpus = corpus
@@ -1303,9 +1306,24 @@ class AnnIndex:
         self.bits_per_band = bits_per_band
         self.dim = dim
         self.seed = seed
+        self.pq = pq
+        self.pq_m = pq_m
+        self.pq_ksub = pq_ksub
+        self.pq_train_mod = pq_train_mod
         self.bands_mv = TxTable(
             corpus.spark, root.rstrip("/") + "/bands"
         )
+        if pq:
+            # PQ sidecar state (VERDICT r11 next #1's "compose the
+            # PQ/IVF machinery"): codebooks FROZEN at build (classic
+            # PQ practice — retraining is a rebuild), codes as a
+            # change-feed-maintained matview keyed by (id, codes)
+            self.codebooks_t = TxTable(
+                corpus.spark, root.rstrip("/") + "/codebooks"
+            )
+            self.codes_mv = TxTable(
+                corpus.spark, root.rstrip("/") + "/codes"
+            )
 
     def _band_rows(self, df: DataFrame) -> DataFrame:
         # row-local (select + explode over plan-literal hyperplanes):
@@ -1315,51 +1333,172 @@ class AnnIndex:
             self.id_col, self.vec_col,
         )
 
+    def _codebooks(self) -> DataFrame:
+        return self.codebooks_t.snapshot().select(
+            "sub", "cluster_id", "centroid"
+        )
+
+    def _code_rows(self, df: DataFrame) -> DataFrame:
+        # PQ-encode against the FROZEN codebook relation.  This closes
+        # over a broadcast join + a per-id collect, but it is
+        # row-local in the sense the mv transform contract requires:
+        # the codebooks are immutable after build, so the same input
+        # row always re-derives exactly the same (id, codes) output
+        # row — deletes subtract exactly.
+        from .quantize import pq_encode
+
+        return pq_encode(
+            df, self._codebooks(), self.pq_m, self.dim,
+            self.id_col, self.vec_col,
+        ).select(F.col(self.id_col).alias("id"), "codes")
+
+    def _mv_specs(self):
+        specs = [(self.bands_mv, self._G, self._M, self._band_rows)]
+        if self.pq:
+            specs.append(
+                (self.codes_mv, self._G_CODES, {}, self._code_rows)
+            )
+        return specs
+
     def build(self) -> None:
-        """Materialize the band index from the corpus's current
-        snapshot; the absorbed version rides the init commit."""
+        """Materialize the index from the corpus's current snapshot
+        (band matview; with ``pq=True`` also the frozen codebooks and
+        the codes matview); the absorbed version rides each init
+        commit."""
         from ..sources.matview import mv_init
 
         v = self.corpus.latest_version()
-        mv_init(
-            self.bands_mv, self.corpus.snapshot(v), self._G, self._M,
-            transform=self._band_rows,
-            extra={"ann_from_version": int(v)},
-        )
+        snap = self.corpus.snapshot(v)
+        if self.pq:
+            from .quantize import pq_train
 
-    def _stamped(self) -> int:
+            self.codebooks_t.init(
+                pq_train(
+                    snap, m=self.pq_m, ksub=self.pq_ksub,
+                    dim=self.dim, id_col=self.id_col,
+                    vec_col=self.vec_col,
+                    train_mod=self.pq_train_mod,
+                )
+            )
+        for mv, groups, measures, transform in self._mv_specs():
+            mv_init(
+                mv, snap, groups, measures, transform=transform,
+                extra={"ann_from_version": int(v)},
+            )
+
+    def _stamped(self, mv=None) -> int:
         from ..sources.matview import mv_stamp_read
 
-        got = mv_stamp_read(self.bands_mv, "ann_from_version")
+        mv = self.bands_mv if mv is None else mv
+        got = mv_stamp_read(mv, "ann_from_version")
         if got is None:
             raise RuntimeError(
                 f"AnnIndex: no absorbed-version stamp in "
-                f"{self.bands_mv.path}; was build() run?"
+                f"{mv.path}; was build() run?"
             )
         return got
 
     def refresh(self) -> int:
         """Absorb every corpus commit since the last refresh
-        (O(delta × bands) + one MV scan); returns the corpus version
-        now reflected.  Commit-free no-op when already current; on a
-        net-no-op diff (pure compact) the stamp advances via a
-        metadata-only commit (safe — re-applying a no-op range is a
-        no-op)."""
+        (O(delta × bands [+ delta × m codes]) + one scan per MV);
+        returns the corpus version now reflected.  Commit-free no-op
+        when already current; per-MV stamps resume a crash between
+        MV refreshes exactly (the Bm25Index discipline); on a
+        net-no-op diff the stamp advances via a metadata-only commit
+        (safe — re-applying a no-op range is a no-op)."""
         from ..sources.matview import mv_refresh, mv_stamp_write
 
         head = self.corpus.latest_version()
-        done = self._stamped()
-        if done == head:
-            return head
-        before = self.bands_mv.latest_version()
-        mv_refresh(
-            self.bands_mv, self.corpus, self._G, self._M,
-            from_version=done, transform=self._band_rows,
-            extra={"ann_from_version": int(head)},
-        )
-        if self.bands_mv.latest_version() == before:
-            mv_stamp_write(self.bands_mv, "ann_from_version", head)
+        for mv, groups, measures, transform in self._mv_specs():
+            done = self._stamped(mv)
+            if done == head:
+                continue
+            before = mv.latest_version()
+            mv_refresh(
+                mv, self.corpus, groups, measures,
+                from_version=done, transform=transform,
+                extra={"ann_from_version": int(head)},
+            )
+            if mv.latest_version() == before:
+                mv_stamp_write(mv, "ann_from_version", head)
         return head
+
+    def _candidates(self, q: DataFrame) -> DataFrame:
+        """(query_id, id) bucket-restricted candidate pairs: the
+        broadcast query batch's band keys joined against the
+        maintained index relation; self-matches excluded."""
+        q_bands = srp_band_table(
+            q, self.bands, self.bits_per_band, self.dim, self.seed,
+            id_col="query_id", vec_col="q_vec",
+        ).withColumnRenamed("id", "query_id")
+        index = self.bands_mv.snapshot().select("id", "band", "key")
+        return (
+            index.join(F.broadcast(q_bands), ["band", "key"])
+            .filter(F.col("query_id") != F.col("id"))
+            .select("query_id", "id")
+            .distinct()
+        )
+
+    def score_pq(self, queries: DataFrame, k: int = 10,
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "embedding",
+                 where=None, refine: int | None = None,
+                 ndigits: int = 6) -> DataFrame:
+        """Top-k via ASYMMETRIC PQ distance over the maintained codes
+        matview (requires ``pq=True``): band-restricted candidates are
+        scored from their 8-byte PQ codes alone — the corpus float
+        vectors are never read (FAISS's IVFADC shape; the 100 TB
+        cache-residency lever) — unless ``refine`` re-ranks the ADC
+        shortlist with exact cosine (floats fetched for
+        queries × refine rows only).  Returns
+        (query_id, neighbor_id, rank, pq_cosine)."""
+        if not self.pq:
+            raise ValueError(
+                "AnnIndex.score_pq: index built without pq=True"
+            )
+        from .quantize import knn_pq
+
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("q_vec"),
+        )
+        cand_ids = self._candidates(q).select("id").distinct()
+        snap = self.corpus.snapshot()
+        if where is not None:
+            snap = snap.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+            cand_ids = cand_ids.join(
+                snap.select(F.col(self.id_col).alias("id")),
+                "id", "leftsemi",
+            )
+        # knn_pq uses ONE id_col name for both sides (it aliases the
+        # query side to query_id itself); feed it the query relation
+        # and the candidate code/float relations keyed "_aid"
+        codes = (
+            self.codes_mv.snapshot()
+            .join(cand_ids, "id", "leftsemi")
+            .select(F.col("id").alias("_aid"), "codes")
+        )
+        return knn_pq(
+            q.select(
+                F.col("query_id").alias("_aid"),
+                F.col("q_vec").alias("vec"),
+            ),
+            snap.select(
+                F.col(self.id_col).alias("_aid"),
+                F.col(self.vec_col).alias("vec"),
+            ),
+            self._codebooks(),
+            k=k,
+            m=self.pq_m,
+            dim=self.dim,
+            id_col="_aid",
+            vec_col="vec",
+            ndigits=ndigits,
+            refine=refine,
+            codes=codes,
+        )
 
     def score(self, queries: DataFrame, k: int = 10,
               query_id_col: str = "query_id",
@@ -1377,17 +1516,7 @@ class AnnIndex:
             F.col(self.vec_col if query_vec_col is None
                   else query_vec_col).alias("q_vec"),
         )
-        q_bands = srp_band_table(
-            q, self.bands, self.bits_per_band, self.dim, self.seed,
-            id_col="query_id", vec_col="q_vec",
-        ).withColumnRenamed("id", "query_id")
-        index = self.bands_mv.snapshot().select("id", "band", "key")
-        cands = (
-            index.join(F.broadcast(q_bands), ["band", "key"])
-            .filter(F.col("query_id") != F.col("id"))
-            .select("query_id", "id")
-            .distinct()
-        )
+        cands = self._candidates(q)
         snap = self.corpus.snapshot()
         if where is not None:
             snap = snap.filter(

@@ -765,3 +765,120 @@ def test_ann_index_lifecycle_matches_recompute(spark, tmp_path):
     # filtered scoring: neighbors restricted BEFORE the cosine
     filt = idx.score(queries, k=5, where="vec_id % 2 = 0").collect()
     assert filt and all(r.neighbor_id % 2 == 0 for r in filt)
+
+
+def test_ann_index_pq_lifecycle_and_adc_scoring(spark, tmp_path):
+    """AnnIndex with pq=True (the PQ/IVF composition of VERDICT r11
+    next #1): codebooks freeze at build, the codes matview absorbs an
+    append AND a delete through refresh() — bit-identical to a fresh
+    pq_encode of the final snapshot against the SAME frozen books —
+    and score_pq reproduces a from-scratch band-candidates + knn_pq
+    computation exactly, including the refine re-rank; a fresh object
+    resumes and scores identically."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.quantize import (
+        knn_pq,
+        pq_encode,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.similarity import (
+        AnnIndex,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.sources.txtable import (
+        TxTable,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    vecs = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+            for i in range(48)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.init(vecs.filter(F.col("vec_id") < 32).coalesce(1))
+    idx = AnnIndex(
+        corpus, str(tmp_path / "idx"), bands=4, bits_per_band=2,
+        dim=dim, pq=True, pq_m=4, pq_ksub=4,
+    )
+    idx.build()
+    corpus.append(vecs.filter(F.col("vec_id") >= 32).coalesce(1))
+    corpus.delete("vec_id % 9 = 4")
+    assert idx.refresh() == corpus.latest_version()
+
+    final = corpus.snapshot()
+    books = idx._codebooks()
+    got_codes = {
+        (r.id, tuple(r.codes))
+        for r in idx.codes_mv.snapshot().collect()
+    }
+    want_codes = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(
+            final, books, m=4, dim=dim
+        ).collect()
+    }
+    assert got_codes == want_codes and got_codes
+
+    queries = vecs.filter(F.col("vec_id") % 11 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        tuple(r) for r in idx.score_pq(queries, k=4).collect()
+    }
+    # from-scratch twin: same frozen books, fresh candidates + codes
+    q = queries.select(
+        "query_id", F.col("embedding").alias("q_vec")
+    )
+    cand_ids = idx._candidates(q).select("id").distinct()
+    fresh_codes = (
+        pq_encode(final, books, m=4, dim=dim)
+        .withColumnRenamed("vec_id", "id")
+        .join(cand_ids, "id", "leftsemi")
+        .select(F.col("id").alias("_aid"), "codes")
+    )
+    want = {
+        tuple(r)
+        for r in knn_pq(
+            q.select(F.col("query_id").alias("_aid"),
+                     F.col("q_vec").alias("vec")),
+            final.select(F.col("vec_id").alias("_aid"),
+                         F.col("embedding").alias("vec")),
+            books, k=4, m=4, dim=dim, id_col="_aid", vec_col="vec",
+            codes=fresh_codes,
+        ).collect()
+    }
+    assert got == want and got
+
+    # refine path returns exact cosine on the shortlist, still equal
+    got_r = {
+        tuple(r) for r in idx.score_pq(queries, k=3, refine=8).collect()
+    }
+    want_r = {
+        tuple(r)
+        for r in knn_pq(
+            q.select(F.col("query_id").alias("_aid"),
+                     F.col("q_vec").alias("vec")),
+            final.select(F.col("vec_id").alias("_aid"),
+                         F.col("embedding").alias("vec")),
+            books, k=3, m=4, dim=dim, id_col="_aid", vec_col="vec",
+            codes=fresh_codes, refine=8,
+        ).collect()
+    }
+    assert got_r == want_r and got_r
+
+    # durable resume: a fresh object is current and scores the same
+    idx2 = AnnIndex(
+        corpus, str(tmp_path / "idx"), bands=4, bits_per_band=2,
+        dim=dim, pq=True, pq_m=4, pq_ksub=4,
+    )
+    v = idx2.codes_mv.latest_version()
+    assert idx2.refresh() == corpus.latest_version()
+    assert idx2.codes_mv.latest_version() == v
+    assert {
+        tuple(r) for r in idx2.score_pq(queries, k=4).collect()
+    } == got
