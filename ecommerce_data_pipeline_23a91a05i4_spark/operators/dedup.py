@@ -177,13 +177,28 @@ def lsh_candidate_pairs(
     """
     r = num_perm // bands
     assert bands * r == num_perm, "num_perm must be divisible by bands"
-    banded = None
-    for bnd in range(bands):
-        cols = [F.col(f"h{bnd * r + j}") for j in range(r)]
-        one = signatures.select(
-            "id", F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bucket")
-        )
-        banded = one if banded is None else banded.unionAll(one)
+    # ONE pass: explode a per-row array of (band, bucket) structs instead
+    # of a bands-way unionAll of per-band projections — the union shape
+    # duplicated the whole upstream signature subtree per band (t8's plan
+    # was 685 operators / 206 Exchanges; the map work was re-executed or
+    # at best re-planned per band), where a Generate over the same rows
+    # is a single subtree (guide §2.4: remove duplicated subtrees).
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{bnd * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -273,16 +288,28 @@ def md5_band_table(sig: DataFrame, num_perm: int = 32, bands: int = 8) -> DataFr
     corpus side of incremental dedup a zero-rehash, zero-shuffle scan."""
     r = num_perm // bands
     assert bands * r == num_perm, "num_perm must be divisible by bands"
-    banded = None
-    for bnd in range(bands):
-        cols = [F.col(f"mh{bnd * r + j}") for j in range(r)]
-        one = sig.select(
-            "id",
-            F.lit(bnd).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bkey"),
-        )
-        banded = one if banded is None else banded.unionAll(one)
-    return banded
+    # ONE pass (same rewrite as lsh_candidate_pairs): a per-row explode of
+    # (band, bkey) structs replaces the bands-way unionAll that duplicated
+    # the signature-aggregation subtree per band in every consumer's plan.
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"mh{bnd * r + j}") for j in range(r)],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
 
 
 def _verify_jaccard(
