@@ -516,6 +516,33 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _chunk_rows(
+    sh: DataFrame, n_chunks: int, width: int, mask: int
+) -> DataFrame:
+    """(id, sim, chunk, key) blocking rows from a (id, sim) signature —
+    one explode over a per-row struct array (the md5_band_table shape);
+    the previous per-chunk unionAll duplicated the whole signature
+    subtree once per chunk on BOTH sides of the candidate self-join
+    (t9's plan re-scanned the corpus 32 times)."""
+    return sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sim"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_ck"),
+    ).select("id", "sim", F.col("_ck.chunk").alias("chunk"), F.col("_ck.key").alias("key"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -539,17 +566,7 @@ def simhash_pairs(
     width = 64 // n_chunks
     mask = (1 << width) - 1
     sh = simhash64(df, id_col, text_col)
-    chunks = None
-    for c in range(n_chunks):
-        one = sh.select(
-            "id",
-            "sim",
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("sim"), c * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
-        )
-        chunks = one if chunks is None else chunks.unionAll(one)
+    chunks = _chunk_rows(sh, n_chunks, width, mask)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -617,17 +634,7 @@ def simhash_md5_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
     ).select("id", F.expr(simhash_md5_sql("__text__")).alias("sim"))
-    chunks = None
-    for c in range(n_chunks):
-        one = sh.select(
-            "id",
-            "sim",
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("sim"), c * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
-        )
-        chunks = one if chunks is None else chunks.unionAll(one)
+    chunks = _chunk_rows(sh, n_chunks, width, mask)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

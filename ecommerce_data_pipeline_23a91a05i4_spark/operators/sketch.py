@@ -615,25 +615,48 @@ def hist_quantile(
             )
         ).alias("total"),
     )
-    qdf = None
-    for q in qs:
-        need = F.ceil(F.lit(float(q)) * F.col("total"))
-        hit = (
-            cum.filter(F.col("cum") >= need)
-            .groupBy(*g)
-            .agg(F.min("bin").alias("qbin"))
-            # zero-key groupBy over an EMPTY relation emits one all-NULL
-            # row; drop it so an empty histogram yields an empty result
-            # (the ungrouped contract before the paths were unified)
-            .filter(F.col("qbin").isNotNull())
-            .select(
-                *g,
-                F.lit(float(q)).alias("q"),
-                quant(
-                    F.lit(float(lo)) + (F.col("qbin") + 1) * F.lit(w),
-                    ndigits,
-                ).alias("est"),
-            )
+    # ONE aggregation pass for every requested quantile (the previous
+    # per-q unionAll recomputed the cumulative window and upstream
+    # histogram once per quantile — guide §2.4, duplicated subtrees):
+    # per q, a conditional min over the same cumulative rows picks the
+    # identical first-reaching bin; the (q, qbin) pairs then unpivot
+    # via one explode.  The all-NULL row a zero-key groupBy emits on an
+    # empty relation carries NULL qbins, which the isNotNull filter
+    # drops — the same empty-histogram contract as before.
+    mins = cum.groupBy(*g).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(float(q)) * F.col("total")),
+                    F.col("bin"),
+                )
+            ).alias(f"_qbin_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    return (
+        mins.select(
+            *g,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(q)).alias("q"),
+                            F.col(f"_qbin_{i}").alias("qbin"),
+                        )
+                        for i, q in enumerate(qs)
+                    ]
+                )
+            ).alias("_qq"),
         )
-        qdf = hit if qdf is None else qdf.unionAll(hit)
-    return qdf
+        .filter(F.col("_qq.qbin").isNotNull())
+        .select(
+            *g,
+            F.col("_qq.q").alias("q"),
+            quant(
+                F.lit(float(lo)) + (F.col("_qq.qbin") + 1) * F.lit(w),
+                ndigits,
+            ).alias("est"),
+        )
+    )
