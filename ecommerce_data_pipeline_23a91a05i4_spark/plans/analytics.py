@@ -56,16 +56,35 @@ def _profit() -> F.Column:
 
 
 def q1_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top 10 products by revenue (ref Q1, analytical_queries.sql:4-15)."""
+    """Top 10 products by revenue (ref Q1, analytical_queries.sql:4-15).
+
+    Plan shape (optimization r12, guide §2.3 "shuffle fewer bytes"):
+    the fact rows are aggregated on the 8-byte ``l_partkey`` alone —
+    no join, no strings in the hot hash-aggregate — then the ~|parts|
+    partials broadcast-join ``part`` to attach name/brand and re-sum
+    per (name, brand).  Decimal partials re-add exactly (order-
+    independent), so totals are bit-identical to the single-level
+    aggregate; integer-valued double sums (quantity, counts) are exact
+    under 2^53.  The inner join semantics are preserved by the
+    post-agg join (a partkey missing from ``part`` drops there, having
+    never contributed)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(_rev()).alias("_rev_dec"),
+        F.sum("l_quantity").alias("_units"),
+        dsum(F.col("l_extendedprice")).alias("_ext_dec"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)  # broadcast under AQE
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
         .groupBy("p_name", "p_brand")
         .agg(
-            money_sum(_rev()).alias("total_revenue"),
-            F.sum("l_quantity").alias("units_sold"),
-            mean2(F.col("l_extendedprice"), F.count(F.lit(1))).alias("avg_price"),
+            r2(F.sum("_rev_dec")).alias("total_revenue"),
+            F.sum("_units").alias("units_sold"),
+            r2(
+                F.sum("_ext_dec").cast("double") / F.sum("_n")
+            ).alias("avg_price"),
         )
         .select(
             F.col("p_name").alias("product_name"),
@@ -84,16 +103,33 @@ def q2_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # Two-level aggregate (optimization r12, guide §2.3 "aggregate
+    # before you shuffle"): the single-level form computed TWO
+    # count-distincts over the joined fact rows — an Expand that
+    # tripled the aggregated row stream.  Orders are unique by
+    # o_orderkey, so each (year, month, orderkey) level-1 group is one
+    # order (its o_custkey constant — min() reads it deterministically);
+    # level 2 then needs one distinct on |orders|-cardinality rows, not
+    # three streams of |lineitem|.  Decimal partials re-add exactly, so
+    # every output value is bit-identical to the single-level plan.
+    per_order = j.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.col("l_orderkey"),
+    ).agg(
+        dsum(_rev()).alias("_rev_dec"),
+        F.count(F.lit(1)).alias("_n_items"),
+        F.min("o_custkey").alias("_custkey"),
+    )
     return (
-        j.groupBy(
-            F.year("o_orderdate").alias("o_year"),
-            F.month("o_orderdate").alias("o_month"),
-        )
+        per_order.groupBy("o_year", "o_month")
         .agg(
-            money_sum(_rev()).alias("total_revenue"),
-            F.countDistinct("l_orderkey").alias("total_orders"),
-            mean2(_rev(), F.count(F.lit(1))).alias("avg_item_value"),
-            F.countDistinct("o_custkey").alias("unique_customers"),
+            r2(F.sum("_rev_dec")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("total_orders"),
+            r2(
+                F.sum("_rev_dec").cast("double") / F.sum("_n_items")
+            ).alias("avg_item_value"),
+            F.countDistinct("_custkey").alias("unique_customers"),
         )
         .select(
             F.concat_ws(
@@ -144,14 +180,29 @@ def q4_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category performance w/ profit margin (ref Q4, :59-69)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    # Narrow-key aggregation (optimization r12, guide §2.3): the join
+    # stays BEFORE the aggregate (_profit reads p_retailprice per fact
+    # row, so per-row decimals are unchanged), but level 1 groups on
+    # the 8-byte p_partkey instead of the p_type string; the ~|parts|
+    # decimal partials then re-aggregate per category exactly.
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    per_part = j.groupBy("p_partkey").agg(
+        dsum(_rev()).alias("_rev_dec"),
+        dsum(_profit()).alias("_profit_dec"),
+        F.sum("l_quantity").alias("_units"),
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
+        per_part.join(
+            part.select("p_partkey", "p_type"), "p_partkey"
+        )
         .groupBy(F.col("p_type").alias("category"))
         .agg(
-            money_sum(_rev()).alias("total_revenue"),
-            money_sum(_profit()).alias("total_profit"),
-            safe_pct(dsum(_profit()), dsum(_rev())).alias("profit_margin_pct"),
-            F.sum("l_quantity").alias("units_sold"),
+            r2(F.sum("_rev_dec")).alias("total_revenue"),
+            r2(F.sum("_profit_dec")).alias("total_profit"),
+            safe_pct(
+                F.sum("_profit_dec"), F.sum("_rev_dec")
+            ).alias("profit_margin_pct"),
+            F.sum("_units").alias("units_sold"),
         )
         .orderBy(F.desc("total_revenue"))
     )
@@ -189,19 +240,36 @@ def q6_geo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    # Decide with small rows (optimization r12, guide §8 / §2.3): the
+    # fact rows aggregate on (c_nationkey, c_custkey) — two longs — so
+    # the countDistinct becomes a count over level-1 groups (no Expand
+    # over fact rows) and the nation/region STRING joins move below the
+    # aggregate, touching ~|customers| partials instead of every
+    # lineitem.  Decimal partials re-add exactly; every nationkey has
+    # exactly one nation/region row (broadcast inner joins preserved).
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    per_cust = j.groupBy("c_nationkey", "c_custkey").agg(
+        dsum(_rev()).alias("_rev_dec")
+    )
+    per_nation = per_cust.groupBy("c_nationkey").agg(
+        F.sum("_rev_dec").alias("_rev_dec"),
+        F.count(F.lit(1)).alias("total_customers"),
     )
     return (
-        j.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
-        .agg(
-            money_sum(_rev()).alias("total_revenue"),
-            F.countDistinct("c_custkey").alias("total_customers"),
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            r2(F.col("_rev_dec")).alias("total_revenue"),
+            "total_customers",
             r2(
-                dsum(_rev()).cast("double") / F.countDistinct("c_custkey")
+                F.col("_rev_dec").cast("double") / F.col("total_customers")
             ).alias("avg_revenue_per_customer"),
         )
         .orderBy(F.desc("total_revenue"), "nation")
@@ -242,18 +310,32 @@ def q8_product_profitability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product profitability (ref Q8, :120-131)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    # Narrow-key aggregation (optimization r12, guide §2.3): p_partkey
+    # is unique in part, so p_name/p_brand are constant per group —
+    # aggregate on the 8-byte key alone (the join stays before the
+    # aggregate: _profit reads p_retailprice per fact row) and attach
+    # the two strings afterwards with a broadcast join against part.
+    # The hot hash-aggregate and its exchange carry no strings.
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    agg = j.groupBy("p_partkey").agg(
+        money_sum(_profit()).alias("total_profit"),
+        safe_pct(dsum(_profit()), dsum(_rev())).alias("profit_margin"),
+        money_sum(_rev()).alias("revenue"),
+        F.sum("l_quantity").alias("units_sold"),
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy(
+        agg.join(
+            F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+            "p_partkey",
+        )
+        .select(
             F.col("p_partkey").alias("product_id"),
             F.col("p_name").alias("product_name"),
             F.col("p_brand").alias("brand"),
-        )
-        .agg(
-            money_sum(_profit()).alias("total_profit"),
-            safe_pct(dsum(_profit()), dsum(_rev())).alias("profit_margin"),
-            money_sum(_rev()).alias("revenue"),
-            F.sum("l_quantity").alias("units_sold"),
+            "total_profit",
+            "profit_margin",
+            "revenue",
+            "units_sold",
         )
         .orderBy(F.desc("total_profit"), "product_id")
     )

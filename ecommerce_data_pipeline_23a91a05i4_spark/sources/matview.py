@@ -414,10 +414,30 @@ def mv_apply_changes(
         nonzero = nonzero | (F.col(name) != 0)
     # a NULL group arriving AFTER init fails with the same message as
     # mv_init (init and refresh agree on rejection; ADVICE r6) instead
-    # of merge's generic NULL-key error
-    delta = _reject_null_groups(
-        delta.filter(nonzero), group_cols, "mv_refresh"
-    )
+    # of merge's generic NULL-key error.  The null probe and the
+    # broadcast-sizing row count below share ONE job over the
+    # checkpointed delta (optimization r12 — they were two).
+    delta = delta.filter(nonzero).localCheckpoint(eager=True)
+    if group_cols:
+        nullish = functools.reduce(
+            or_, (F.col(c).isNull() for c in group_cols)
+        )
+        chk = delta.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.when(nullish, F.lit(1)).otherwise(F.lit(0))).alias(
+                "_has_null"
+            ),
+        ).collect()[0]
+        if chk["_has_null"]:
+            raise ValueError(
+                "mv_refresh: NULL value in a group column "
+                f"{group_cols} — merge-keyed refresh cannot address "
+                "NULL groups; encode a sentinel in the group expression "
+                "(e.g. coalesce(col, '∅')) before materializing"
+            )
+        n_delta_precomputed = int(chk["_n"])
+    else:
+        n_delta_precomputed = None
     old = mv.snapshot()
     renames = {name: f"_old_{name}" for name in [*measures, "n_rows"]}
     for src, dst in renames.items():
@@ -436,7 +456,11 @@ def mv_apply_changes(
     # schema-estimated key width × rows ≤ 256 MiB, with a row
     # backstop for degenerate width estimates.
     keys = delta.select(*group_cols)
-    n_delta = delta.count()
+    n_delta = (
+        n_delta_precomputed
+        if n_delta_precomputed is not None
+        else delta.count()
+    )
     if n_delta * _estimated_row_bytes(keys.schema) <= 256 * 1024 * 1024 \
             and n_delta <= 8_000_000:
         keys = F.broadcast(keys)

@@ -3071,19 +3071,30 @@ class TxTable:
             else F.lit(False)
         )
         src = source.localCheckpoint(eager=True)  # one plan, many passes
-        null_keys = src.filter(
-            functools.reduce(or_, (F.col(k).isNull() for k in keys))
-        ).count()
-        if null_keys:
-            raise ValueError(
-                f"merge: {null_keys} source rows have NULL in a key column "
-                f"{keys} — a NULL key never matches, which would silently "
-                "turn updates into inserts"
+        # ONE validation job for both preconditions (optimization r12:
+        # the separate null-key count and duplicate-key probe each ran
+        # their own job on every merge — pure fixed cost on the CDC/
+        # matview-refresh cadence): group once on the keys; NULL keys
+        # group like values, so per-group null flags and max multiplicity
+        # come out of the same aggregation.
+        nullish = functools.reduce(or_, (F.col(k).isNull() for k in keys))
+        chk = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(F.when(nullish, F.col("_c")).otherwise(F.lit(0)))
+                .alias("_null_rows"),
+                F.max("_c").alias("_max_c"),
             )
-        dupes = (
-            src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            .collect()[0]
         )
-        if dupes:
+        if chk["_null_rows"]:
+            raise ValueError(
+                f"merge: {chk['_null_rows']} source rows have NULL in a "
+                f"key column {keys} — a NULL key never matches, which "
+                "would silently turn updates into inserts"
+            )
+        if (chk["_max_c"] or 0) > 1:
             raise ValueError(
                 f"merge: source is not unique on {keys} — ambiguous which "
                 "row should win; pre-aggregate (see apply_cdc's latest-wins "
