@@ -483,6 +483,26 @@ def run_semdedup_scale_probe(
         points: dict[str, dict] = {}
         base_sec = None
         for fac in (1, *factors):
+            # per-POINT hygiene + anchor (VERDICT r11 next #2, one level
+            # deeper than the per-family anchor): each point's k-means
+            # leaves localCheckpoint blocks behind whose JVM-side cleanup
+            # waits on driver GC — measured in-suite, the 8x point read
+            # 2x its isolated wall while the FAMILY anchor said the box
+            # was clean.  Collect both heaps between points and stamp
+            # each point with its own anchor ratio so a noisy number is
+            # attributable to the box at that moment.
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — a hint, never load-bearing
+                pass
+            point_anchor = {}
+            try:
+                point_anchor = run_family_anchor(spark)
+            except Exception:  # noqa: BLE001 — diagnostic only
+                pass
             e_path = os.path.join(tmp, f"emb_{fac}x.parquet")
             rep = _with_replicas(emb, fac).select(
                 (F.col("vec_id") + F.col("_r").cast("long") * span).alias(
@@ -508,6 +528,7 @@ def run_semdedup_scale_probe(
                 "k": k,
                 "slowdown_vs_1x": round(best / max(base_sec, 1e-9), 2),
                 "vectors_per_sec": round(n / best),
+                "point_anchor_ratio": point_anchor.get("anchor_ratio"),
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

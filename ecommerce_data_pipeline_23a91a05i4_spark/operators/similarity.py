@@ -911,6 +911,12 @@ def semdedup(
         assigned = assigned.withColumn(
             "sub", F.lit(0).cast("long")
         ).withColumn("chunk", F.lit(0).cast("long"))
+    # materialize the assignment ONCE (optimization r12, guide §2.4):
+    # three consumers follow — both sides of the pairwise self-join and
+    # the final dropped-flag join — and without a checkpoint each re-ran
+    # the bucketed centroid assignment and the sub/chunk windows (t44's
+    # plan re-scanned the embeddings 12 times)
+    assigned = assigned.localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
