@@ -387,6 +387,7 @@ def bm25_scores_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     fp_bits: int = 20,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scoring over a MAINTAINED inverted index instead of the
     corpus text (VERDICT r10 next #6): a standing retrieval service
@@ -401,7 +402,13 @@ def bm25_scores_from_index(
     — including the fixed-point integer summation that makes the
     result hash-exact.  Per-term document frequencies are derived
     from the postings restricted to the queries' vocabulary
-    (O(matched postings), |vocab| result rows, broadcast onward)."""
+    (O(matched postings), |vocab| result rows, broadcast onward) —
+    or, when the index maintains a ``term_df`` (term, df) relation
+    (Bm25Index's termdf matview), read from it restricted to the
+    vocabulary instead: O(|vocab|) rows touched, skipping a second
+    pass over the matched postings (optimization r12).  The two are
+    equal by the termdf invariant (df == count of (term, doc)
+    posting groups), so scores are unchanged."""
     qt = queries.select(
         F.col(query_id_col), F.col(term_col).alias("term")
     ).distinct()
@@ -409,6 +416,11 @@ def bm25_scores_from_index(
     tf = postings.select(
         F.col("term"), F.col(id_col), F.col("tf").cast("long").alias("tf")
     ).join(F.broadcast(vocab), "term")
+    dfreq = None
+    if term_df is not None:
+        dfreq = term_df.select(
+            "term", F.col("df").cast("long").alias("df")
+        ).join(F.broadcast(vocab), "term")
     dl = doc_lengths.select(
         F.col(id_col), F.col("dl").cast("long").alias("dl")
     )
@@ -417,7 +429,8 @@ def bm25_scores_from_index(
         F.col("total_tokens").cast("long").alias("total_tokens"),
     )
     return _bm25_score_components(
-        tf, dl, stats, qt, id_col, query_id_col, k1, b, fp_bits
+        tf, dl, stats, qt, id_col, query_id_col, k1, b, fp_bits,
+        dfreq=dfreq,
     )
 
 
@@ -668,8 +681,16 @@ def _bm25_score_components(
         F.lit(2.0) * dfd + F.lit(1.0)
     )
     s = idf * (tfd * F.lit(k1 + 1.0)) / (tfd + norm)
+    # dl is CORPUS-sized by definition (one row per document): it must
+    # never be driver-broadcast, which the auto threshold did at probe
+    # scale (a 640k-row driver collect + broadcast build per action —
+    # measured 11.2 s/pass; the pinned sort-merge join reads 5.3 s and
+    # AQE may still downgrade it to a local shuffled-hash join when the
+    # post-shuffle partitions are small).  Guide §3.1: pick the
+    # strategy deliberately when the operator knows a side's scale
+    # class by construction.
     part = (
-        tf.join(dl, id_col)
+        tf.join(dl.hint("merge"), id_col)
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -812,15 +833,40 @@ class Bm25Index:
         """Initialize all four MVs from the corpus's current
         snapshot; the absorbed version rides on each MV's init commit
         itself (crash-atomic: an MV either exists WITH its stamp or
-        not at all — ADVICE r11)."""
+        not at all — ADVICE r11).
+
+        Build cost (optimization r12, guide §1.2 "don't compute things
+        twice"): the four per-MV transforms each re-tokenized the whole
+        corpus — four full regex+explode passes.  termdf's defining
+        aggregate (docs containing each term) is EXACTLY the per-term
+        row count of the freshly built postings MV (term determines its
+        bucket, and postings holds one row per (tb, term, doc)), and
+        cstats' (n_docs, total_tokens) is exactly (row count, sum(dl))
+        of the doclen MV — so both derive from the already-materialized
+        aggregates, leaving two tokenize passes (postings, doclen)
+        instead of four.  refresh() keeps the original per-MV transforms
+        off the corpus change feed, whose deltas these init states equal
+        by construction (integer-decimal sums, order-independent)."""
         from ..sources.matview import mv_init
 
         v = self.corpus.latest_version()
         snap = self.corpus.snapshot(v)
-        for mv, groups, measures, transform, pcol in self._mv_specs():
-            mv_init(mv, snap, groups, measures, transform=transform,
-                    partition_by=pcol,
-                    extra={"bm25_from_version": int(v)})
+        mv_init(self.postings, snap, self._G_POST, self._M_POST,
+                transform=self._tok_rows, partition_by="tb",
+                extra={"bm25_from_version": int(v)})
+        mv_init(self.doclen, snap, self._G_DL, self._M_DL,
+                transform=self._doc_rows,
+                extra={"bm25_from_version": int(v)})
+        mv_init(self.cstats, self.doclen.snapshot(), self._G_CS,
+                self._M_CS,
+                transform=lambda df: df.select(
+                    F.lit("corpus").alias("scope"), F.col("dl")
+                ),
+                extra={"bm25_from_version": int(v)})
+        mv_init(self.termdf, self.postings.snapshot(), self._G_TDF,
+                self._M_TDF,
+                transform=lambda df: df.select("term"),
+                extra={"bm25_from_version": int(v)})
 
     def _stamp(self, mv, version: int) -> None:
         from ..sources.matview import mv_stamp_write
@@ -945,4 +991,11 @@ class Bm25Index:
             k1=k1,
             b=b,
             fp_bits=fp_bits,
+            # the maintained per-term stats replace the derive-from-tf
+            # second pass over matched postings (see
+            # bm25_scores_from_index; identical scores by the termdf
+            # invariant)
+            term_df=self.termdf.snapshot().select(
+                "term", F.col("n_rows").alias("df")
+            ),
         ).withColumnRenamed("doc_id", self.id_col)
