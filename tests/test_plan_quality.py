@@ -272,15 +272,40 @@ def test_segment_and_bloom_plans_have_no_cartesian(spark):
 
 
 def test_semdedup_cross_join_is_centroid_broadcast_only(spark):
-    """t44's only nested-loop joins are the k-row centroid broadcasts
-    (training assignment passes + final assignment); the pairwise stage
-    must be a key join on (cluster_id, sub, chunk) — never cartesian —
-    and nothing runs in Python."""
+    """t44's pairwise stage must be a key join on (cluster_id, sub,
+    chunk) — never cartesian — with nothing in Python.  The assignment
+    subtree now sits behind semdedup's one-materialization checkpoint
+    (optimization r12), so its own invariant — the only nested-loop
+    join is the k-row centroid-broadcast fallback — is pinned on the
+    assignment plan directly, where it lives."""
     q = llmdata.t44_semdedup(spark, SF)
     plan = explain_str(q)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the k-row assignment join
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = v.filter(F.col("id") < 8).select(
+        F.col("id").cast("int").alias("cluster_id"),
+        F.col("vec").alias("centroid"),
+    )
+    assigned = sim._assign_clusters_bucketed(
+        v, cents, sim.assign_bits_for(8), keep_vec=True
+    )
+    aplan = explain_str(assigned)
+    assert "CartesianProduct" not in aplan
+    assert "BroadcastNestedLoopJoin" in aplan  # k-row fallback only
+    assert (
+        "BatchEvalPython" not in aplan and "ArrowEvalPython" not in aplan
+    )
 
 
 def test_duplicate_spans_prescreened_explode_is_candidate_restricted(spark):
