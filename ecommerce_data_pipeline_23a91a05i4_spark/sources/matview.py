@@ -236,35 +236,57 @@ def _estimated_row_bytes(schema: StructType) -> int:
     return max(total, 1)
 
 
+def _null_group_error(verb: str, group_cols: list[str]) -> ValueError:
+    """THE null-group rejection — one message, one semantics, for every
+    path that materializes or refreshes an MV (ADVICE r12: the refresh
+    path had inlined a drifting copy)."""
+    return ValueError(
+        f"{verb}: NULL value in a group column {group_cols} — "
+        "merge-keyed refresh cannot address NULL groups; encode a "
+        "sentinel in the group expression (e.g. coalesce(col, '∅')) "
+        "before materializing"
+    )
+
+
 def _reject_null_groups(
-    agg: DataFrame, group_cols: list[str], verb: str
-) -> DataFrame:
+    agg: DataFrame, group_cols: list[str], verb: str, with_count: bool = False
+):
     """Fail loudly on a NULL value in any group column (ADVICE r6):
     merge() keys cannot be NULL, so an MV init that materialized a NULL
     group would make EVERY later refresh raise — init and refresh must
-    agree, and they agree on rejection.  The check runs on the
-    already-aggregated relation (O(groups), not O(base)); callers with
-    genuinely NULL-able group expressions should encode a sentinel in
-    the group expression (e.g. ``coalesce(col, '∅')``) so both the MV
-    and its readers see one consistent value.  Returns the aggregate
-    localCheckpoint-ed (explicitly EAGER — ADVICE r11 asked for the
-    materialization point to be unambiguous), so validation, the
-    later size probe, and the subsequent write all share one
-    materialization."""
+    agree, and they agree on rejection (one shared message/semantics,
+    ADVICE r12).  The check runs on the already-aggregated relation
+    (O(groups), not O(base)); callers with genuinely NULL-able group
+    expressions should encode a sentinel in the group expression (e.g.
+    ``coalesce(col, '∅')``) so both the MV and its readers see one
+    consistent value.  Returns the aggregate localCheckpoint-ed
+    (explicitly EAGER — ADVICE r11 asked for the materialization point
+    to be unambiguous), so validation, the later size probe, and the
+    subsequent write all share one materialization.
+
+    ``with_count=True`` returns ``(agg, n_rows)`` instead, folding the
+    row count into the SAME single validation job (the refresh path
+    needs it for broadcast sizing — optimization r12 made null probe +
+    count one job; this keeps that while sharing the rejection)."""
     agg = agg.localCheckpoint(eager=True)
     if not group_cols:
         # a global (no-group) aggregate has no key columns to be NULL;
         # init works as before (refresh would fail at merge-on-no-keys,
         # which is that verb's own loud contract)
-        return agg
+        return (agg, None) if with_count else agg
     nullish = functools.reduce(or_, (F.col(c).isNull() for c in group_cols))
+    if with_count:
+        chk = agg.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(
+                F.when(nullish, F.lit(1)).otherwise(F.lit(0))
+            ).alias("_has_null"),
+        ).collect()[0]
+        if chk["_has_null"]:
+            raise _null_group_error(verb, group_cols)
+        return agg, int(chk["_n"])
     if agg.filter(nullish).limit(1).count():
-        raise ValueError(
-            f"{verb}: NULL value in a group column {group_cols} — "
-            "merge-keyed refresh cannot address NULL groups; encode a "
-            "sentinel in the group expression (e.g. coalesce(col, '∅')) "
-            "before materializing"
-        )
+        raise _null_group_error(verb, group_cols)
     return agg
 
 
@@ -412,32 +434,14 @@ def mv_apply_changes(
     nonzero = F.col("n_rows") != 0
     for name in measures:
         nonzero = nonzero | (F.col(name) != 0)
-    # a NULL group arriving AFTER init fails with the same message as
-    # mv_init (init and refresh agree on rejection; ADVICE r6) instead
-    # of merge's generic NULL-key error.  The null probe and the
-    # broadcast-sizing row count below share ONE job over the
-    # checkpointed delta (optimization r12 — they were two).
-    delta = delta.filter(nonzero).localCheckpoint(eager=True)
-    if group_cols:
-        nullish = functools.reduce(
-            or_, (F.col(c).isNull() for c in group_cols)
-        )
-        chk = delta.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.max(F.when(nullish, F.lit(1)).otherwise(F.lit(0))).alias(
-                "_has_null"
-            ),
-        ).collect()[0]
-        if chk["_has_null"]:
-            raise ValueError(
-                "mv_refresh: NULL value in a group column "
-                f"{group_cols} — merge-keyed refresh cannot address "
-                "NULL groups; encode a sentinel in the group expression "
-                "(e.g. coalesce(col, '∅')) before materializing"
-            )
-        n_delta_precomputed = int(chk["_n"])
-    else:
-        n_delta_precomputed = None
+    # a NULL group arriving AFTER init fails through the SAME shared
+    # rejection as mv_init (init and refresh agree on rejection;
+    # ADVICE r6/r12) instead of merge's generic NULL-key error.  The
+    # null probe and the broadcast-sizing row count share ONE job over
+    # the checkpointed delta (optimization r12 — they were two).
+    delta, n_delta_precomputed = _reject_null_groups(
+        delta.filter(nonzero), group_cols, "mv_refresh", with_count=True
+    )
     old = mv.snapshot()
     renames = {name: f"_old_{name}" for name in [*measures, "n_rows"]}
     for src, dst in renames.items():

@@ -309,6 +309,11 @@ class TxTable:
         self.spark = spark
         self.path = str(path).rstrip("/")
         self.fs = fs if fs is not None else filesystem_for(spark, self.path)
+        #: observability for the last merge() on this handle (None until
+        #: one runs): {files_total, hit_scan_candidates, hit_files} —
+        #: how far stats-based manifest pruning narrowed the hit-file
+        #: detection scan, and how many files the rewrite then touched
+        self.last_merge_scan_counts: dict | None = None
         if stats_col is None:
             self.stats_cols: list[str] = []
         elif isinstance(stats_col, str):
@@ -2814,8 +2819,19 @@ class TxTable:
                     f"delete on {self.path}: scanned file set does not "
                     "match the manifest (concurrent vacuum?)"
                 )
+            # survivors re-read from the HIT manifest entries only
+            # (optimization r13 — the former full-snapshot read
+            # filtered on _tx_file re-scanned every file, because
+            # input_file_name cannot prune the file list; this makes
+            # the rewrite O(hit files), the docstring's contract)
+            hit_entries = [
+                e for e in m["files"] if _commit_rel(e["path"]) in hit_keys
+            ]
             survivors = (
-                snap.filter(F.col("_tx_file").isin(hit_uris) & ~hit)
+                self._read_entries(
+                    schema, pcol, hit_entries, mapping=_col_mapping(m)
+                )
+                .filter(~hit)
                 .select([f.name for f in schema.fields])
             )
             if pcol is None:
@@ -3031,7 +3047,19 @@ class TxTable:
         reference, and inserts stage as fresh files.  Cost is therefore
         O(hit files + |source|), not O(table) — the property that makes
         minute-cadence CDC apply viable on a 100 TB table where almost
-        every batch touches a tiny key range.  Old versions still
+        every batch touches a tiny key range.
+
+        On a table that records STATS for the merge keys (``stats_col``
+        — opt in, because every staged file then pays the one-pass
+        stats job), even the hit-file DETECTION scan is manifest-pruned
+        before any file is read: the source's per-key [min, max] bounds
+        (computed inside the existing validation aggregation, zero
+        extra jobs) skip files whose recorded ranges are disjoint on
+        any key column — such files can hold no matching row.  A
+        range-clustered delta (monotone ids, time-keyed CDC) then costs
+        O(delta-range files), never O(table files); an unclustered
+        delta degrades gracefully to the full detection scan.
+        ``last_merge_scan_counts`` records the pruning outcome.  Old versions still
         time-travel to the pre-merge data until vacuum().
 
         Concurrent commits are absorbed by recompute-and-retry — merge
@@ -3078,14 +3106,22 @@ class TxTable:
         # group like values, so per-group null flags and max multiplicity
         # come out of the same aggregation.
         nullish = functools.reduce(or_, (F.col(k).isNull() for k in keys))
+        # per-key [min, max] bounds ride the SAME aggregation (min/max
+        # over the group keys == min/max over the source rows): they
+        # feed the stats-based manifest pruning of the hit-file
+        # detection below (optimization r13) at zero extra jobs
+        chk_aggs = [
+            F.sum(F.when(nullish, F.col("_c")).otherwise(F.lit(0)))
+            .alias("_null_rows"),
+            F.max("_c").alias("_max_c"),
+        ]
+        for i, k in enumerate(keys):
+            chk_aggs.append(F.min(F.col(k)).alias(f"_lo_{i}"))
+            chk_aggs.append(F.max(F.col(k)).alias(f"_hi_{i}"))
         chk = (
             src.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.sum(F.when(nullish, F.col("_c")).otherwise(F.lit(0)))
-                .alias("_null_rows"),
-                F.max("_c").alias("_max_c"),
-            )
+            .agg(*chk_aggs)
             .collect()[0]
         )
         if chk["_null_rows"]:
@@ -3100,6 +3136,24 @@ class TxTable:
                 "row should win; pre-aggregate (see apply_cdc's latest-wins "
                 "by sequence column)"
             )
+        # stats-prunable key bounds: a target row matching some source
+        # key has, in EVERY key column, a value inside the source's
+        # [min, max] for that column — so a file whose recorded stats
+        # are disjoint from the bounds on any key column can contain
+        # neither a hit nor a leftsemi match.  Only JSON-native scalar
+        # bounds participate (the same types stats recording supports);
+        # bool is excluded because partition/stats round-trips are
+        # int-typed and the gain is nil on a 2-value domain.
+        key_bounds = []
+        for i, k in enumerate(keys):
+            lo, hi = chk[f"_lo_{i}"], chk[f"_hi_{i}"]
+            if (
+                isinstance(lo, (int, float, str))
+                and isinstance(hi, (int, float, str))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            ):
+                key_bounds.append((k, lo, hi))
         m0 = self.manifest()
         schema_json0 = m0["schema"]
         pcol0 = m0.get("partition_by")
@@ -3149,7 +3203,36 @@ class TxTable:
                     "mapping); restage the merge against the new layout"
                 )
             pcol = m.get("partition_by")
-            snap = self.snapshot(m["version"], _with_file=True)
+            mapping = _col_mapping(m)
+            # hit-FILE detection over a stats-pruned entry set
+            # (optimization r13, guide §6 data skipping): when the
+            # table records stats for the merge keys, files whose
+            # recorded [min, max] is disjoint from the source's key
+            # bounds on any key column are skipped BEFORE the scan —
+            # they can hold no matching row (see key_bounds above), so
+            # the detection (and the insert_unmatched leftsemi below,
+            # which only needs rows that match source keys) is exact
+            # on the pruned set.  Entries without stats always survive;
+            # a legacy type mismatch falls back to the full scan rather
+            # than failing a merge that used to work.
+            entries_all = m["files"]
+            scan_entries = entries_all
+            if key_bounds:
+                try:
+                    conds = self._phys_conds(
+                        self._norm_prune(key_bounds), mapping, self.path
+                    )
+                    scan_entries = self._prune_entries(entries_all, conds)
+                except TypeError:
+                    scan_entries = entries_all
+            self.last_merge_scan_counts = {
+                "files_total": len(entries_all),
+                "hit_scan_candidates": len(scan_entries),
+            }
+            snap = self._read_entries(
+                base_schema, pcol, scan_entries, _with_file=True,
+                mapping=mapping,
+            )
             hit_uris = [
                 r._tx_file
                 for r in snap.join(src_keys, on=keys, how="leftsemi")
@@ -3170,13 +3253,25 @@ class TxTable:
                     f"merge on {self.path}: scanned file set does not "
                     "match the manifest (concurrent vacuum?)"
                 )
-            # survivors: unmatched rows of the hit files only (matched
-            # rows are replaced by their source version or dropped);
-            # under in-commit evolution the rewritten survivors carry
-            # the new columns as explicit NULLs
-            survivors = snap.filter(F.col("_tx_file").isin(hit_uris)).join(
-                src_keys, on=keys, how="left_anti"
-            )
+            self.last_merge_scan_counts["hit_files"] = len(hit_keys)
+            # survivors: unmatched rows of the HIT FILES ONLY (matched
+            # rows are replaced by their source version or dropped) —
+            # read back from just those manifest entries (optimization
+            # r13: the former full-snapshot read filtered on _tx_file
+            # re-scanned EVERY file, because input_file_name cannot
+            # prune the file list; re-reading the hit entries makes
+            # the rewrite cost O(hit files), the contract the
+            # docstring promises).  Under in-commit evolution the
+            # rewritten survivors carry the new columns as explicit
+            # NULLs.
+            hit_entries = [
+                e
+                for e in m["files"]
+                if _commit_rel(e["path"]) in hit_keys
+            ]
+            survivors = self._read_entries(
+                base_schema, pcol, hit_entries, mapping=mapping
+            ).join(src_keys, on=keys, how="left_anti")
             for f in new_fields:
                 survivors = survivors.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
@@ -3186,7 +3281,6 @@ class TxTable:
                 # narrow coalesce, same reason as delete(): without it
                 # the scan's partitioning stages empty part files
                 survivors = survivors.coalesce(max(1, len(hit_uris)))
-            mapping = _col_mapping(m)
             if new_fields and evolved_cmap is not _INHERIT:
                 mapping = dict(evolved_cmap)
             cons = _constraints(m) + gen_guards

@@ -2101,3 +2101,120 @@ def test_copy_into_is_idempotent_and_loud_on_overlap(spark, tmp_path):
     spark.range(1).write.parquet(os.path.join(land, "bad.parquet"))
     with pytest.raises(ValueError, match="schema mismatch"):
         t.copy_into(land)
+
+
+def test_merge_hit_detection_prunes_on_key_stats(spark, tmp_path):
+    """Stats-based manifest pruning of merge()'s hit-file detection
+    (optimization r13, VERDICT r12 next #1): on a table recording
+    stats for the merge key, a key-range-clustered source must narrow
+    the detection scan to the files whose recorded [min, max] can
+    intersect the source's key bounds — never the whole table — while
+    the merge result stays identical to the stats-less twin's."""
+    rows = [(i, f"v{i}") for i in range(40)]
+
+    def build(path, **kw):
+        t = TxTable(spark, path, **kw)
+        # four disjoint key-range files via four commits
+        t.init(_df(spark, rows[:10]).coalesce(1))
+        for lo in (10, 20, 30):
+            t.append(_df(spark, rows[lo:lo + 10]).coalesce(1))
+        return t
+
+    t_stats = build(str(tmp_path / "with_stats"), stats_col="k")
+    t_plain = build(str(tmp_path / "plain"))
+    src = spark.createDataFrame(
+        [(12, "U12", False), (14, None, True), (17, "U17", False),
+         (41, "new", False)],
+        "k long, v string, dead boolean",
+    )
+    for t in (t_stats, t_plain):
+        t.merge(src, "k", delete_col="dead")
+    same = lambda t: sorted((r.k, r.v) for r in t.snapshot().collect())
+    assert same(t_stats) == same(t_plain)
+    assert (12, "U12") in same(t_stats) and all(
+        k != 14 for k, _ in same(t_stats)
+    ) and (41, "new") in same(t_stats)
+    # the stats table pruned the detection scan to the one file whose
+    # range [10, 19] intersects the source bounds [12, 41] is file 2..4
+    # — files [0,9] are provably disjoint and skipped
+    cs = t_stats.last_merge_scan_counts
+    assert cs["files_total"] == 4
+    assert cs["hit_scan_candidates"] == 3  # [10-19], [20-29], [30-39]
+    assert cs["hit_files"] == 1            # only [10-19] held hits
+    cp = t_plain.last_merge_scan_counts
+    assert cp["hit_scan_candidates"] == cp["files_total"] == 4
+    assert cp["hit_files"] == 1
+
+
+def test_merge_stats_pruning_narrow_delta_and_rewrite_scope(spark, tmp_path):
+    """The 100 TB CDC shape: a delta confined to one file's key range
+    prunes hit detection to THAT file, and the rewrite replaces only
+    it — every other entry carries by reference (merge's file-granular
+    contract, now including the detection scan)."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t.init(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    for lo in (10, 20, 30):
+        t.append(
+            _df(spark, [(i, f"v{i}") for i in range(lo, lo + 10)])
+            .coalesce(1)
+        )
+    before = {e["path"] for e in t.manifest()["files"]}
+    src = spark.createDataFrame(
+        [(21, "U21", False), (23, "U23", False)],
+        "k long, v string, dead boolean",
+    )
+    t.merge(src, "k", delete_col="dead")
+    cs = t.last_merge_scan_counts
+    assert cs == {
+        "files_total": 4, "hit_scan_candidates": 1, "hit_files": 1,
+    }
+    after = {e["path"] for e in t.manifest()["files"]}
+    assert len(before & after) == 3, "three entries must carry untouched"
+    got = sorted((r.k, r.v) for r in t.snapshot().collect())
+    assert (21, "U21") in got and (23, "U23") in got and len(got) == 40
+
+
+def test_merge_string_and_composite_key_stats_pruning(spark, tmp_path):
+    """String-key bounds prune too, and on a composite key the bounds
+    are ANDed per column — a file disjoint on ANY key column skips."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_col=["a", "b"])
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"v{i}") for i in range(20)],
+        "a long, b string, v string",
+    )
+    t.init(df.filter("a < 10").coalesce(1))
+    t.append(df.filter("a >= 10").coalesce(1))
+    src = spark.createDataFrame(
+        [(3, "g1", "U", False)], "a long, b string, v string, dead boolean"
+    )
+    t.merge(src, ["a", "b"], delete_col="dead")
+    cs = t.last_merge_scan_counts
+    assert cs["files_total"] == 2 and cs["hit_scan_candidates"] == 1
+    got = {(r.a, r.b, r.v) for r in t.snapshot().collect()}
+    assert (3, "g1", "U") in got and len(got) == 20
+
+
+def test_merge_empty_source_with_stats_is_noop(spark, tmp_path):
+    """An empty source yields NULL key bounds — pruning must be
+    skipped (not raise), and the merge stays a version-preserving
+    no-op."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_col="k")
+    t.init(_df(spark, [(1, "a")]))
+    v = t.latest_version()
+    src = spark.createDataFrame([], "k long, v string, dead boolean")
+    assert t.merge(src, "k", delete_col="dead") == v
+
+
+def test_delete_rewrite_reads_only_hit_files(spark, tmp_path):
+    """delete()'s survivor rewrite re-reads only the manifest entries
+    whose files contained matches (optimization r13) — results and
+    carried-entry behavior unchanged."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.init(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10, 20)]).coalesce(1))
+    before = {e["path"] for e in t.manifest()["files"]}
+    t.delete("k = 15")
+    after = {e["path"] for e in t.manifest()["files"]}
+    assert len(before & after) == 1, "the un-hit file must carry"
+    got = sorted(r.k for r in t.snapshot().collect())
+    assert got == [i for i in range(20) if i != 15]
