@@ -250,9 +250,18 @@ def embedding_neardup_incremental(
     delta-touching pairs (the t37 oracle checks this cross-engine).
     After the run, append the delta's band rows to the stored index.
     """
+    # LAZY localCheckpoints (optimization r13, guide §2.4 duplicated
+    # subtrees): delta_bands feeds BOTH sides of the bucket join and
+    # cands feeds three consumers (the id explode and the two vector
+    # re-attach joins) — without a persistence point each consumer
+    # re-ran the whole banding/join/distinct chain.  eager=False keeps
+    # construction side-effect-free (nothing executes until the
+    # caller's first action — the timing-boundary discipline ADVICE
+    # r12 asked for); both relations are delta/candidate-scale, the
+    # operator's own cost class.
     delta_bands = srp_band_table(
         delta, bands, bits_per_band, dim, seed, id_col, vec_col
-    )
+    ).localCheckpoint(eager=False)
     every = corpus_bands.select("id", "band", "key").unionAll(
         delta_bands.select("id", "band", "key")
     )
@@ -269,11 +278,18 @@ def embedding_neardup_incremental(
             F.greatest(F.col("d.id"), F.col("o.id")).alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    # BROADCAST the candidate-id set into the vector fetch: an unhinted
+    # left-semi here sort-merge-shuffles the CORPUS vectors by id — the
+    # one corpus-sized shuffle the incremental design exists to avoid;
+    # candidate ids are delta-scale by construction (every candidate
+    # touches a delta vector), the same class the scoring joins below
+    # already hold in memory.
     v = (
         all_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .join(cand_ids, "id", "left_semi")
+        .join(F.broadcast(cand_ids), "id", "left_semi")
     )
     va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
     vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
@@ -825,6 +841,7 @@ def semdedup(
     sub_seed: int = SEMDEDUP_SUB_SEED,
     dim: int = 64,
     assign_bits: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
     embedding space, then prune near-identical pairs WITHIN clusters
@@ -868,6 +885,16 @@ def semdedup(
     O(log k'), the 100 TB path); 0 forces the exact broadcast argmax
     (test/ground-truth escape hatch); seed mode always assigns exactly
     (k seeds are a small constant by contract).
+
+    ``materialize`` (default True): the assignment relation feeds THREE
+    consumers (both pairwise self-join sides and the dropped-flag
+    join), so it is localCheckpoint-ed EAGERLY — building the returned
+    DataFrame therefore already executes the full assignment, drops its
+    lineage (not re-derivable on executor loss), and fixes a plan
+    boundary downstream rewrites cannot cross (ADVICE r12: this
+    eager-execution contract must be explicit).  Pass False to keep the
+    plan fully lazy/recomputable — each consumer then re-runs the
+    assignment subtree (the pre-r12 12-scan plan shape).
 
     Scale: bucketed assignment is an equi-join on the SRP key (the
     exact path is a broadcast cross join against k·dim doubles); one
@@ -915,8 +942,11 @@ def semdedup(
     # three consumers follow — both sides of the pairwise self-join and
     # the final dropped-flag join — and without a checkpoint each re-ran
     # the bucketed centroid assignment and the sub/chunk windows (t44's
-    # plan re-scanned the embeddings 12 times)
-    assigned = assigned.localCheckpoint(eager=True)
+    # plan re-scanned the embeddings 12 times).  Gated by
+    # ``materialize`` (see docstring) so callers can opt out of the
+    # eager-execution/lineage-drop contract.
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -1302,7 +1332,14 @@ class AnnIndex:
                  bits_per_band: int = 3, dim: int = 64,
                  seed: int = 7, pq: bool = False, pq_m: int = 16,
                  pq_ksub: int = 16,
-                 pq_train_mod: int | None = None) -> None:
+                 pq_train_mod: int | None = None,
+                 stats_on_keys: bool = False) -> None:
+        # stats_on_keys records per-file [min, max] of the band MV's
+        # vector id (and the codes MV's), so refresh-time merges prune
+        # their hit-file detection to the delta's id range (TxTable.
+        # merge, optimization r13) — opt in, pays one stats pass per
+        # staged file, wins when ids are monotone (the common corpus
+        # shape)
         from ..sources.txtable import TxTable
 
         self.corpus = corpus
@@ -1316,8 +1353,10 @@ class AnnIndex:
         self.pq_m = pq_m
         self.pq_ksub = pq_ksub
         self.pq_train_mod = pq_train_mod
+        self._id_stats = ["id"] if stats_on_keys else None
         self.bands_mv = TxTable(
-            corpus.spark, root.rstrip("/") + "/bands"
+            corpus.spark, root.rstrip("/") + "/bands",
+            stats_col=self._id_stats,
         )
         if pq:
             # PQ sidecar state (VERDICT r11 next #1's "compose the
@@ -1328,7 +1367,8 @@ class AnnIndex:
                 corpus.spark, root.rstrip("/") + "/codebooks"
             )
             self.codes_mv = TxTable(
-                corpus.spark, root.rstrip("/") + "/codes"
+                corpus.spark, root.rstrip("/") + "/codes",
+                stats_col=self._id_stats,
             )
 
     def _band_rows(self, df: DataFrame) -> DataFrame:
@@ -1474,16 +1514,24 @@ class AnnIndex:
             snap = snap.filter(
                 F.expr(where) if isinstance(where, str) else where
             )
-            cand_ids = cand_ids.join(
-                snap.select(F.col(self.id_col).alias("id")),
-                "id", "leftsemi",
+            # keep candidates that pass the filter by streaming the
+            # FILTERED CORPUS against the broadcast candidate set
+            # (optimization r13): the former orientation (cand_ids
+            # semi corpus) sort-merge-shuffled the corpus by id; ids
+            # are unique per corpus row, so the intersection is the
+            # same set either way
+            cand_ids = (
+                snap.select(F.col(self.id_col).alias("id"))
+                .join(F.broadcast(cand_ids), "id", "leftsemi")
             )
         # knn_pq uses ONE id_col name for both sides (it aliases the
         # query side to query_id itself); feed it the query relation
-        # and the candidate code/float relations keyed "_aid"
+        # and the candidate code/float relations keyed "_aid".  The
+        # candidate set broadcasts (optimization r13) so the codes MV
+        # streams instead of shuffling by id.
         codes = (
             self.codes_mv.snapshot()
-            .join(cand_ids, "id", "leftsemi")
+            .join(F.broadcast(cand_ids), "id", "leftsemi")
             .select(F.col("id").alias("_aid"), "codes")
         )
         return knn_pq(
@@ -1534,8 +1582,15 @@ class AnnIndex:
         )
         qv = q.withColumnRenamed("query_id", "qid")
         scored = (
-            cands.join(vecs, "id")  # filtered fetch: non-qualifying
-            .join(                  # candidates never reach the cosine
+            # candidate pairs BROADCAST into the vector fetch
+            # (optimization r13): unhinted, this join sort-merge-
+            # shuffled the CORPUS by id to attach O(candidates) rows;
+            # cands is query-batch × bucket-restricted — the "small,
+            # broadcast" side the class docstring promises — so the
+            # corpus now streams through a broadcast hash join, and
+            # non-qualifying candidates still never reach the cosine
+            F.broadcast(cands).join(vecs, "id")
+            .join(
                 F.broadcast(qv),
                 F.col("query_id") == F.col("qid"),
             )

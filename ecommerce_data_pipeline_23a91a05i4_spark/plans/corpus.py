@@ -41,20 +41,25 @@ def t20_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale swap in log1p for numeric range; the plan shape is
     unchanged.
 
-    Plan shape: explode(tokens) → two hash aggregations (term-frequency
-    per doc, document-frequency per term) → broadcast the 1-row corpus
-    count → per-doc top-k window.  The window partitions by doc_id, so
-    the sort is per-document, never global."""
+    Plan shape (optimization r13, guide §2.4 duplicated subtrees): ONE
+    explode(tokens) → term-frequency aggregation per (doc, term) →
+    document frequency as a COUNT WINDOW over the same relation
+    partitioned by term (the former separate groupBy-join re-derived
+    the whole normalize/explode/aggregate chain — the plan scanned
+    documents three times) → broadcast the 1-row corpus count → per-doc
+    top-k window.  doc_freq = count of (doc, term) rows per term either
+    way, so scores and ranks are unchanged.  Both windows partition (by
+    term, then by doc_id), so no sort is global."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    wdf = Window.partitionBy("term")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
