@@ -506,3 +506,58 @@ def test_sample_video_frames_real_decode_deterministic(spark):
     )
 
     assert raw and all(is_jpeg(bytes(r.frame)) for r in raw)
+
+
+def test_t102_mjpeg_frames_cross_decoder_parity(spark):
+    """Two-implementation backing for the t102 static pin (VERDICT r12
+    next #10): t102's oracle is a regression pin of the VENDORED
+    decoder's own output, which cannot by itself distinguish a stale
+    pin from a decode regression.  This test decodes the SAME
+    deterministic MJPEG frames the gate decodes (synth_mjpeg_assets'
+    generator, all four n_frames classes) with BOTH the vendored T.81
+    decoder and the independent JVM ImageIO tier, and requires
+    identical dimensions plus pixel agreement within the small
+    IDCT/upsampling tolerance T.81 permits — so a real decode
+    regression moves the vendored output away from an independent
+    implementation and fails HERE, regardless of the pin."""
+    import numpy as np
+
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators import (
+        jvmcodec,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.avi import (
+        build_mjpeg_avi,
+        parse_avi,
+    )
+    from ecommerce_data_pipeline_23a91a05i4_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert jvmcodec.ensure_jvm_codec(spark) is True
+    payloads: list[tuple[bytearray, str]] = []
+    vendored: dict[str, bytes] = {}
+    for aid in range(8):  # covers n_frames = 2..5 (the gate's 2 + id%4)
+        nf = 2 + aid % 4
+        frames = [
+            encode_jpeg(16, 16, mm.synth_frame_rgb(aid, i, 16, 16))
+            for i in range(nf)
+        ]
+        parsed = parse_avi(build_mjpeg_avi(frames, 5, 16, 16))
+        assert parsed["n_frames"] == nf
+        for fi, raw in enumerate(parsed["frames"]):
+            w, h, rgb = decode_jpeg(raw)
+            assert (w, h) == (16, 16)
+            tag = f"{aid}_{fi}"
+            payloads.append((bytearray(raw), tag))
+            vendored[tag] = rgb
+    df = spark.createDataFrame(payloads, "content binary, tag string")
+    rows = {r.tag: r for r in jvmcodec.decode_images_jvm(df).collect()}
+    assert set(rows) == set(vendored)
+    for tag, vrgb in vendored.items():
+        r = rows[tag]
+        assert (r.width, r.height) == (16, 16)
+        a = np.frombuffer(bytes(r.rgb), np.uint8).astype(np.int16)
+        b = np.frombuffer(vrgb, np.uint8).astype(np.int16)
+        assert np.abs(a - b).max() <= 8
+        assert float(np.abs(a - b).mean()) < 1.5
