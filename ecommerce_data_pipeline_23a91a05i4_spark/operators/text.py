@@ -517,9 +517,13 @@ def _bm25_pruned_plan(
             .collect()
         )
         if len(qrows) <= _PRUNE_LITERAL_CAP:
-            qp = sorted({(r[0], r[1]) for r in qrows})
+            # repr-keyed sort: deterministic plan-literal order even
+            # with NULL ids/terms (None is not orderable against
+            # ints/strings); row order never affects the results
+            qp = sorted({(r[0], r[1]) for r in qrows},
+                        key=lambda x: (repr(x[0]), repr(x[1])))
     if qp is not None and vocab_terms is None:
-        vocab_terms = sorted({t for _, t in qp})
+        vocab_terms = sorted({t for _, t in qp}, key=repr)
     if vocab_terms is None:
         vocab_terms = [
             r[0]
@@ -1189,8 +1193,11 @@ class Bm25Index:
                 .collect()
             )
             if len(qrows) <= self.PRUNE_VOCAB_CAP:
-                pairs = sorted({(r[0], r[1]) for r in qrows})
-                terms = sorted({t for _, t in pairs})
+                # repr-keyed: NULL-safe deterministic order (see
+                # _bm25_pruned_plan)
+                pairs = sorted({(r[0], r[1]) for r in qrows},
+                               key=lambda x: (repr(x[0]), repr(x[1])))
+                terms = sorted({t for _, t in pairs}, key=repr)
             else:
                 terms = [
                     r[0]
