@@ -1994,7 +1994,23 @@ def main() -> None:
         if mv:
             tail["sf1_matview_refresh_sec"] = mv.get("refresh_sec")
     tail["capstone_sec"] = capstone_sec
-    print(json.dumps(tail))
+    # the one-line JSON stays the LAST stdout line (the driver parses
+    # it from the tail); ALSO mirror it to a file (additive, VERDICT
+    # r12: the r11 comparison was lost because the driver captured
+    # only a truncated stdout tail)
+    tail_line = json.dumps(tail)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_tail.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(tail_line + "\n")
+    except OSError:
+        pass  # the printed line is the contract; the file is best-effort
+    print(tail_line)
 
 
 if __name__ == "__main__":
