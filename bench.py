@@ -1164,18 +1164,20 @@ def run_bm25_index_probe(spark, sf_dir: str) -> dict:
             "full_unpruned_read_topk_sec": round(full_sec, 4),
             "service_pruned_topk_sec": round(pruned_sec, 4),
             "topk_equal": bool(topk_equal),
-            # honest wall-clock reading: at this fixture size (~60k
-            # matched postings, 1.2M-row index) the pruned plan's
-            # extra passes (θ phase + candidate restriction = 3
-            # bucket-pruned reads) cost more than the rows they skip —
-            # whole-stage codegen pushes ~50M agg rows/s through the
-            # full path, so the crossover sits at production
-            # posting-list sizes, not fixture sizes.  The published
-            # SCALING facts are the row/file ratios above: scored rows
-            # track k + rare lists (0.24x), reads track vocabulary
-            # buckets (0.47x of files), both independent of the
-            # common term's df.
-            "note": "wall crossover is at production df; see ratios",
+            # honest wall-clock reading: after the r13 restructure
+            # (control-plane literals, no-aggregate phase 1, dl
+            # streamed through broadcast joins, distincts dropped) the
+            # pruned wall sits at ~parity with full scoring at fixture
+            # size (r12: 1.74x slower) — the residual is the pruned
+            # plan's inherent extra passes (θ phase + candidate
+            # restriction = 3 bucket-pruned reads) whose fixed stage
+            # costs the skipped rows don't yet repay at ~580k matched
+            # postings.  The crossover sits at production posting-list
+            # sizes.  The published SCALING facts are the row/file
+            # ratios above: scored rows track k + rare lists (0.24x),
+            # reads track vocabulary buckets (0.44x of files), both
+            # independent of the common term's df.
+            "note": "wall ~parity at fixture df; crossover at production df; see ratios",
         }
         return {
             "pruning": pruning,
